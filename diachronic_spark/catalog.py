@@ -1,0 +1,66 @@
+"""Table loaders over the driver-generated parquet testdata.
+
+``load`` applies the explicit schema (scale rule: never infer) and only
+the columns the caller selects survive to the parquet scan via
+Catalyst column pruning — callers should ``.select`` early.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import EVENTS_RAW, TABLE_SCHEMAS
+
+TABLES = tuple(TABLE_SCHEMAS)
+
+# Runtime-settable SQL confs the query set depends on, applied defensively
+# so results are correct even under an externally-created SparkSession
+# (e.g. the driver's): UTC pins to_date/date_format semantics to match the
+# DuckDB oracle; nanosAsLong makes the ns-timestamp events table readable.
+_REQUIRED_SQL_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_SQL_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            spark.conf.set(k, v)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table with its explicit schema.
+
+    Parquet stores ``timestamp[ns]`` for events, which Spark's reader
+    rejects; with ``nanosAsLong`` it arrives as a ns-since-epoch long and
+    is converted here to a µs TimestampType (lossless for this data; the
+    oracle truncates identically — SURVEY §7 watch-list 5).
+    """
+    ensure_confs(spark)
+    if name == "events":
+        raw = spark.read.schema(EVENTS_RAW).parquet(table_path(sf_dir, name))
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    schema = TABLE_SCHEMAS.get(name)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(table_path(sf_dir, name))
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql use)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,83 @@
+"""Expression-level helpers.
+
+Everything here is built from ``pyspark.sql.functions`` higher-order
+functions so it stays inside whole-stage codegen — no Python UDFs in
+the hot path (SURVEY §4.3). Vector math over ``array<float>`` uses
+sequential fold order, so results are bit-deterministic for a given
+input ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine_similarity",
+    "ts_str",
+    "date_str",
+    "whitespace_tokens",
+    "word_shingles",
+]
+
+
+def dot(a, b) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side.
+
+    Sequential left fold => deterministic float accumulation order.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a, b) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def ts_str(col) -> Column:
+    """Render a timestamp as a canonical µs string (FIXTURES.md §4).
+
+    Query outputs never expose raw timestamp types: Spark is µs, DuckDB
+    is ns, and cross-engine hashing of native timestamps is fragile.
+    Matches DuckDB ``strftime(ts, '%Y-%m-%d %H:%M:%S.%f')``.
+    """
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def date_str(col) -> Column:
+    """Render a date/timestamp as 'yyyy-MM-dd' (DuckDB: strftime '%Y-%m-%d')."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def whitespace_tokens(col) -> Column:
+    """Split text on runs of whitespace, dropping empty tokens."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(col, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column as array<string>.
+
+    Built with transform over token indices — stays JVM-side. Documents
+    shorter than ``n`` words yield a single shingle of the whole text.
+    """
+    toks = whitespace_tokens(col)
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - F.lit(1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )

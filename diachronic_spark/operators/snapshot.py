@@ -1,0 +1,105 @@
+"""Daily-snapshot dedup — the heart of the reference pipeline.
+
+Semantics (reference /root/reference/main.py:151-161, SURVEY §1.2): per
+page, keep the FIRST revision of each calendar day, for days >= epoch
+(conf.yml:7 → 2001-01-15), namespace "0" only; null text becomes "".
+
+Two forms:
+
+- ``daily_snapshot`` (canonical, declarative): window dedup. Exactly
+  equivalent to the reference loop whenever revisions are
+  timestamp-sorted within a page — which MediaWiki dumps are. Scales:
+  one shuffle on (title, day), no Python boundary, whole-stage codegen.
+
+- ``daily_snapshot_sequential`` (fidelity spec): replays the reference's
+  monotone-threshold loop per page via applyInPandas, reproducing the
+  documented divergence on out-of-order input (SURVEY §1.2 item 3:
+  out-of-order revisions are silently DROPPED by the loop but kept by
+  the window form). Used as the executable spec in tests; gate behind a
+  flag in pipelines.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_EPOCH = dt.datetime(2001, 1, 15)  # reference conf.yml:7
+
+_OUT_COLS = ["namespace", "title", "timestamp", "text"]  # main.py:111
+
+
+def daily_snapshot(
+    revisions: DataFrame,
+    epoch: dt.datetime = DEFAULT_EPOCH,
+    key: str = "title",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """First revision per (key, calendar day), day >= epoch, ns-0 only.
+
+    Plan shape at scale: parquet scan (namespace/epoch filters pushed
+    down) → single hash-partition shuffle on (key, day) → in-partition
+    sort → rank. Popular pages do not skew: the partition key includes
+    the day, so one page's history spreads across many partitions.
+    """
+    w = Window.partitionBy(key, F.to_date(F.col(ts))).orderBy(ts)
+    return (
+        revisions.filter(
+            (F.col("namespace") == "0") & (F.col(ts) >= F.lit(epoch))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select(*_OUT_COLS)
+    )
+
+
+def replay_page(rows: Iterable[dict], epoch: dt.datetime = DEFAULT_EPOCH) -> list[dict]:
+    """Pure-Python executable spec of the reference loop (main.py:151-161).
+
+    ``rows`` must be one page's revisions in document order. Used both by
+    the sequential operator below and directly by property tests.
+    """
+    cur = epoch
+    out = []
+    for r in rows:
+        ts = r["timestamp"]
+        if r.get("namespace") == "0" and ts is not None and ts >= cur:
+            out.append(
+                {
+                    "namespace": r["namespace"],
+                    "title": r["title"],
+                    "timestamp": ts,
+                    "text": r["text"] if r["text"] is not None else "",
+                }
+            )
+            cur = dt.datetime.combine(ts.date(), dt.time.min) + dt.timedelta(days=1)
+    return out
+
+
+def daily_snapshot_sequential(
+    revisions: DataFrame,
+    epoch: dt.datetime = DEFAULT_EPOCH,
+) -> DataFrame:
+    """Bug-for-bug replay of the reference loop, distributed per page.
+
+    Requires columns (page_id, rev_seq, namespace, title, timestamp,
+    text); groups by page_id and replays in rev_seq (document) order.
+    Arrow-batched via applyInPandas — the only Python boundary in the
+    pipeline, and only needed when inputs may be unsorted within a page.
+    """
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rev_seq")
+        # Arrow nulls arrive as NaN/NaT; normalize to None for the spec.
+        pdf = pdf.astype(object).where(pd.notna(pdf), None)
+        out = replay_page(pdf.to_dict("records"), epoch)
+        return pd.DataFrame(out, columns=_OUT_COLS)
+
+    out_schema = "namespace string, title string, timestamp timestamp, text string"
+    return revisions.groupBy("page_id").applyInPandas(fn, out_schema)

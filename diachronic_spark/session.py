@@ -1,0 +1,64 @@
+"""SparkSession factory with defaults tuned for both local testing and
+large-cluster execution.
+
+Design notes (100 TB):
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  broadcast demotion — the single highest-leverage setting at scale.
+- Arrow on: every Python boundary (pandas UDF / applyInPandas) is
+  Arrow-batched, never row-at-a-time pickling.
+- UTC session timezone: deterministic date/timestamp semantics that match
+  the DuckDB oracle and the reference's naive-UTC timestamps
+  (reference: /root/reference/main.py:153 parses naive UTC).
+- shuffle.partitions defaults to the local core count; on a real cluster
+  set it (or rely on AQE coalescing from a higher initial value) to
+  ~2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise illegal in
+    # Spark; read as raw ns longs, catalog.load converts to µs timestamps
+    # (SURVEY §7 watch-list 5 — truncation matched on the oracle side).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Giant text values (MB-scale wiki articles): cap records per file so
+    # output files stay in the 128-512MB sweet spot (SURVEY §7 watch-list 2).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Dims (region/nation/supplier/part) are broadcastable at any SF.
+    "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "diachronic-spark",
+    master: str | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same code
+    path serves tests, bench, and (with a cluster master URL) production.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    confs = dict(DEFAULT_CONFS)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

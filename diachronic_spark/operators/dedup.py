@@ -1,0 +1,224 @@
+"""Deduplication operators (SURVEY §2.11 L1/L2): exact, MinHash+LSH,
+SimHash, and n-gram Jaccard — all expression-only (no Python UDFs), so
+they run JVM-side inside whole-stage codegen and scale linearly.
+
+Hash function: md5 over seeded shingle strings. Engine-portable (the
+DuckDB oracle computes the identical signature), deterministic, and a
+lexicographic min over hex digests is a valid min-hash.
+
+Scale design:
+- MinHash LSH: signature is k aggregated mins (one shuffle on doc_id),
+  banding re-keys by (band, band_hash) — candidate generation never
+  compares all pairs. Skew guard: ban trivial bands (all-equal corpus)
+  by salting thresholds upstream if needed.
+- SimHash: 16-bit signatures; candidate pairs via nibble pigeonholing
+  (hamming <= 3 ⇒ at least one of 4 nibbles equal), again equi-join
+  keyed, never quadratic.
+- Jaccard: inverted-index self-join on shingles; at 100 TB, block on
+  rare shingles or run MinHash first — documented in each query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import whitespace_tokens, word_shingles
+
+N_MINHASH = 8          # signature length
+BAND_ROWS = 2          # rows per LSH band -> 4 bands
+SIMHASH_BITS = 16
+
+
+def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
+    """Augment the corpus with deterministic near-duplicates: for every
+    doc_id < ``id_below``, a copy (doc_id + 100000) missing its last
+    word. Gives dedup queries real positives on the all-distinct
+    testdata corpus (FIXTURES.md §2 note on documents).
+    """
+    toks = whitespace_tokens(F.col("text"))
+    dups = (
+        documents.filter(F.col("doc_id") < id_below)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+            ).alias("text"),
+        )
+    )
+    return documents.select("doc_id", "text").unionByName(dups)
+
+
+def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the shared dedup substrate."""
+    return corpus.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signature(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k md5-seeded min-hashes per doc: one hash-agg shuffle on doc_id."""
+    return shingles.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band signatures and self-join on (band, band_hash): docs agreeing
+    on any band become a candidate pair (doc_a < doc_b)."""
+    n_bands = N_MINHASH // BAND_ROWS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
+                        ).alias("bh"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def shingle_arrays(shingles: DataFrame) -> DataFrame:
+    """(doc_id, sorted distinct shingle array, set size) — one hash-agg."""
+    return shingles.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("sset"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+
+
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact |A∩B| / |A∪B| for the given (doc_a, doc_b) pairs.
+
+    The candidate pair set is orders of magnitude smaller than the
+    shingle postings, so intersect per-pair shingle ARRAYS (one join per
+    side, intersection computed in-expression) instead of re-joining the
+    exploded posting lists — far fewer shuffles, no hot-shingle skew.
+    """
+    arrs = shingle_arrays(shingles)
+    za = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sset").alias("set_a"),
+        F.col("sz").alias("sza"),
+    )
+    zb = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sset").alias("set_b"),
+        F.col("sz").alias("szb"),
+    )
+    icnt = F.size(F.array_intersect("set_a", "set_b"))
+    return (
+        pairs.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                icnt / (F.col("sza") + F.col("szb") - icnt)
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(corpus: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from md5-derived token hashes.
+
+    Token hash = first 4 hex chars of md5(token) → 16-bit int; each bit
+    votes +1/-1 weighted by occurrence count; sign of the vote sets the
+    output bit. Pure expressions: explode → one hash-agg on doc_id.
+    """
+    toks = corpus.select(
+        "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with hamming(simhash) <= max_hamming via nibble
+    pigeonholing: distance <= 3 over 4 nibbles ⇒ some nibble matches
+    exactly, so an equi-join on (nibble_idx, nibble_value) finds every
+    such pair without a quadratic comparison."""
+    nib = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ni"),
+                        F.shiftright(F.col("simhash"), i * 4)
+                        .bitwiseAND(0xF)
+                        .alias("nv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("nb"),
+    ).select("doc_id", "simhash", "nb.ni", "nb.nv")
+    a, b = nib.alias("a"), nib.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ni") == F.col("b.ni"))
+            & (F.col("a.nv") == F.col("b.nv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("sh_a").bitwiseXOR(F.col("sh_b")).bitwiseAND(0xFFFF)
+    )
+    return cand.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def exact_dedup(documents: DataFrame, key: str = "text") -> DataFrame:
+    """L1 exact dedup: keep the min-doc_id representative per content
+    hash (deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy(F.sha2(F.col(key), 256)).orderBy("doc_id")
+    return (
+        documents.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

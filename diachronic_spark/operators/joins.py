@@ -1,0 +1,78 @@
+"""Join operators Spark lacks as primitives (SURVEY §2.3 J7/J8).
+
+As-of join: for each left row, the latest right row with
+``right_ts <= left_ts`` within the same key — the generalization of the
+reference's "page state as of day d" semantics
+(/root/reference/main.py:154-155).
+
+Implementation is the union+window trick: tag both sides, union, sort
+by (key, ts) once, and carry the last-seen right row forward with
+``last(ignorenulls=True)``. One shuffle on the key, no range explosion,
+no Python boundary — survives arbitrarily large sides (vs. the
+broadcast-nested-loop a naive ``left.ts >= right.ts`` join plans).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: latest right row with right_ts <= left_ts per key.
+
+    Ties on timestamp: the right row sorts before the left row at equal
+    timestamps (side tag 0 < 1), so an exactly-simultaneous right row IS
+    matched — the `<=` convention, matching DuckDB's ASOF JOIN.
+    Rows with no earlier right row keep NULL right columns (left join).
+    """
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    l_tag = left.withColumn("__side", F.lit(1)).withColumn(
+        "__ts", F.col(left_ts)
+    )
+    for c in right_cols:
+        l_tag = l_tag.withColumn(f"{c}{suffix}", F.lit(None).cast(right.schema[c].dataType))
+    r_tag = right.select(
+        F.col(on),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    l_cols = [c for c in left.columns]
+    unioned = l_tag.select(
+        on, "__side", "__ts", *[f"{c}{suffix}" for c in right_cols],
+        *[c for c in l_cols if c != on],
+    ).unionByName(
+        r_tag.select(
+            on, "__side", "__ts", *[f"{c}{suffix}" for c in right_cols]
+        ),
+        allowMissingColumns=True,
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in right_cols
+        ],
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            on,
+            *[c for c in l_cols if c != on],
+            *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        )
+    )

@@ -1,0 +1,114 @@
+"""Text-analysis operators (SURVEY §2.11 L4/L6): language ID heuristic,
+quality scoring, token counting, document fingerprinting. All
+expression-only — JVM-side, codegen-fused, linear scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import whitespace_tokens
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and fixed: the operator contract is the
+# scoring mechanism, not lexicon quality.
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "un"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other symbols.
+RE_TOKEN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def stopword_hits(tokens: Column, lang: str) -> Column:
+    """Occurrence count (not distinct) of this language's stopwords."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+
+
+def predict_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append per-language stopword scores and an argmax prediction.
+
+    Tie-break: first language in alphabetical order with the max score
+    (deterministic; word-soup fixtures mostly tie at 0).
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    out = df
+    for lang in STOPWORDS:
+        out = out.withColumn(f"s_{lang}", stopword_hits(toks, lang))
+    m = F.greatest(*[F.col(f"s_{lang}") for lang in STOPWORDS])
+    pred = None
+    for lang in sorted(STOPWORDS):
+        cond = F.col(f"s_{lang}") == m
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return out.withColumn("predicted_lang", pred)
+
+
+def quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality columns: char/word counts, mean word length,
+    punctuation ratio, stopword ratio (all languages pooled)."""
+    toks = whitespace_tokens(F.col(text_col))
+    all_sw = F.array(
+        *[F.lit(w) for ws in STOPWORDS.values() for w in ws]
+    )
+    n_words = F.size(toks)
+    return (
+        df.withColumn("n_chars_m", F.length(text_col))
+        .withColumn("n_words", n_words)
+        .withColumn(
+            "mean_word_len",
+            F.when(n_words > 0,
+                   F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+                   / n_words.cast("double")).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(
+                F.length(text_col) > 0,
+                F.length(F.regexp_replace(text_col, "[A-Za-z0-9\\s]", ""))
+                / F.length(text_col).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(
+                n_words > 0,
+                F.size(F.filter(toks, lambda t: F.array_contains(all_sw, t)))
+                / n_words.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count and BPE-ish regex token count per doc."""
+    return df.withColumn(
+        "n_ws_tokens", F.size(whitespace_tokens(F.col(text_col)))
+    ).withColumn("n_re_tokens", F.size(F.regexp_extract_all(F.col(text_col), F.lit(RE_TOKEN), 0)))
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 16, stride: int = 4
+) -> DataFrame:
+    """Rolling char-k-gram fingerprint: min md5 over k-char windows
+    sampled every ``stride`` chars (a bottom-1 sketch — winnowing's
+    degenerate form; identical texts share it, near-identical texts
+    usually do). Stride bounds hash work per byte at scale.
+    Expression-only: window starts via sequence(), md5 per window, min.
+    """
+    txt = F.col(text_col)
+    last_start = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    return df.withColumn(
+        "fp",
+        F.array_min(
+            F.transform(
+                starts, lambda i: F.md5(F.col(text_col).substr(i, F.lit(k)))
+            )
+        ),
+    ).withColumn("n_grams", F.size(starts))

@@ -1,6 +1,12 @@
-"""Declared query plans (SURVEY §2.12) and their DuckDB oracle SQL."""
+"""Declared query plans (SURVEY §2.12 + §2.11 extensions) and their
+DuckDB oracle SQL."""
 
-from .queries import QUERIES
+from .ext_oracle import EXT_ORACLE
+from .ext_queries import EXT_QUERIES
 from .oracle import ORACLE
+from .queries import QUERIES
+
+QUERIES = {**QUERIES, **EXT_QUERIES}
+ORACLE = {**ORACLE, **EXT_ORACLE}
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -1,0 +1,342 @@
+"""DuckDB oracle SQL for the extension queries q23-q36.
+
+The dedup oracles rebuild the exact md5-seeded minhash / simhash
+pipeline in SQL (list comprehensions give the same sequential
+semantics as Spark's higher-order functions). q32's oracle checks the
+mapInPandas feature extraction against pure SQL byte math.
+"""
+
+from __future__ import annotations
+
+EXT_ORACLE: dict[str, str] = {}
+
+# Shared corpus/shingle CTE text (word 3-gram shingles, near-dup
+# augmentation mirroring operators/dedup.py).
+_CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id < 50)
+)"""
+
+_SHINGLES = """
+tk AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+  FROM tk
+)"""
+
+_MINHASH_COLS = ", ".join(
+    f"min(md5('{i}' || shingle)) AS h{i}" for i in range(8)
+)
+_BANDS = "\nUNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bh FROM sig"
+    for b in range(4)
+)
+
+EXT_ORACLE["q23"] = f"""
+WITH {_CORPUS}, {_SHINGLES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b,
+       round(icnt / (za.sz + zb.sz - icnt), 2) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# hex nibble -> int, portable: position in the hex alphabet.
+_HEXVAL = "(strpos('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1)"
+_H16 = (
+    f"({_HEXVAL.format(p=1)} * 4096 + {_HEXVAL.format(p=2)} * 256 + "
+    f"{_HEXVAL.format(p=3)} * 16 + {_HEXVAL.format(p=4)})"
+)
+_VOTES = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(16)
+)
+_SIMHASH_SUM = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+)
+
+
+def _simhash_sql(corpus_sql: str) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM {corpus_sql}),
+hashed AS (SELECT doc_id, {_H16} AS h FROM toks),
+votes AS (SELECT doc_id, {_VOTES} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({_SIMHASH_SUM} AS INTEGER) AS simhash
+         FROM votes)"""
+
+
+EXT_ORACLE["q24"] = f"""
+WITH {_simhash_sql('documents')}
+SELECT doc_id, simhash FROM sims ORDER BY doc_id
+"""
+
+_HAMMING = (
+    "CAST(list_sum([(xor(sh_a, sh_b) >> b) & 1 "
+    "FOR b IN generate_series(0, 15)]) AS INTEGER)"
+)
+
+EXT_ORACLE["q25"] = f"""
+WITH {_CORPUS}, {_simhash_sql('corpus')},
+nib AS (
+  SELECT doc_id, simhash, i AS ni, (simhash >> (i * 4)) & 15 AS nv
+  FROM sims, range(0, 4) t(i)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM nib a JOIN nib b
+    ON a.ni = b.ni AND a.nv = b.nv AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, {_HAMMING} AS hamming
+FROM cand
+WHERE {_HAMMING} <= 1
+ORDER BY doc_a, doc_b
+"""
+
+EXT_ORACLE["q26"] = f"""
+WITH {_CORPUS}, {_SHINGLES},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM shr sa JOIN shr sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b,
+       round(icnt / (za.sz + zb.sz - icnt), 2) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE icnt / (za.sz + zb.sz - icnt) >= 0.3
+ORDER BY doc_a, doc_b
+"""
+
+_COS = (
+    "list_sum([{a}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN generate_series(1, 64)])"
+    " / (sqrt(list_sum([{a}[i]::DOUBLE * {a}[i]::DOUBLE"
+    " FOR i IN generate_series(1, 64)]))"
+    " * sqrt(list_sum([{b}[i]::DOUBLE * {b}[i]::DOUBLE"
+    " FOR i IN generate_series(1, 64)])))"
+)
+
+EXT_ORACLE["q27"] = f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+cent AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, range(1, 65) t(i)
+  GROUP BY label, i),
+carr AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+best AS (
+  SELECT label FROM carr, q
+  ORDER BY {_COS.format(a='centroid', b='qe')} DESC, label ASC
+  LIMIT 1)
+SELECT vec_id, round({_COS.format(a='embedding', b='qe')}, 4) AS cos_sim
+FROM embeddings, q
+WHERE label = (SELECT label FROM best) AND vec_id <> 7
+ORDER BY cos_sim DESC, vec_id
+LIMIT 5
+"""
+
+_SW = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "en": ["the", "and", "is", "of", "to", "in", "that", "it"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "est", "que", "un"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+_SCORES = ", ".join(
+    "len(list_filter(w, x -> list_contains(["
+    + ", ".join(f"'{t}'" for t in _SW[lang])
+    + f"], x))) AS s_{lang}"
+    for lang in _SW
+)
+_MAXS = "greatest(" + ", ".join(f"s_{la}" for la in _SW) + ")"
+_PRED = (
+    "CASE "
+    + " ".join(f"WHEN s_{la} = m THEN '{la}'" for la in sorted(_SW))
+    + " END"
+)
+
+EXT_ORACLE["q28"] = f"""
+WITH t AS (
+  SELECT lang,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+s AS (SELECT lang, {_SCORES} FROM t),
+p AS (SELECT lang, {_MAXS} AS m, * FROM s),
+pred AS (SELECT lang, {_PRED} AS predicted_lang FROM p)
+SELECT lang, predicted_lang, count(*) AS n
+FROM pred GROUP BY lang, predicted_lang
+ORDER BY lang, predicted_lang
+"""
+
+_ALL_SW = ", ".join(
+    f"'{t}'" for ws in _SW.values() for t in ws
+)
+
+EXT_ORACLE["q29"] = f"""
+WITH t AS (
+  SELECT source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+m AS (
+  SELECT source,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN list_sum(list_transform(w, x -> length(x))) / len(w)::DOUBLE
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                   / length(text)::DOUBLE
+              ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(w) > 0
+              THEN len(list_filter(w, x -> list_contains([{_ALL_SW}], x)))
+                   / len(w)::DOUBLE
+              ELSE 0.0 END AS stopword_ratio
+  FROM t)
+SELECT source,
+       round(avg(n_words), 2)        AS avg_words,
+       round(avg(mean_word_len), 2)  AS avg_word_len,
+       round(avg(punct_ratio), 2)    AS avg_punct_ratio,
+       round(avg(stopword_ratio), 2) AS avg_stopword_ratio,
+       CAST(sum(CASE WHEN n_words < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+FROM m GROUP BY source ORDER BY source
+"""
+
+EXT_ORACLE["q30"] = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS n_re_tokens
+  FROM documents)
+SELECT lang,
+       CAST(sum(n_ws_tokens) AS BIGINT) AS sum_ws_tokens,
+       CAST(sum(n_re_tokens) AS BIGINT) AS sum_re_tokens,
+       round(avg(n_re_tokens / n_ws_tokens::DOUBLE), 2) AS avg_re_per_ws
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+EXT_ORACLE["q31"] = """
+SELECT doc_id,
+       list_min([md5(substring(text, i, 16))
+                 FOR i IN generate_series(1, greatest(length(text) - 15, 1), 4)])
+         AS fp,
+       CAST(len(generate_series(1, greatest(length(text) - 15, 1), 4))
+            AS INTEGER) AS n_grams
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT_ORACLE["q32"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+       sha256(text) AS sha_hex,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INTEGER) AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+EXT_ORACLE["q33"] = """
+WITH e AS (
+  SELECT user_id AS k, ts - INTERVAL 29 YEAR AS ets, event_id, event_type
+  FROM events),
+o1 AS (
+  SELECT k, o_orderdate, o_totalprice FROM (
+    SELECT o_custkey AS k, o_orderdate, o_totalprice,
+           row_number() OVER (
+             PARTITION BY o_custkey, o_orderdate
+             ORDER BY o_orderkey DESC) AS rn
+    FROM orders) WHERE rn = 1),
+j AS (
+  SELECT e.event_type, e.ets, o1.o_orderdate, o1.o_totalprice
+  FROM e ASOF LEFT JOIN o1
+    ON e.k = o1.k AND e.ets >= o1.o_orderdate)
+SELECT event_type,
+       count(*) AS n_events,
+       count(o_orderdate) AS n_matched,
+       round(avg((epoch_us(ets) - epoch_us(o_orderdate))
+                 / 1000000.0 / 86400.0), 2) AS avg_gap_days,
+       round(sum(o_totalprice), 2) AS sum_matched_price
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+EXT_ORACLE["q34"] = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+EXT_ORACLE["q35"] = """
+WITH a AS (
+  SELECT l_returnflag,
+         avg(l_quantity)                                   AS mu,
+         avg(l_quantity * l_quantity)                      AS ex2,
+         avg(l_quantity * l_quantity * l_quantity)         AS ex3,
+         avg(l_quantity * l_quantity * l_quantity * l_quantity) AS ex4,
+         stddev_samp(l_quantity)                           AS sd,
+         var_samp(l_quantity)                              AS vr,
+         quantile_cont(l_quantity, 0.5)                    AS p50,
+         quantile_cont(l_quantity, 0.9)                    AS p90
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       round(sd, 2) AS sd_qty,
+       round(vr, 2) AS var_qty,
+       round((ex3 - 3 * mu * ex2 + 2 * mu * mu * mu)
+             / pow(ex2 - mu * mu, 1.5), 2) AS skew_qty,
+       round((ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2
+              - 3 * mu * mu * mu * mu)
+             / pow(ex2 - mu * mu, 2) - 3, 2) AS kurt_qty,
+       round(p50, 2) AS p50_qty,
+       round(p90, 2) AS p90_qty
+FROM a ORDER BY l_returnflag
+"""
+
+EXT_ORACLE["q36"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_items,
+       CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""

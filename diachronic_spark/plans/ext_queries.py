@@ -1,0 +1,265 @@
+"""Extension queries q23-q36: the LLM-data-pipeline operator suite
+(SURVEY §2.11) plus the remaining relational surface (as-of join,
+pivot, stats, cube — SURVEY §2.3 J7, §2.4 A5-A7/A10).
+
+Same contract as queries.py: aliases/rounding/string-dates match the
+oracle, full deterministic ordering.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.joins import asof_join
+
+
+def _r2(c) -> F.Column:
+    return F.round(c, 2)
+
+
+# --- q23: MinHash+LSH near-duplicate pairs (L2) ---------------------------
+# Augmented corpus (injected near-dups) → shingle → 8-hash minhash
+# signature → 4 LSH bands → candidate pairs → exact-Jaccard verify >= .5.
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.with_near_duplicates(load(spark, sf, "documents"))
+    sh = D.shingle_set(corpus)
+    pairs = D.lsh_candidate_pairs(D.minhash_signature(sh))
+    jac = D.jaccard_for_pairs(pairs, sh)
+    return (
+        jac.filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- q24: SimHash signatures (L2) -----------------------------------------
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return D.simhash16(d).orderBy("doc_id")
+
+
+# --- q25: SimHash near-dup pairs via nibble pigeonhole (L2) ---------------
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.with_near_duplicates(load(spark, sf, "documents"))
+    return (
+        D.simhash_pairs(D.simhash16(corpus), max_hamming=1)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- q26: exact n-gram Jaccard pairs via inverted index (L2) --------------
+# Candidate generation = shared RARE shingle (document frequency <= 5):
+# hot shingles would make the self-join quadratic in their posting-list
+# length — the classic inverted-index skew. True near-dups share many
+# doc-specific shingles, so rare-shingle blocking keeps recall while
+# bounding every posting list. Jaccard is still exact over full sets.
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    max_df = 5
+    corpus = D.with_near_duplicates(load(spark, sf, "documents"))
+    sh = D.shingle_set(corpus)
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_rare = sh.join(rare, "shingle", "left_semi")
+    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    jac = D.jaccard_for_pairs(pairs, sh)
+    return (
+        jac.filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- q27: IVF-style approximate nearest neighbors (L3 scale path) ---------
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_topk(emb, query_vec_id=7, k=5, n_probe=1)
+
+
+# --- q28: language-ID heuristic (L4) --------------------------------------
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    pred = T.predict_language(d)
+    return (
+        pred.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# --- q29: quality-signal aggregation by source (L6) -----------------------
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    q = T.quality_signals(d)
+    return (
+        q.groupBy("source")
+        .agg(
+            _r2(F.avg("n_words")).alias("avg_words"),
+            _r2(F.avg("mean_word_len")).alias("avg_word_len"),
+            _r2(F.avg("punct_ratio")).alias("avg_punct_ratio"),
+            _r2(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
+            F.sum(F.when(F.col("n_words") < 5, 1).otherwise(0)).alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- q30: token counting (L4) ---------------------------------------------
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    t = T.token_counts(d)
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.sum("n_ws_tokens").alias("sum_ws_tokens"),
+            F.sum("n_re_tokens").alias("sum_re_tokens"),
+            _r2(
+                F.avg(F.col("n_re_tokens") / F.col("n_ws_tokens").cast("double"))
+            ).alias("avg_re_per_ws"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q31: rolling-hash document fingerprint (L4) --------------------------
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    return T.fingerprint(d).select("doc_id", "fp", "n_grams").orderBy("doc_id")
+
+
+# --- q32: multimodal binary plumbing (L5) ---------------------------------
+# Arrow-batched mapInPandas feature extraction over binary payloads;
+# byte-level features are oracle-checkable, codec decode is stubbed.
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    feats = M.extract_features(M.binarize(d))
+    return feats.orderBy("doc_id")
+
+
+# --- q33: as-of join — latest order at or before each event (J7) ----------
+# Events shifted to the order-date domain (as in q22); right side
+# pre-deduped to one order per (custkey, date) so ties are impossible.
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events").select(
+        F.col("user_id").alias("k"),
+        (F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ets"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    o = (
+        load(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"), "o_orderdate", "o_totalprice"
+        )
+    )
+    j = asof_join(
+        e, o, on="k", left_ts="ets", right_ts="o_orderdate",
+        right_cols=["o_orderdate", "o_totalprice"],
+    )
+    gap = (
+        F.col("ets").cast("double") - F.col("o_orderdate_r").cast("double")
+    ) / 86400.0
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("o_orderdate_r").alias("n_matched"),
+            _r2(F.avg(gap)).alias("avg_gap_days"),
+            _r2(F.sum("o_totalprice_r")).alias("sum_matched_price"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- q34: pivot — per-user event-type counts (A10) ------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    p = e.groupBy("user_id").pivot("event_type", EVENT_TYPES).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+# --- q35: statistical aggregates + percentiles (A6/A7) --------------------
+# Skew/kurtosis are computed from raw moments in BOTH engines so the
+# population-moment formula matches exactly (built-in skewness/kurtosis
+# differ in bias correction between engines).
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    x = F.col("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.avg(x).alias("mu"),
+        F.avg(x * x).alias("ex2"),
+        F.avg(x * x * x).alias("ex3"),
+        F.avg(x * x * x * x).alias("ex4"),
+        F.stddev_samp(x).alias("sd"),
+        F.var_samp(x).alias("vr"),
+        F.percentile(x, 0.5).alias("p50"),
+        F.percentile(x, 0.9).alias("p90"),
+    )
+    mu, ex2, ex3, ex4 = F.col("mu"), F.col("ex2"), F.col("ex3"), F.col("ex4")
+    m2 = ex2 - mu * mu
+    m3 = ex3 - 3 * mu * ex2 + 2 * mu * mu * mu
+    m4 = ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2 - 3 * mu * mu * mu * mu
+    return agg.select(
+        "l_returnflag",
+        _r2(F.col("sd")).alias("sd_qty"),
+        _r2(F.col("vr")).alias("var_qty"),
+        _r2(m3 / F.pow(m2, 1.5)).alias("skew_qty"),
+        _r2(m4 / (m2 * m2) - 3).alias("kurt_qty"),
+        _r2(F.col("p50")).alias("p50_qty"),
+        _r2(F.col("p90")).alias("p90_qty"),
+    ).orderBy("l_returnflag")
+
+
+# --- q36: cube with grouping_id (A5) --------------------------------------
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_items",
+            F.col("gid").cast("int").alias("gid"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
+    "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
+    "q33": q33, "q34": q34, "q35": q35, "q36": q36,
+}

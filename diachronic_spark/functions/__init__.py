@@ -69,13 +69,18 @@ def whitespace_tokens(col) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
-def word_shingles(col, n: int = 3) -> Column:
-    """Word n-gram shingles of a text column as array<string>.
+def word_shingles(tokens, n: int = 3) -> Column:
+    """Word n-gram shingles over an ALREADY-MATERIALIZED array<string>
+    token column. Documents shorter than ``n`` words yield a single
+    shingle of all tokens.
 
-    Built with transform over token indices — stays JVM-side. Documents
-    shorter than ``n`` words yield a single shingle of the whole text.
+    Callers must materialize tokens with ``whitespace_tokens`` in a
+    prior projection: referencing the tokenizer expression directly here
+    would re-evaluate the split per window position inside the lambda
+    (no common-subexpression elimination across lambda iterations) —
+    O(tokens²) per document.
     """
-    toks = whitespace_tokens(col)
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
     return F.transform(
         F.sequence(F.lit(0), k - F.lit(1)),

@@ -36,13 +36,18 @@ def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
     word. Gives dedup queries real positives on the all-distinct
     testdata corpus (FIXTURES.md §2 note on documents).
     """
-    toks = whitespace_tokens(F.col("text"))
     dups = (
         documents.filter(F.col("doc_id") < id_below)
+        .select("doc_id", whitespace_tokens(F.col("text")).alias("toks"))
         .select(
             (F.col("doc_id") + 100000).alias("doc_id"),
             F.concat_ws(
-                " ", F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1)))
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    1,
+                    F.greatest(F.size("toks") - 1, F.lit(1)),
+                ),
             ).alias("text"),
         )
     )
@@ -50,10 +55,18 @@ def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
 
 
 def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the shared dedup substrate."""
-    return corpus.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("shingle")
-    ).distinct()
+    """(doc_id, shingle) distinct pairs — the shared dedup substrate.
+
+    Tokens are materialized in a projection before windowing so the
+    tokenizer runs once per doc, not once per shingle position.
+    """
+    return (
+        corpus.select(
+            "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+        )
+        .select("doc_id", F.explode(word_shingles("toks", n)).alias("shingle"))
+        .distinct()
+    )
 
 
 def minhash_signature(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:

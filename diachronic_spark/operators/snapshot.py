@@ -36,17 +36,26 @@ _OUT_COLS = ["namespace", "title", "timestamp", "text"]  # main.py:111
 def daily_snapshot(
     revisions: DataFrame,
     epoch: dt.datetime = DEFAULT_EPOCH,
-    key: str = "title",
+    key: str | list[str] = "page_id",
     ts: str = "timestamp",
 ) -> DataFrame:
     """First revision per (key, calendar day), day >= epoch, ns-0 only.
+
+    ``key`` is the page identity: the reference's state is per PAGE
+    (reset at </page>, main.py:163-164), so distinct pages that share a
+    title do NOT interfere (FIXTURES.md §3.7). Use ``page_id`` when the
+    source carries it; ``title`` is equivalent only under MediaWiki's
+    one-page-per-(ns,title) invariant.
 
     Plan shape at scale: parquet scan (namespace/epoch filters pushed
     down) → single hash-partition shuffle on (key, day) → in-partition
     sort → rank. Popular pages do not skew: the partition key includes
     the day, so one page's history spreads across many partitions.
     """
-    w = Window.partitionBy(key, F.to_date(F.col(ts))).orderBy(ts)
+    keys = [key] if isinstance(key, str) else list(key)
+    # rev_seq (document order) breaks exact-timestamp ties deterministically
+    order = [ts] + (["rev_seq"] if "rev_seq" in revisions.columns else [])
+    w = Window.partitionBy(*keys, F.to_date(F.col(ts))).orderBy(*order)
     return (
         revisions.filter(
             (F.col("namespace") == "0") & (F.col(ts) >= F.lit(epoch))

@@ -1,0 +1,145 @@
+"""Snapshot dedup semantics (SURVEY §1.2, §5.2 items 2-3).
+
+Pins: declarative window form ≡ sequential replay on per-page-sorted
+input; the documented divergence on out-of-order input; every
+FIXTURES.md §3 edge case.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from diachronic_spark.operators.snapshot import (
+    daily_snapshot,
+    daily_snapshot_sequential,
+    replay_page,
+)
+from diachronic_spark.schemas import WIKI_REVISIONS
+from diachronic_spark.sources.wiki_fixture import generate_rows, wiki_revisions_df
+
+
+def _key(row):
+    return (row["title"], str(row["timestamp"]), row["namespace"], row["text"])
+
+
+def _collect_sorted(df):
+    return sorted(
+        (
+            (r["title"], str(r["timestamp"]), r["namespace"], r["text"])
+            for r in df.collect()
+        )
+    )
+
+
+def _replay_all(rows):
+    out = []
+    by_page: dict[int, list[dict]] = {}
+    for page_id, seq, ns, title, ts, text in sorted(rows):
+        by_page.setdefault(page_id, []).append(
+            {
+                "rev_seq": seq,
+                "namespace": ns,
+                "title": title,
+                "timestamp": ts,
+                "text": text,
+            }
+        )
+    for page_rows in by_page.values():
+        out.extend(replay_page(sorted(page_rows, key=lambda r: r["rev_seq"])))
+    return sorted(
+        (r["title"], str(r["timestamp"]), r["namespace"], r["text"]) for r in out
+    )
+
+
+def test_declarative_equals_replay_on_sorted_input(spark):
+    rows = generate_rows(include_out_of_order=False)
+    df = wiki_revisions_df(spark, include_out_of_order=False)
+    assert _collect_sorted(daily_snapshot(df)) == _replay_all(rows)
+
+
+def test_sequential_operator_equals_replay_even_out_of_order(spark):
+    rows = generate_rows(include_out_of_order=True)
+    df = wiki_revisions_df(spark, include_out_of_order=True)
+    assert _collect_sorted(daily_snapshot_sequential(df)) == _replay_all(rows)
+
+
+def test_out_of_order_divergence_is_the_documented_one(spark):
+    """Declarative keeps the first-per-day even out of order; the
+    sequential loop drops revisions behind the monotone threshold
+    (SURVEY §1.2 item 3). On OOO input declarative ⊇ sequential."""
+    df = wiki_revisions_df(spark, include_out_of_order=True)
+    decl = set(_collect_sorted(daily_snapshot(df)))
+    seq = set(_collect_sorted(daily_snapshot_sequential(df)))
+    assert seq != decl
+    # divergence only on ooo-marked pages
+    diff = {r for r in decl.symmetric_difference(seq)}
+    assert diff and all(t.startswith("ooo_") for (t, *_rest) in diff)
+
+
+EPOCH = dt.datetime(2001, 1, 15)
+T = dt.datetime
+
+
+@pytest.mark.parametrize(
+    "case,rows,expected_ts",
+    [
+        (
+            "same_day_keeps_first",
+            [
+                (1, 0, "0", "A", T(2001, 2, 1, 8, 0, 0), "x"),
+                (1, 1, "0", "A", T(2001, 2, 1, 9, 0, 0), "y"),
+            ],
+            [T(2001, 2, 1, 8, 0, 0)],
+        ),
+        (
+            "pre_epoch_dropped",
+            [
+                (1, 0, "0", "A", T(2001, 1, 14, 23, 59, 59), "x"),
+                (1, 1, "0", "A", T(2001, 1, 15, 0, 0, 0), "y"),
+            ],
+            [T(2001, 1, 15, 0, 0, 0)],
+        ),
+        (
+            "non_ns0_dropped_and_no_state_advance",
+            [
+                (1, 0, "1", "A", T(2001, 2, 1, 8, 0, 0), "x"),
+                (1, 1, "0", "A", T(2001, 2, 1, 9, 0, 0), "y"),
+            ],
+            [T(2001, 2, 1, 9, 0, 0)],
+        ),
+        (
+            "midnight_straddle_both_kept",
+            [
+                (1, 0, "0", "A", T(2001, 2, 1, 23, 59, 59), "x"),
+                (1, 1, "0", "A", T(2001, 2, 2, 0, 0, 1), "y"),
+            ],
+            [T(2001, 2, 1, 23, 59, 59), T(2001, 2, 2, 0, 0, 1)],
+        ),
+    ],
+)
+def test_edge_cases_match_both_forms(spark, case, rows, expected_ts):
+    df = spark.createDataFrame(rows, WIKI_REVISIONS)
+    for form in (daily_snapshot(df), daily_snapshot_sequential(df)):
+        got = sorted(r["timestamp"] for r in form.collect())
+        assert got == expected_ts, case
+
+
+def test_null_text_coalesced(spark):
+    rows = [(1, 0, "0", "A", T(2001, 2, 1, 8, 0, 0), None)]
+    df = spark.createDataFrame(rows, WIKI_REVISIONS)
+    assert daily_snapshot(df).collect()[0]["text"] == ""
+    assert daily_snapshot_sequential(df).collect()[0]["text"] == ""
+
+
+def test_cross_page_same_title_no_interference(spark):
+    """FIXTURES §3.7: state is per page — two pages sharing a title on
+    the same day each emit."""
+    rows = [
+        (1, 0, "0", "A", T(2001, 2, 1, 8, 0, 0), "p1"),
+        (2, 0, "0", "A", T(2001, 2, 1, 9, 0, 0), "p2"),
+    ]
+    df = spark.createDataFrame(rows, WIKI_REVISIONS)
+    assert daily_snapshot(df).count() == 2
+    assert daily_snapshot_sequential(df).count() == 2

@@ -1,0 +1,163 @@
+"""Streaming operators (SURVEY §2.9 ST1-ST9).
+
+The reference is logically a stream processor run in batch: ordered
+revision stream, per-page state, monotone day threshold, memory-bounded
+flush (/root/reference/main.py:151-170). These are the incremental
+forms on Spark Structured Streaming:
+
+- windowed aggregations (ST3-ST5) share the exact expressions with the
+  batch queries q16/q17 — one definition, two execution modes;
+- ``streaming_first_per_day`` (ST6) is the watermarked dedup analog of
+  the snapshot operator. NOTE its keep-first is ARRIVAL order
+  (dropDuplicates semantics); exact min-timestamp semantics need the
+  stateful form below;
+- ``threshold_scan_stream`` (ST7) replays the reference's monotone
+  threshold loop per key with explicit GroupState — the bug-for-bug
+  incremental form; late/out-of-order rows are dropped exactly like
+  the reference's cur_date scan (ST9 ≙ watermark drop, SURVEY §1.2-3).
+
+State at 100 TB: per-key state is one timestamp (the threshold) —
+tiny; use the RocksDB state store for high key cardinality, and
+watermarks to bound the windowed operators' state.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..schemas import EVENTS
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """ST1: file-based streaming source with explicit schema."""
+    reader = spark.readStream.schema(EVENTS)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """ST2+ST3: same expression as batch q16."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """ST4: sliding window counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """ST5: session windows per user (same expression as batch q17)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_first_per_day(
+    events: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """ST6: at-most-one event per (user_id, day) — watermarked dedup.
+    Keeps the FIRST-ARRIVED row per key; state for a key is dropped
+    once the watermark passes its day."""
+    return events.withColumn(
+        "event_date", F.to_date("ts")
+    ).withWatermark("ts", watermark).dropDuplicates(["user_id", "event_date"])
+
+
+STATE_SCHEMA = "cur_threshold timestamp"
+SCAN_OUT_SCHEMA = (
+    "user_id bigint, event_id bigint, ts timestamp, value double"
+)
+
+
+def threshold_scan_stream(
+    events: DataFrame, epoch: dt.datetime
+) -> DataFrame:
+    """ST7: the reference's per-key monotone daily threshold scan
+    (main.py:151-161) as applyInPandasWithState.
+
+    Per key, keep a single timestamp of state (next emittable instant);
+    emit a row iff ts >= threshold, then advance the threshold to the
+    next midnight — at most one row per key-day survives, first-in-
+    stream-order. Within a batch rows are processed in ts order (the
+    dump order analog); across batches arrival order governs, exactly
+    like the reference's sequential consumption.
+    """
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (cur,) = state.get
+            cur = pd.Timestamp(cur)
+        else:
+            cur = pd.Timestamp(epoch)
+        out = []
+        for pdf in pdfs:
+            for row in pdf.sort_values("ts").itertuples(index=False):
+                if pd.Timestamp(row.ts) >= cur:
+                    out.append(
+                        (key[0], row.event_id, row.ts, row.value)
+                    )
+                    cur = (
+                        pd.Timestamp(row.ts).normalize() + pd.Timedelta(days=1)
+                    )
+        state.update((cur.to_pydatetime(),))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "ts", "value"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SCAN_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_parquet_stream(
+    df: DataFrame, out_path: str, checkpoint: str
+):
+    """ST8: exactly-once parquet sink (checkpointed) — the incremental
+    replacement for the reference's write-upload-skip loop
+    (main.py:177-191 + 60-71)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -7,11 +7,15 @@ SURVEY.md §2.12 plus the LLM-data-pipeline extension operators.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from diachronic_spark.plans import ORACLE, QUERIES
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from diachronic_spark.plans import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

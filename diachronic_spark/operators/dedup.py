@@ -54,28 +54,46 @@ def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
     return documents.select("doc_id", "text").unionByName(dups)
 
 
-def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the shared dedup substrate.
+def shingle_arrays(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, distinct-sorted shingle array, set size) — MAP-ONLY.
 
-    Tokens are materialized in a projection before windowing so the
-    tokenizer runs once per doc, not once per shingle position.
+    The per-doc shingle set is an array column built entirely in one
+    projection (tokenize → window → array_distinct → array_sort): no
+    explode, no shuffle. Signatures, sizes, and pair verification all
+    derive from this one narrow stage — the property that makes minhash
+    scale: signature extraction is embarrassingly parallel.
+
+    Tokens are materialized first so the tokenizer runs once per doc,
+    not once per shingle position (no CSE across lambda iterations).
     """
-    return (
-        corpus.select(
-            "doc_id", whitespace_tokens(F.col("text")).alias("toks")
-        )
-        .select("doc_id", F.explode(word_shingles("toks", n)).alias("shingle"))
-        .distinct()
+    sset = F.array_sort(F.array_distinct(word_shingles("toks", n)))
+    return corpus.select(
+        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+    ).select("doc_id", sset.alias("sset")).withColumn("sz", F.size("sset"))
+
+
+def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct pairs — only needed when a
+    GLOBAL per-shingle statistic is required (e.g. document frequency
+    for rare-shingle blocking in q26)."""
+    return shingle_arrays(corpus, n).select(
+        "doc_id", F.explode("sset").alias("shingle")
     )
 
 
-def minhash_signature(shingles: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """k md5-seeded min-hashes per doc: one hash-agg shuffle on doc_id."""
-    return shingles.groupBy("doc_id").agg(
+def minhash_signature(arrs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """k md5-seeded min-hashes per doc, computed map-side from the
+    shingle array (array_min over transform) — zero shuffles."""
+    return arrs.select(
+        "doc_id",
         *[
-            F.min(F.md5(F.concat(F.lit(str(i)), F.col("shingle")))).alias(f"h{i}")
+            F.array_min(
+                F.transform(
+                    "sset", lambda s: F.md5(F.concat(F.lit(str(i)), s))
+                )
+            ).alias(f"h{i}")
             for i in range(k)
-        ]
+        ],
     )
 
 
@@ -112,23 +130,15 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def shingle_arrays(shingles: DataFrame) -> DataFrame:
-    """(doc_id, sorted distinct shingle array, set size) — one hash-agg."""
-    return shingles.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("sset"),
-        F.count(F.lit(1)).alias("sz"),
-    )
-
-
-def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
-    """Exact |A∩B| / |A∪B| for the given (doc_a, doc_b) pairs.
+def jaccard_for_pairs(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
+    """Exact |A∩B| / |A∪B| for the given (doc_a, doc_b) pairs, from the
+    per-doc shingle arrays of ``shingle_arrays``.
 
     The candidate pair set is orders of magnitude smaller than the
     shingle postings, so intersect per-pair shingle ARRAYS (one join per
-    side, intersection computed in-expression) instead of re-joining the
+    side, intersection computed in-expression) instead of re-joining
     exploded posting lists — far fewer shuffles, no hot-shingle skew.
     """
-    arrs = shingle_arrays(shingles)
     za = arrs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sset").alias("set_a"),

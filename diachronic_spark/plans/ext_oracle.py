@@ -322,10 +322,10 @@ SELECT l_returnflag,
        round(sd, 2) AS sd_qty,
        round(vr, 2) AS var_qty,
        round((ex3 - 3 * mu * ex2 + 2 * mu * mu * mu)
-             / pow(ex2 - mu * mu, 1.5), 2) AS skew_qty,
+             / pow(ex2 - mu * mu, 1.5), 2) + 0.0 AS skew_qty,
        round((ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2
               - 3 * mu * mu * mu * mu)
-             / pow(ex2 - mu * mu, 2) - 3, 2) AS kurt_qty,
+             / pow(ex2 - mu * mu, 2) - 3, 2) + 0.0 AS kurt_qty,
        round(p50, 2) AS p50_qty,
        round(p90, 2) AS p90_qty
 FROM a ORDER BY l_returnflag

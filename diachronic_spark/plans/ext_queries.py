@@ -22,7 +22,10 @@ from ..operators.joins import asof_join
 
 
 def _r2(c) -> F.Column:
-    return F.round(c, 2)
+    # "+ 0.0" folds IEEE -0.0 to +0.0: near-zero aggregates (e.g. skew ~ -0.0017)
+    # would otherwise hash as "-0.0" vs the oracle's "0.0" depending on
+    # nondeterministic float summation order across partitions.
+    return F.round(c, 2) + F.lit(0.0)
 
 
 # --- q23: MinHash+LSH near-duplicate pairs (L2) ---------------------------
@@ -30,9 +33,13 @@ def _r2(c) -> F.Column:
 # signature → 4 LSH bands → candidate pairs → exact-Jaccard verify >= .5.
 def q23(spark: SparkSession, sf: str) -> DataFrame:
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
-    sh = D.shingle_set(corpus)
-    pairs = D.lsh_candidate_pairs(D.minhash_signature(sh))
-    jac = D.jaccard_for_pairs(pairs, sh)
+    # The shingle-array substrate feeds the signature self-join AND the
+    # verification join: persist it (MEMORY_AND_DISK) so the tokenize+
+    # hash work runs once — the same pattern Spark ML's MinHashLSH uses
+    # for approxSimilarityJoin.
+    arrs = D.shingle_arrays(corpus).persist()
+    pairs = D.lsh_candidate_pairs(D.minhash_signature(arrs))
+    jac = D.jaccard_for_pairs(pairs, arrs)
     return (
         jac.filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard"))
@@ -64,7 +71,8 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     max_df = 5
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
-    sh = D.shingle_set(corpus)
+    arrs = D.shingle_arrays(corpus).persist()  # shared by 4 plan branches
+    sh = arrs.select("doc_id", F.explode("sset").alias("shingle"))
     rare = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -80,7 +88,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    jac = D.jaccard_for_pairs(pairs, sh)
+    jac = D.jaccard_for_pairs(pairs, arrs)
     return (
         jac.filter(F.col("jaccard") >= 0.3)
         .select("doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard"))

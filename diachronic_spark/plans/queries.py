@@ -26,7 +26,10 @@ from ..sources.wiki_fixture import wiki_revisions_df
 
 
 def _r2(c) -> F.Column:
-    return F.round(c, 2)
+    # "+ 0.0" folds IEEE -0.0 to +0.0: near-zero aggregates (e.g. skew ~ -0.0017)
+    # would otherwise hash as "-0.0" vs the oracle's "0.0" depending on
+    # nondeterministic float summation order across partitions.
+    return F.round(c, 2) + F.lit(0.0)
 
 
 # --- Q1: lineitem pricing summary (TPC-H Q1 shape) -----------------------

@@ -340,3 +340,55 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+# q37: brute-force cosine pairs over the augmented vector set. The
+# Spark side is LSH-accelerated but exact-verified, so brute force is
+# the right oracle (recall gap ~1e-7 per true pair; see
+# operators/similarity.py::cosine_near_dup_pairs).
+EXT_ORACLE["q37"] = """
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(64),
+             i -> embedding[i+1]::DOUBLE + ((vec_id*64 + i) % 7 - 3) * 0.005)
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 2) + 0.0 AS cos_sim
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+ORDER BY vec_a, vec_b
+"""
+
+EXT_ORACLE["q38"] = """
+SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT s_nationkey FROM supplier WHERE s_acctbal < 0
+ORDER BY nationkey
+"""
+
+EXT_ORACLE["q39"] = """
+WITH r AS (
+  SELECT p_brand, p_partkey, p_size,
+         rank()         OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+         dense_rank()   OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk,
+         round(percent_rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_size DESC, p_partkey), 2) + 0.0 AS prnk,
+         ntile(4)       OVER (PARTITION BY p_brand
+                              ORDER BY p_size DESC, p_partkey) AS quartile
+  FROM part)
+SELECT * FROM r WHERE rnk <= 5 ORDER BY p_brand, p_partkey
+"""
+
+EXT_ORACLE["q40"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                        (l_returnflag, l_linestatus))
+ORDER BY gid, l_returnflag, l_linestatus
+"""

@@ -266,8 +266,86 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q37: embedding-cosine near-dup pairs via SRP-LSH (L2/L3) -------------
+# Augmented vectors (injected perturbed copies) → 384 SRP sign bits
+# (vectorized matmul) → 24 16-bit LSH bands → bucket self-join →
+# exact-cosine verify >= 0.99. The verify pass makes output equal to
+# brute force up to ~1e-7 miss probability per true pair, so the
+# brute-force SQL oracle is the correct check.
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    aug = S.with_near_duplicate_vectors(load(spark, sf, "embeddings"))
+    pairs = S.cosine_near_dup_pairs(aug, threshold=0.99)
+    return (
+        pairs.select("vec_a", "vec_b", _r2(F.col("cos_sim")).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- q38: intersect (SO3) --------------------------------------------------
+# Nations that have both a BUILDING-segment customer and a negative-
+# balance supplier. INTERSECT is distinct-set semantics in both engines.
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    c = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+    s = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.intersect(s).orderBy("nationkey")
+
+
+# --- q39: ranking suite (W2: rank / dense_rank / percent_rank / ntile) ----
+# rank/dense_rank ordered by p_size alone (genuine ties — the integer
+# column repeats within a brand); percent_rank/ntile need a total order
+# for determinism, so their window adds p_partkey as tiebreak.
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    wt = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    wd = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_size"), F.asc("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_size",
+            F.rank().over(wt).alias("rnk"),
+            F.dense_rank().over(wt).alias("drnk"),
+            _r2(F.percent_rank().over(wd)).alias("prnk"),
+            F.ntile(4).over(wd).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 5)
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+# --- q40: GROUPING SETS via the SQL surface (A5) ---------------------------
+# Exercises spark.sql() + temp-view registration — the engine's SQL
+# entry point — with an explicit grouping-set list (not rollup/cube).
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty,
+               CAST(grouping_id() AS INT) AS gid
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
-    "q33": q33, "q34": q34, "q35": q35, "q36": q36,
+    "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
+    "q38": q38, "q39": q39, "q40": q40,
 }

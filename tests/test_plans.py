@@ -62,3 +62,38 @@ def test_no_rowatatime_python_udfs_anywhere(spark, sf_dir):
     for name, fn in QUERIES.items():
         p = plan_str(fn(spark, sf_dir))
         assert "BatchEvalPython" not in p, name
+
+
+def test_q37_lsh_join_has_no_cartesian(spark, sf_dir):
+    """The all-pairs search must stay an equi-join on (band, bucket) —
+    a CartesianProduct/NestedLoop would mean the LSH blocking silently
+    degenerated into brute force."""
+    p = plan_str(QUERIES["q37"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+
+def test_srp_lsh_recall_equals_brute_force(spark, sf_dir):
+    """LSH candidates + exact verify must find every pair brute force
+    finds at the query threshold (the property that justifies the
+    brute-force SQL oracle for q37)."""
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.catalog import load
+    from diachronic_spark.functions import cosine_similarity
+    from diachronic_spark.operators import similarity as S
+
+    aug = S.with_near_duplicate_vectors(load(spark, sf_dir, "embeddings"))
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_near_dup_pairs(aug, threshold=0.99).collect()
+    }
+    a = aug.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = aug.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_similarity("ea", "eb") >= 0.99)
+        .collect()
+    }
+    assert lsh == brute

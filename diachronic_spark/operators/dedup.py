@@ -2,9 +2,11 @@
 SimHash, and n-gram Jaccard — all expression-only (no Python UDFs), so
 they run JVM-side inside whole-stage codegen and scale linearly.
 
-Hash function: md5 over seeded shingle strings. Engine-portable (the
-DuckDB oracle computes the identical signature), deterministic, and a
-lexicographic min over hex digests is a valid min-hash.
+Hash function: ONE md5 per shingle (first 8 hex chars → 32-bit int),
+then k affine rehashes h_i = (h*A_i + i) mod P — the classic universal-
+hash minhash family. Engine-portable (the DuckDB oracle computes the
+identical signature), deterministic, and 8x cheaper than hashing each
+(seed, shingle) pair separately.
 
 Scale design:
 - MinHash LSH: signature is k aggregated mins (one shuffle on doc_id),
@@ -28,6 +30,16 @@ from ..functions import whitespace_tokens, word_shingles
 N_MINHASH = 8          # signature length
 BAND_ROWS = 2          # rows per LSH band -> 4 bands
 SIMHASH_BITS = 16
+
+# Affine rehash family for minhash: h_i = (h32 * A[i] + i) mod P.
+# A[i] < 2^30 keeps h32 * A[i] < 2^62 — no bigint overflow under ANSI
+# mode in Spark, and the identical arithmetic is expressible in the
+# DuckDB oracle (ext_oracle.py imports these constants).
+MINHASH_P = 2_147_483_647
+MINHASH_A = [
+    1_000_003, 10_000_019, 65_537, 999_999_937,
+    179_424_673, 32_452_843, 982_451_653, 536_870_923,
+]
 
 
 def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
@@ -82,14 +94,28 @@ def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_signature(arrs: DataFrame, k: int = N_MINHASH) -> DataFrame:
-    """k md5-seeded min-hashes per doc, computed map-side from the
-    shingle array (array_min over transform) — zero shuffles."""
-    return arrs.select(
+    """k min-hashes per doc, computed map-side from the shingle array —
+    zero shuffles, ONE md5 per shingle.
+
+    The base hash array ``hs`` is emitted as its own projection and
+    referenced by all k mins; CollapseProject never inlines a non-cheap
+    expression with multiple references, so the md5 pass runs once per
+    doc, not k times.
+    """
+    hs = F.transform(
+        "sset",
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+    )
+    sig = arrs.select("doc_id", hs.alias("hs"))
+    return sig.select(
         "doc_id",
         *[
             F.array_min(
                 F.transform(
-                    "sset", lambda s: F.md5(F.concat(F.lit(str(i)), s))
+                    "hs",
+                    lambda h: F.pmod(
+                        h * MINHASH_A[i] + F.lit(i), F.lit(MINHASH_P)
+                    ),
                 )
             ).alias(f"h{i}")
             for i in range(k)
@@ -108,7 +134,8 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(
+                        F.concat_ws(
+                            "_",
                             *[F.col(f"h{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]
                         ).alias("bh"),
                     )
@@ -117,6 +144,10 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # The self-join would otherwise evaluate the whole signature subtree
+    # twice (once per side) — cache the tiny (n_docs x n_bands) band
+    # table so hashing happens exactly once.
+    bands = bands.persist()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -212,6 +243,9 @@ def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("nb"),
     ).select("doc_id", "simhash", "nb.ni", "nb.nv")
+    # Same double-evaluation guard as lsh_candidate_pairs: the upstream
+    # simhash agg would run once per join side without the cache.
+    nib = nib.persist()
     a, b = nib.alias("a"), nib.alias("b")
     cand = (
         a.join(

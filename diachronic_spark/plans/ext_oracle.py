@@ -34,11 +34,22 @@ sh AS (
   FROM tk
 )"""
 
+# One 32-bit base hash per shingle (first 8 md5 hex chars, decoded
+# nibble-by-nibble — portable, no hex-cast builtin needed), then the
+# same affine rehash family as operators/dedup.py.
+from ..operators.dedup import MINHASH_A, MINHASH_P  # noqa: E402
+
+_H32 = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(shingle), {p + 1}, 1)) - 1)"
+    f" * {16 ** (7 - p)}"
+    for p in range(8)
+)
 _MINHASH_COLS = ", ".join(
-    f"min(md5('{i}' || shingle)) AS h{i}" for i in range(8)
+    f"min((({_H32}) * {MINHASH_A[i]} + {i}) % {MINHASH_P}) AS h{i}"
+    for i in range(8)
 )
 _BANDS = "\nUNION ALL ".join(
-    f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS bh FROM sig"
+    f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS bh FROM sig"
     for b in range(4)
 )
 

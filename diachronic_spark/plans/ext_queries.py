@@ -71,21 +71,41 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     max_df = 5
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
-    arrs = D.shingle_arrays(corpus).persist()  # shared by 4 plan branches
-    sh = arrs.select("doc_id", F.explode("sset").alias("shingle"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("shingle")
+    arrs = D.shingle_arrays(corpus).persist()  # shared by 2 plan branches
+    # Shuffle key is xxhash64(shingle), not the shingle string: 8-byte
+    # keys keep the exchange small. A hash collision can only merge two
+    # posting lists (false candidates are removed by the exact-jaccard
+    # verify; a rare shingle pushed over the df cap by a collision is a
+    # ~n²/2^64 false-negative risk — zero collisions on the fixtures).
+    sh = arrs.select(
+        "doc_id", F.explode("sset").alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("shash"))
+    # One hash-agg builds the posting list per shingle; rare shingles
+    # (df <= 5) expand to <= C(5,2) pairs IN-EXPRESSION — no posting
+    # self-join, no second shuffle, and the df cap bounds the expansion
+    # (the skew guard: a hot shingle never materializes its quadratic
+    # pair set, it's filtered before expansion).
+    postings = (
+        sh.groupBy("shash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, max_df))
     )
-    sh_rare = sh.join(rare, "shingle", "left_semi")
-    sa = sh_rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh_rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice(
+                    "ds", i + F.lit(2), F.greatest(F.size("ds") - i - 1, F.lit(0))
+                ),
+                lambda b: F.struct(
+                    a.alias("doc_a"), b.alias("doc_b")
+                ),
+            ),
+        )
+    )
     pairs = (
-        sa.join(sb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     jac = D.jaccard_for_pairs(pairs, arrs)

@@ -1,0 +1,80 @@
+"""Physical-layout operators: the scale property IS the test — a
+bucketed join must show no Exchange in its physical plan, and a salted
+join must return exactly what the plain join returns.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diachronic_spark.catalog import load
+from diachronic_spark.operators.layout import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(
+        orders, "b_orders", str(tmp_path / "b_orders"), "o_custkey", 8
+    )
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_li", str(tmp_path / "b_li"), "o_orderkey", 8,
+    )
+    # bucket-key aggregation: no exchange either
+    agg = spark.table("b_orders").groupBy("o_custkey").count()
+    assert "Exchange" not in plan_str(agg)
+
+    write_bucketed(
+        orders, "b_orders2", str(tmp_path / "b_orders2"), "o_orderkey", 8
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "b_orders2", "b_li", "o_orderkey")
+        p = plan_str(j)
+        assert "Exchange" not in p, "bucketed join must be shuffle-free"
+        assert "SortMergeJoin" in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and it is still a correct join
+    expected = orders.join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+    ).count()
+    assert j.count() == expected
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = orders.join(
+        cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+    )
+    salted = salted_join(
+        orders, cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", n_salts=7,
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1, "X"), (2, "Y")], "k int, w string")
+    out = salted_join(left, right, "k", how="left", n_salts=4)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == [
+        (1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (3, "d", None)
+    ]

@@ -93,6 +93,43 @@ def streaming_first_per_day(
     ).withWatermark("ts", watermark).dropDuplicates(["user_id", "event_date"])
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 days"
+) -> DataFrame:
+    """ST6 variant: exactly-once by key where duplicates may arrive with
+    DIFFERENT event times (retries, replays). dropDuplicates keys state
+    forever unless the event-time column is part of the key;
+    dropDuplicatesWithinWatermark instead guarantees dedup for
+    duplicates arriving within the watermark delay of each other and
+    lets state expire — the right tool for at-least-once upstreams."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def foreach_batch_sink(df: DataFrame, out_path: str, checkpoint: str):
+    """ST8 custom-sink form: foreachBatch hands each micro-batch to
+    arbitrary BATCH writer code with a (replay-stable) batch_id. The
+    checkpoint records committed batch ids, so a restarted query never
+    re-runs a committed batch — idempotent end-to-end without the sink
+    itself being transactional (the reference achieved the same with
+    its upload-then-skip list, main.py:60-71, 186-191)."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 STATE_SCHEMA = "cur_threshold timestamp"
 SCAN_OUT_SCHEMA = (
     "user_id bigint, event_id bigint, ts timestamp, value double"

@@ -167,3 +167,104 @@ def test_parquet_stream_sink_checkpointed(spark, stream_dir, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n1
+
+
+def test_dedup_within_watermark_single_survivor(spark, tmp_path):
+    """Duplicates with slightly different event times (retry semantics)
+    collapse to one row per key."""
+    from diachronic_spark.streaming.events import dedup_within_watermark
+
+    d = str(tmp_path / "dups")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, base, 7, "click", 1.0, "{}"),
+        (1, base + dt.timedelta(seconds=30), 7, "click", 1.0, "{}"),  # retry
+        (2, base + dt.timedelta(minutes=5), 8, "view", 2.0, "{}"),
+        (2, base + dt.timedelta(minutes=6), 8, "view", 2.0, "{}"),    # retry
+        (3, base + dt.timedelta(minutes=9), 7, "click", 3.0, "{}"),
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    spark.createDataFrame(rows, schema).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        dedup_within_watermark(stream, ["event_id"], "10 minutes")
+        .writeStream.format("memory")
+        .queryName("wmdedup")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "select event_id, count(*) n from wmdedup group by event_id"
+    ).collect()
+    assert sorted((r.event_id, r.n) for r in got) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_foreach_batch_sink_is_exactly_once_across_restart(spark, tmp_path):
+    from diachronic_spark.streaming.events import foreach_batch_sink
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id long, v string").parquet(src)
+    _drain(foreach_batch_sink(stream, out, ckpt))
+    first = spark.read.parquet(out).count()
+    assert first == 10
+    # restart from the same checkpoint with no new data: committed
+    # batches must not re-run, so the sink contents are unchanged
+    stream2 = spark.readStream.schema("id long, v string").parquet(src)
+    _drain(foreach_batch_sink(stream2, out, ckpt))
+    assert spark.read.parquet(out).count() == first
+
+
+def test_late_event_behind_watermark_is_dropped(spark, tmp_path):
+    """ST2/ST9 pin: an event arriving after the watermark passed its
+    window neither re-emits nor corrupts the finalized window — the
+    declarative form of the reference's monotone-threshold drop
+    (SURVEY §1.2-3)."""
+    d = str(tmp_path / "late")
+    schema = "ts timestamp, k string"
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    write_file([(t, "a"), (t + dt.timedelta(minutes=30), "a")], "f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: advance watermark past the 10:00 window (event at 12:30)
+    write_file([(t + dt.timedelta(hours=2, minutes=30), "a")], "f2")
+    q.processAllAvailable()
+    # batch 3: a LATE event for the already-finalized 10:00 window
+    write_file([(t + dt.timedelta(minutes=45), "a")], "f3")
+    q.processAllAvailable()
+    q.stop()
+    got = {str(r.ws): r.n for r in spark.sql("select * from late").collect()}
+    # the 10:00 window was emitted once with the on-time count of 2;
+    # the late third event is dropped, never double-emitted
+    assert got.get("2024-01-01 10:00:00") == 2
+    assert sum(1 for ws in got if ws.startswith("2024-01-01 10:")) == 1

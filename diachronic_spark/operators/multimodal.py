@@ -79,3 +79,93 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, "
+    "meta struct<mime string, n_bytes int, width int, height int>"
+)
+
+
+def resize(binary_df: DataFrame, width: int, height: int) -> DataFrame:
+    """Stubbed image resize with real Spark plumbing.
+
+    The decode→resample→encode body is what PIL would do; here the
+    payload transform is a deterministic byte resample (stride-sampled
+    to the target "pixel count") so schema, batch shape, and metadata
+    propagation are fully testable without codecs. One Python call per
+    Arrow batch; output payload size is bounded by width*height — the
+    property that matters at scale (resize SHRINKS the shuffle, so it
+    belongs before any exchange).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out_payload = []
+            for b in pdf["payload"]:
+                b = bytes(b)
+                if len(b) <= target:
+                    out_payload.append(b)
+                else:
+                    stride = len(b) / target
+                    out_payload.append(
+                        bytes(b[int(i * stride)] for i in range(target))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out_payload,
+                    "meta": [
+                        {
+                            "mime": m["mime"],
+                            "n_bytes": len(p),
+                            "width": width,
+                            "height": height,
+                        }
+                        for m, p in zip(pdf["meta"], out_payload)
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, frame binary, n_frame_bytes int"
+)
+
+
+def sample_frames(
+    binary_df: DataFrame, frame_bytes: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Stubbed video frame sampling: one input row → many frame rows.
+
+    Payloads are treated as a sequence of fixed-size fake "frames"
+    (ffmpeg would produce real ones); every_n-th frame is emitted.
+    Exercises the one-to-many mapInPandas shape (a UDTF analog): the
+    output batch length is decoupled from the input batch length, which
+    is exactly how distributed frame extraction fans out — downstream
+    repartition spreads frames of hot videos across executors.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                n = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame": frames,
+                    "n_frame_bytes": [len(f) for f in frames],
+                }
+            )
+
+    return binary_df.mapInPandas(fn, FRAME_SCHEMA)

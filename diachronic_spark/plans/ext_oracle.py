@@ -403,3 +403,23 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                         (l_returnflag, l_linestatus))
 ORDER BY gid, l_returnflag, l_linestatus
 """
+
+EXT_ORACLE["q41"] = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+           RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderkey
+"""
+
+EXT_ORACLE["q42"] = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

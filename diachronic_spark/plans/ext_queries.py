@@ -363,9 +363,62 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q41: value-based window frame (W4 rangeBetween) ----------------------
+# Trailing-30-day revenue per customer: RANGE frame over an integer
+# day key — peers with the same day all enter the frame regardless of
+# row order, which is what makes the result deterministic without a
+# total order (unlike ROWS frames).
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff("o_orderdate", F.lit("1990-01-01")).alias("d"),
+            "o_totalprice",
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-30, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            _r2(F.sum("o_totalprice").over(w)).alias("rev_30d"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# --- q42: approximate percentile with bounded error (A7 approx) ------------
+# Same contract as q11's approx_count_distinct: the oracle pins the
+# EXACT value; the approximate sketch (GK quantile summary) is asserted
+# within tolerance as a boolean — engine-specific sketch internals never
+# enter the hash comparison.
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    x = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        _r2(F.percentile(x, 0.9)).alias("p90_exact"),
+        F.percentile_approx(x, 0.9, 1000).alias("p90_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "p90_exact",
+        (
+            F.abs(F.col("p90_approx") - F.col("p90_exact"))
+            <= 0.01 * F.col("p90_exact")
+        ).alias("approx_ok"),
+    ).orderBy("l_returnflag")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
-    "q38": q38, "q39": q39, "q40": q40,
+    "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
 }

@@ -1,0 +1,37 @@
+"""JSON-lines / CSV scans (S11): explicit-schema roundtrips against the
+parquet truth, and malformed-row tolerance."""
+
+from __future__ import annotations
+
+from diachronic_spark.catalog import load
+from diachronic_spark.schemas import TABLE_SCHEMAS
+from diachronic_spark.sources.files import read_csv, read_jsonl
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    nation = load(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_jsonl")
+    nation.write.json(p)
+    back = read_jsonl(spark, p, TABLE_SCHEMAS["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, nation.collect())
+    )
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    region = load(spark, sf_dir, "region")
+    p = str(tmp_path / "region_csv")
+    region.write.option("header", "true").csv(p)
+    back = read_csv(spark, p, TABLE_SCHEMAS["region"])
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, region.collect())
+    )
+
+
+def test_jsonl_permissive_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"k": 1, "v": "a"}\nNOT JSON\n{"k": 2, "v": "b"}\n')
+    df = read_jsonl(spark, str(p), "k long, v string")
+    rows = df.collect()
+    # malformed line becomes a null row, valid rows survive
+    assert sorted(r.k for r in rows if r.k is not None) == [1, 2]

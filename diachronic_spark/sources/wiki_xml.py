@@ -159,11 +159,61 @@ def iterparse_revisions(stream) -> Iterator[tuple]:
             elem.clear()
 
 
+PARSE_STATUS_SCHEMA = REVISION_SQL_SCHEMA + ", src_path string, error string"
+
+_REV_COLS = ["page_id", "rev_seq", "namespace", "title", "timestamp", "text"]
+
+
+def parse_dump_files_with_status(
+    spark: SparkSession, paths: list[str]
+) -> DataFrame:
+    """Fault-tolerant distributed dump parse.
+
+    The reference wraps each file in try/except and logs failures
+    without killing the run (main.py:84-94, 103) — at dump scale SOME
+    file is always truncated. The relational form of that failure log:
+    every output row carries (src_path, error); a failed file
+    contributes exactly one row with error set and null revision
+    fields. Split with ``split_parse_failures``. One file = one task,
+    streaming decompress → iterparse → Arrow batches.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path in pdf["path"]:
+                try:
+                    rows = list(iterparse_revisions(_open_stream(path)))
+                except Exception as e:  # the reference's per-file net
+                    yield pd.DataFrame(
+                        [[None] * len(_REV_COLS) + [path, f"{type(e).__name__}: {e}"]],
+                        columns=_REV_COLS + ["src_path", "error"],
+                    )
+                    continue
+                if rows:
+                    out = pd.DataFrame(rows, columns=_REV_COLS)
+                    out["src_path"] = path
+                    out["error"] = None
+                    yield out
+
+    files = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(len(paths), 1), "path")
+    return files.mapInPandas(fn, PARSE_STATUS_SCHEMA)
+
+
+def split_parse_failures(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(revisions, failures) from the with-status parse output."""
+    revisions = parsed.filter(F.col("error").isNull()).select(*_REV_COLS)
+    failures = (
+        parsed.filter(F.col("error").isNotNull()).select("src_path", "error")
+    )
+    return revisions, failures
+
+
 def parse_dump_files(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """Distributed dump parse: the path list becomes a one-column
-    DataFrame repartitioned so each file is one task (the reference's
-    process pool, main.py:99-100, as Spark task scheduling); each task
-    streams decompress → iterparse → Arrow batches."""
+    """Strict distributed dump parse: any unreadable file fails the job
+    (use parse_dump_files_with_status for the reference's log-and-
+    continue behavior)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -171,13 +221,7 @@ def parse_dump_files(spark: SparkSession, paths: list[str]) -> DataFrame:
                 stream = _open_stream(path)
                 rows = list(iterparse_revisions(stream))
                 if rows:
-                    yield pd.DataFrame(
-                        rows,
-                        columns=[
-                            "page_id", "rev_seq", "namespace",
-                            "title", "timestamp", "text",
-                        ],
-                    )
+                    yield pd.DataFrame(rows, columns=_REV_COLS)
 
     files = spark.createDataFrame(
         [(p,) for p in paths], "path string"

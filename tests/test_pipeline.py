@@ -128,3 +128,30 @@ def test_manifest_anti_join(spark):
     # overwrite semantics: nothing done -> everything runs
     none_done = spark.createDataFrame([], "blob_name string")
     assert files_to_run(cands, none_done).count() == 3
+
+
+def test_parse_with_status_logs_failures_and_continues(
+    spark, xml_paths, tmp_path
+):
+    """The reference's per-file try/except + failure log
+    (main.py:84-94, 103) as a relational channel: a corrupt file
+    yields one failure row; good files parse fully."""
+    from diachronic_spark.sources.wiki_xml import (
+        parse_dump_files,
+        parse_dump_files_with_status,
+        split_parse_failures,
+    )
+
+    rows, pa, pb = xml_paths
+    bad = tmp_path / "corrupt.xml.bz2"
+    bad.write_bytes(b"this is not bzip2 data")
+    parsed = parse_dump_files_with_status(
+        spark, [str(pa), str(pb), str(bad)]
+    )
+    revisions, failures = split_parse_failures(parsed)
+    good = parse_dump_files(spark, [str(pa), str(pb)])
+    assert revisions.count() == good.count() > 0
+    fail_rows = failures.collect()
+    assert len(fail_rows) == 1
+    assert fail_rows[0].src_path.endswith("corrupt.xml.bz2")
+    assert fail_rows[0].error

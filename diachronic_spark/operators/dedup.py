@@ -79,9 +79,21 @@ def shingle_arrays(corpus: DataFrame, n: int = 3) -> DataFrame:
     not once per shingle position (no CSE across lambda iterations).
     """
     sset = F.array_sort(F.array_distinct(word_shingles("toks", n)))
-    return corpus.select(
-        "doc_id", whitespace_tokens(F.col("text")).alias("toks")
-    ).select("doc_id", sset.alias("sset")).withColumn("sz", F.size("sset"))
+    return (
+        corpus.select(
+            "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+        )
+        .select("doc_id", sset.alias("sset"))
+        # hset: the same set as 64-bit hashes. Set intersections and
+        # document-frequency stats are injective-map-invariant, so
+        # downstream joins ship 8-byte ints instead of n-gram strings
+        # (collision risk 2^-64 per pair-union element; zero on the
+        # fixtures). The string set stays for the md5 minhash path.
+        .withColumn(
+            "hset", F.array_sort(F.transform("sset", lambda s: F.xxhash64(s)))
+        )
+        .withColumn("sz", F.size("sset"))
+    )
 
 
 def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
@@ -172,12 +184,12 @@ def jaccard_for_pairs(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
     """
     za = arrs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("sset").alias("set_a"),
+        F.col("hset").alias("set_a"),
         F.col("sz").alias("sza"),
     )
     zb = arrs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("sset").alias("set_b"),
+        F.col("hset").alias("set_b"),
         F.col("sz").alias("szb"),
     )
     icnt = F.size(F.array_intersect("set_a", "set_b"))

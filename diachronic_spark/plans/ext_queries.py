@@ -77,9 +77,7 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     # posting lists (false candidates are removed by the exact-jaccard
     # verify; a rare shingle pushed over the df cap by a collision is a
     # ~n²/2^64 false-negative risk — zero collisions on the fixtures).
-    sh = arrs.select(
-        "doc_id", F.explode("sset").alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("shash"))
+    sh = arrs.select("doc_id", F.explode("hset").alias("shash"))
     # One hash-agg builds the posting list per shingle; rare shingles
     # (df <= 5) expand to <= C(5,2) pairs IN-EXPRESSION — no posting
     # self-join, no second shuffle, and the df cap bounds the expansion

@@ -34,6 +34,40 @@ class PipelineConfig:
     compression: str = "zstd"          # reference used brotli (main.py:182)
     max_records_per_file: int = 500_000
     partition_by: tuple[str, ...] = ()
+    wikis: tuple[str, ...] = ()
+    month_source: str = ""
+    url_prefix: str = ""
+    output_path: str = ""
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineConfig":
+        """Load the reference's conf.yml layout (wiki_info/download/
+        upload sections, diachronic/conf.yml:1-15) — but explicitly, at
+        call time, with safe_load (the reference uses bare yaml.load at
+        import time relative to CWD, conf.py:8-9)."""
+        import yaml
+
+        with open(path, "rb") as f:
+            conf = yaml.safe_load(f)
+        wi = conf.get("wiki_info", {})
+        epoch = wi.get("datetime_init", DEFAULT_EPOCH)
+        if isinstance(epoch, dt.date) and not isinstance(epoch, dt.datetime):
+            epoch = dt.datetime.combine(epoch, dt.time.min)
+        return cls(
+            epoch=epoch,
+            wikis=tuple(wi.get("wikis", ())),
+            month_source=str(wi.get("month_source", "")),
+            url_prefix=conf.get("download", {}).get("url_prefix", ""),
+            output_path=conf.get("upload", {}).get("output_path", ""),
+        )
+
+    def dump_url(self, wiki: str) -> str:
+        """conf.py:24-25 equivalent."""
+        return f"{self.url_prefix}{wiki}/{self.month_source}/"
+
+    def output_prefix(self, wiki: str) -> str:
+        """conf.py:27-28 equivalent."""
+        return f"{wiki}/{self.month_source}/"
 
 
 def snapshot_from_xml(

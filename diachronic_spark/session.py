@@ -43,6 +43,21 @@ DEFAULT_CONFS: dict[str, str] = {
 }
 
 
+# Opt-in for web-scale streaming state (millions of keys): the RocksDB
+# provider spills state to local disk instead of holding it on-heap.
+# Not a default — the in-memory provider is faster for test-sized state.
+# Usage: get_spark(extra_confs=STREAMING_SCALE_CONFS).
+STREAMING_SCALE_CONFS: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
 def get_spark(
     app_name: str = "diachronic-spark",
     master: str | None = None,

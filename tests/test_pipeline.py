@@ -155,3 +155,28 @@ def test_parse_with_status_logs_failures_and_continues(
     assert len(fail_rows) == 1
     assert fail_rows[0].src_path.endswith("corrupt.xml.bz2")
     assert fail_rows[0].error
+
+
+def test_pipeline_config_from_yaml(tmp_path):
+    """conf.yml layout parity (reference diachronic/conf.yml:1-15) with
+    safe_load and call-time I/O."""
+    import datetime as dt
+
+    from diachronic_spark.pipeline import PipelineConfig
+
+    y = tmp_path / "conf.yml"
+    y.write_text(
+        "wiki_info:\n"
+        "  wikis: [enwiktionary, enwiki]\n"
+        "  month_source: '20180101'\n"
+        "  datetime_init: 2001-01-15 00:00:00\n"
+        "download:\n"
+        "  url_prefix: 'http://dumps.example.org/'\n"
+        "upload:\n"
+        "  output_path: '/tmp/out/'\n"
+    )
+    cfg = PipelineConfig.from_yaml(str(y))
+    assert cfg.wikis == ("enwiktionary", "enwiki")
+    assert cfg.epoch == dt.datetime(2001, 1, 15)
+    assert cfg.dump_url("enwiki") == "http://dumps.example.org/enwiki/20180101/"
+    assert cfg.output_prefix("enwiki") == "enwiki/20180101/"

@@ -5,7 +5,7 @@ expression-only — JVM-side, codegen-fused, linear scans.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import whitespace_tokens
@@ -112,3 +112,73 @@ def fingerprint(
             )
         ),
     ).withColumn("n_grams", F.size(starts))
+
+
+def hash_split(
+    df: DataFrame, key: str = "doc_id", weights: tuple[int, int, int] = (8, 1, 1)
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    key hash — the reproducible-split primitive every training-data
+    pipeline needs: membership depends only on the key, so re-runs,
+    backfills, and different clusters all agree, and no shuffle or
+    global sort is involved (pure projection).
+
+    Buckets: md5(key) first 8 hex chars -> 32-bit int, mod 10:
+    [0, w_train) train, [w_train, w_train+w_val) val, rest test.
+    """
+    w_train, w_val, _ = weights
+    h = F.conv(
+        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(10))
+    return df.withColumn(
+        "split",
+        F.when(bucket < w_train, "train")
+        .when(bucket < w_train + w_val, "val")
+        .otherwise("test"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text form: lowercase, strip non-alphanumerics,
+    collapse whitespace. Expression-only; the first step of most
+    dedup/quality pipelines (case/punctuation variants should hash
+    identically downstream)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return df.withColumn("norm_text", norm)
+
+
+def pack_sequences(
+    df: DataFrame,
+    bin_tokens: int = 2048,
+    key: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to contiguous fixed-token-budget bins (context-
+    window packing for training): running token count per key, bin =
+    floor((cumsum-1)/budget). One window shuffle on the pack key; no
+    driver-side loop. Documents can straddle a boundary — this is the
+    declarative approximation of greedy packing (exact greedy is
+    sequential; run it per-bin downstream if splits must not straddle).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.size(whitespace_tokens(F.col(text_col)))
+    return (
+        df.withColumn("n_toks", toks)
+        .withColumn("cum_toks", F.sum("n_toks").over(w))
+        .withColumn(
+            "bin_id",
+            F.floor((F.col("cum_toks") - 1) / F.lit(bin_tokens)).cast("bigint"),
+        )
+    )

@@ -423,3 +423,60 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+# q43: identical md5-derived bucket (first 8 hex chars of md5 of the
+# doc_id rendered as a string, decoded nibble-wise) mod 10.
+_H32_DOCID = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substring(md5(doc_id::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+)
+
+EXT_ORACLE["q43"] = f"""
+WITH s AS (
+  SELECT lang,
+         CASE WHEN ({_H32_DOCID}) % 10 < 8 THEN 'train'
+              WHEN ({_H32_DOCID}) % 10 < 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, count(*) AS n_docs
+FROM s GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+EXT_ORACLE["q44"] = """
+WITH n AS (
+  SELECT trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')) AS norm_text
+  FROM documents),
+t AS (
+  SELECT unnest(list_filter(string_split(norm_text, ' '), x -> x <> ''))
+         AS tok
+  FROM n)
+SELECT tok, count(*) AS n
+FROM t GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+"""
+
+EXT_ORACLE["q45"] = """
+WITH d AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_toks
+  FROM documents),
+c AS (
+  SELECT source, n_toks,
+         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_toks
+  FROM d)
+SELECT source,
+       count(DISTINCT ((cum_toks - 1) // 2048)) AS n_bins,
+       sum(n_toks) AS total_toks,
+       round(sum(n_toks) / (count(DISTINCT ((cum_toks - 1) // 2048)) * 2048.0), 2)
+         + 0.0 AS fill_ratio
+FROM c GROUP BY source
+ORDER BY source
+"""

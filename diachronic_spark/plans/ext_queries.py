@@ -414,9 +414,52 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+# --- q43: deterministic hash split (train/val/test reproducibility) -------
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    d = T.hash_split(load(spark, sf, "documents"))
+    return (
+        d.groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# --- q44: text normalization + top normalized tokens (L4) ------------------
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    d = T.normalize_text(load(spark, sf, "documents"))
+    toks = d.select(
+        F.explode(F.filter(F.split("norm_text", " "), lambda t: t != "")).alias(
+            "tok"
+        )
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+# --- q45: context-window sequence packing (cumulative-token bins) ----------
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    packed = T.pack_sequences(load(spark, sf, "documents"), bin_tokens=2048)
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("n_toks").alias("total_toks"),
+            _r2(
+                F.sum("n_toks") / (F.countDistinct("bin_id") * 2048.0)
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
+    "q43": q43, "q44": q44, "q45": q45,
 }

@@ -480,3 +480,29 @@ SELECT source,
 FROM c GROUP BY source
 ORDER BY source
 """
+
+# q46: contamination semantics over raw documents (no augmentation);
+# string shingles — the Spark side's xxhash64 set is injective modulo
+# 2^-64 collisions (zero on the fixtures).
+EXT_ORACLE["q46"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+  FROM tk),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM sh s JOIN bench b USING (shingle)
+  WHERE s.doc_id >= 10
+  GROUP BY s.doc_id)
+SELECT h.doc_id, n_overlap,
+       round(n_overlap / z.sz, 2) + 0.0 AS overlap_ratio
+FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
+ORDER BY h.doc_id
+"""

@@ -456,10 +456,40 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q46: benchmark contamination scan (decontamination primitive) --------
+# Training docs sharing any word-3-gram with a "benchmark" set (docs
+# 0-9 stand in for an eval suite). Benchmark shingles are a broadcast
+# semi-join probe — at 100 TB the eval suites are KBs-to-MBs of
+# shingles while the corpus side stays a map-only scan: contamination
+# checking is a broadcast filter, never a shuffle of the corpus.
+# Output: contaminated doc, #overlapping shingles, overlap ratio.
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    # cached: the bench-probe branch and the train branch both read the
+    # substrate — without the cache the tokenize+hash map runs twice.
+    arrs = D.shingle_arrays(load(spark, sf, "documents")).persist()
+    bench = arrs.filter(F.col("doc_id") < 10).select(
+        F.explode("hset").alias("h")
+    ).distinct()
+    train = arrs.filter(F.col("doc_id") >= 10).select(
+        "doc_id", "sz", F.explode("hset").alias("h")
+    )
+    hits = train.join(F.broadcast(bench), "h").groupBy("doc_id", "sz").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return (
+        hits.select(
+            "doc_id",
+            "n_overlap",
+            _r2(F.col("n_overlap") / F.col("sz")).alias("overlap_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
-    "q43": q43, "q44": q44, "q45": q45,
+    "q43": q43, "q44": q44, "q45": q45, "q46": q46,
 }

@@ -13,9 +13,9 @@ Scale design:
   banding re-keys by (band, band_hash) — candidate generation never
   compares all pairs. Skew guard: ban trivial bands (all-equal corpus)
   by salting thresholds upstream if needed.
-- SimHash: 16-bit signatures; candidate pairs via nibble pigeonholing
-  (hamming <= 3 ⇒ at least one of 4 nibbles equal), again equi-join
-  keyed, never quadratic.
+- SimHash: 32-bit signatures; candidate pairs via block pigeonholing
+  (hamming <= d ⇒ at least one of d+1 blocks equal), again equi-join
+  keyed, never quadratic; block width adapts to the threshold.
 - Jaccard: inverted-index self-join on shingles; at 100 TB, block on
   rare shingles or run MinHash first — documented in each query.
 """
@@ -29,7 +29,7 @@ from ..functions import whitespace_tokens, word_shingles
 
 N_MINHASH = 8          # signature length
 BAND_ROWS = 2          # rows per LSH band -> 4 bands
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 
 # Affine rehash family for minhash: h_i = (h32 * A[i] + i) mod P.
 # A[i] < 2^30 keeps h32 * A[i] < 2^62 — no bigint overflow under ANSI
@@ -206,17 +206,17 @@ def jaccard_for_pairs(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
     )
 
 
-def simhash16(corpus: DataFrame) -> DataFrame:
-    """16-bit SimHash per doc from md5-derived token hashes.
+def simhash32(corpus: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from md5-derived token hashes.
 
-    Token hash = first 4 hex chars of md5(token) → 16-bit int; each bit
+    Token hash = first 8 hex chars of md5(token) → 32-bit int; each bit
     votes +1/-1 weighted by occurrence count; sign of the vote sets the
     output bit. Pure expressions: explode → one hash-agg on doc_id.
     """
     toks = corpus.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
     ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
     )
     votes = toks.groupBy("doc_id").agg(
         *[
@@ -230,14 +230,24 @@ def simhash16(corpus: DataFrame) -> DataFrame:
     for b in range(SIMHASH_BITS):
         term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.cast("int").alias("simhash"))
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs with hamming(simhash) <= max_hamming via nibble
-    pigeonholing: distance <= 3 over 4 nibbles ⇒ some nibble matches
-    exactly, so an equi-join on (nibble_idx, nibble_value) finds every
-    such pair without a quadratic comparison."""
+    """Candidate pairs with hamming(simhash) <= max_hamming via block
+    pigeonholing: distance <= d over d+1 equal blocks ⇒ some block
+    matches exactly, so an equi-join on (block_idx, block_value) finds
+    every such pair without a quadratic comparison.
+
+    Block count adapts to the threshold: fewer blocks = wider blocks =
+    exponentially more buckets = fewer chance collisions. At d=1 over
+    32 bits that's 2 blocks x 16 bits: 65536 buckets per block, so the
+    candidate set is ~n²/2^17 instead of the n²/32 a fixed 4-bit
+    nibble scheme degenerates to.
+    """
+    n_blocks = max_hamming + 1
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
     nib = sims.select(
         "doc_id",
         "simhash",
@@ -246,11 +256,11 @@ def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("ni"),
-                        F.shiftright(F.col("simhash"), i * 4)
-                        .bitwiseAND(0xF)
+                        F.shiftright(F.col("simhash"), i * block_bits)
+                        .bitwiseAND(mask)
                         .alias("nv"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("nb"),
@@ -275,7 +285,7 @@ def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     ham = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b")).bitwiseAND(0xFFFF)
+        F.col("sh_a").bitwiseXOR(F.col("sh_b")).bitwiseAND((1 << SIMHASH_BITS) - 1)
     )
     return cand.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")

@@ -79,16 +79,15 @@ ORDER BY doc_a, doc_b
 
 # hex nibble -> int, portable: position in the hex alphabet.
 _HEXVAL = "(strpos('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1)"
-_H16 = (
-    f"({_HEXVAL.format(p=1)} * 4096 + {_HEXVAL.format(p=2)} * 256 + "
-    f"{_HEXVAL.format(p=3)} * 16 + {_HEXVAL.format(p=4)})"
-)
+_H32TOK = "(" + " + ".join(
+    _HEXVAL.format(p=p + 1) + f" * {16 ** (7 - p)}" for p in range(8)
+) + ")"
 _VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
-    for b in range(16)
+    for b in range(32)
 )
 _SIMHASH_SUM = " + ".join(
-    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32)
 )
 
 
@@ -99,9 +98,9 @@ toks AS (
          unnest(list_filter(string_split_regex(text, '\\s+'),
                             x -> x <> '')) AS tok
   FROM {corpus_sql}),
-hashed AS (SELECT doc_id, {_H16} AS h FROM toks),
+hashed AS (SELECT doc_id, {_H32TOK} AS h FROM toks),
 votes AS (SELECT doc_id, {_VOTES} FROM hashed GROUP BY doc_id),
-sims AS (SELECT doc_id, CAST({_SIMHASH_SUM} AS INTEGER) AS simhash
+sims AS (SELECT doc_id, CAST({_SIMHASH_SUM} AS BIGINT) AS simhash
          FROM votes)"""
 
 
@@ -112,14 +111,14 @@ SELECT doc_id, simhash FROM sims ORDER BY doc_id
 
 _HAMMING = (
     "CAST(list_sum([(xor(sh_a, sh_b) >> b) & 1 "
-    "FOR b IN generate_series(0, 15)]) AS INTEGER)"
+    "FOR b IN generate_series(0, 31)]) AS INTEGER)"
 )
 
 EXT_ORACLE["q25"] = f"""
 WITH {_CORPUS}, {_simhash_sql('corpus')},
 nib AS (
-  SELECT doc_id, simhash, i AS ni, (simhash >> (i * 4)) & 15 AS nv
-  FROM sims, range(0, 4) t(i)),
+  SELECT doc_id, simhash, i AS ni, (simhash >> (i * 16)) & 65535 AS nv
+  FROM sims, range(0, 2) t(i)),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b

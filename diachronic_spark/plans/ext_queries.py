@@ -50,14 +50,14 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 # --- q24: SimHash signatures (L2) -----------------------------------------
 def q24(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    return D.simhash16(d).orderBy("doc_id")
+    return D.simhash32(d).orderBy("doc_id")
 
 
-# --- q25: SimHash near-dup pairs via nibble pigeonhole (L2) ---------------
+# --- q25: SimHash near-dup pairs via block pigeonhole (L2) ----------------
 def q25(spark: SparkSession, sf: str) -> DataFrame:
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
     return (
-        D.simhash_pairs(D.simhash16(corpus), max_hamming=1)
+        D.simhash_pairs(D.simhash32(corpus), max_hamming=1)
         .orderBy("doc_a", "doc_b")
     )
 

@@ -96,15 +96,6 @@ def shingle_arrays(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
-def shingle_set(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct pairs — only needed when a
-    GLOBAL per-shingle statistic is required (e.g. document frequency
-    for rare-shingle blocking in q26)."""
-    return shingle_arrays(corpus, n).select(
-        "doc_id", F.explode("sset").alias("shingle")
-    )
-
-
 def minhash_signature(arrs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """k min-hashes per doc, computed map-side from the shingle array —
     zero shuffles, ONE md5 per shingle.

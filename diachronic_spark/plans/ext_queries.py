@@ -1,6 +1,7 @@
-"""Extension queries q23-q36: the LLM-data-pipeline operator suite
-(SURVEY §2.11) plus the remaining relational surface (as-of join,
-pivot, stats, cube — SURVEY §2.3 J7, §2.4 A5-A7/A10).
+"""Extension queries q23-q46: the LLM-data-pipeline operator suite
+(SURVEY §2.11 — dedup, similarity, text analysis, multimodal,
+training-data ops) plus the remaining relational surface (as-of join,
+pivot, stats, cube, grouping sets, ranking, RANGE frames).
 
 Same contract as queries.py: aliases/rounding/string-dates match the
 oracle, full deterministic ordering.

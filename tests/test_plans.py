@@ -97,3 +97,22 @@ def test_srp_lsh_recall_equals_brute_force(spark, sf_dir):
         .collect()
     }
     assert lsh == brute
+
+
+def test_srp_signature_bits_match_numpy(spark, sf_dir):
+    """The JVM-side (small-plane) SRP path computes the same sign bits
+    as the vectorized matmul path uses — the two implementations are
+    interchangeable per plane count."""
+    import numpy as np
+
+    from diachronic_spark.catalog import load
+    from diachronic_spark.operators import similarity as S
+
+    aug = S.with_near_duplicate_vectors(
+        load(spark, sf_dir, "embeddings").limit(40)
+    )
+    rows = S.srp_signature(aug, "emb", n_planes=8, dim=64).collect()
+    P = np.array(S._srp_planes(8, 64))
+    for r in rows:
+        want = ((np.array(r.emb) @ P.T) >= 0).astype(int).tolist()
+        assert [r[f"b{i}"] for i in range(8)] == want

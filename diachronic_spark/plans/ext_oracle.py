@@ -505,3 +505,18 @@ SELECT h.doc_id, n_overlap,
 FROM hits h JOIN sizes z ON z.doc_id = h.doc_id
 ORDER BY h.doc_id
 """
+
+EXT_ORACLE["q47"] = """
+WITH r AS (
+  SELECT p_brand,
+         first_value(p_partkey) OVER w AS largest_part,
+         last_value(p_partkey)  OVER w AS smallest_part,
+         nth_value(p_partkey, 3) OVER w AS third_part,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_size DESC, p_partkey) AS rn
+  FROM part
+  WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+SELECT p_brand, largest_part, smallest_part, third_part
+FROM r WHERE rn = 1 ORDER BY p_brand
+"""

@@ -487,10 +487,40 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q47: value-position analytics (first/last/nth_value, W2 tail) --------
+# Per brand, over the full partition frame in (size desc, partkey)
+# order: largest part, smallest part, and the 3rd largest. last_value
+# needs the explicit unbounded-following frame in both engines (the
+# default frame ends at CURRENT ROW, where last_value is trivially the
+# current row — a classic cross-engine footgun pinned here).
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.desc("p_size"), F.asc("p_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wr = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_size"), F.asc("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand",
+            F.first_value("p_partkey").over(w).alias("largest_part"),
+            F.last_value("p_partkey").over(w).alias("smallest_part"),
+            F.nth_value("p_partkey", 3).over(w).alias("third_part"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("p_brand")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
-    "q43": q43, "q44": q44, "q45": q45, "q46": q46,
+    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47,
 }

@@ -38,7 +38,11 @@ DEFAULT_CONFS: dict[str, str] = {
     # Dims (region/nation/supplier/part) are broadcastable at any SF.
     "spark.sql.autoBroadcastJoinThreshold": "67108864",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[...] mode runs executors inside the driver JVM: the heap
+    # holds ALL cached relations plus execution memory. 8g GC-thrashed
+    # under the bench's accumulated operator caches (observed as 2-3x
+    # run-to-run jitter on cache-heavy queries).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     "spark.ui.enabled": "false",
 }
 

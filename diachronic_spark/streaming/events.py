@@ -198,3 +198,41 @@ def write_parquet_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def purchase_attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each purchase matched to
+    the same user's click events in the preceding attribution window.
+
+    Spark plans a StreamingSymmetricHashJoin; BOTH sides buffer state,
+    and the time-range condition + watermarks are what let it EVICT:
+    a click older than (watermark + window) can never match a future
+    purchase, so its state is dropped. Without the interval condition
+    the state grows forever — the condition is a correctness feature of
+    the operator, not an optimization.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("p_ts", watermark)
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(
+        "p_user", "purchase_id", "click_id", "c_ts", "p_ts", "purchase_value"
+    )

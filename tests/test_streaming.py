@@ -268,3 +268,38 @@ def test_late_event_behind_watermark_is_dropped(spark, tmp_path):
     # the late third event is dropped, never double-emitted
     assert got.get("2024-01-01 10:00:00") == 2
     assert sum(1 for ws in got if ws.startswith("2024-01-01 10:")) == 1
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, stream_dir):
+    """Watermarked stream-stream join drains to exactly the batch
+    interval-join result on the same data."""
+    from diachronic_spark.streaming.events import (
+        purchase_attribution_join,
+        read_event_stream,
+    )
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(read_event_stream(spark, stream_dir))
+    q = (
+        purchase_attribution_join(sc, sp)
+        .writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.sql("select * from attrib").collect()
+    )
+    bc, bp = split(load(spark, sf_dir, "events"))
+    want = sorted(
+        (r.purchase_id, r.click_id)
+        for r in purchase_attribution_join(bc, bp).collect()
+    )
+    assert got and got == want

@@ -520,3 +520,12 @@ WITH r AS (
 SELECT p_brand, largest_part, smallest_part, third_part
 FROM r WHERE rn = 1 ORDER BY p_brand
 """
+
+EXT_ORACLE["q48"] = """
+SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5
+                   FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+ORDER BY c_custkey
+"""

@@ -517,10 +517,29 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q48: correlated scalar subquery via the SQL surface (§4.2) -----------
+# Customers with above-nation-average account balance. Catalyst
+# decorrelates the subquery into an aggregate + join — free optimizer
+# machinery the reference never had; pinned here through spark.sql.
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    load(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey,
+               round(c_acctbal, 2) AS c_acctbal
+        FROM customer_v c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5
+                           FROM customer_v c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey
+        """
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
-    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47,
+    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48,
 }

@@ -116,3 +116,20 @@ def test_srp_signature_bits_match_numpy(spark, sf_dir):
     for r in rows:
         want = ((np.array(r.emb) @ P.T) >= 0).astype(int).tolist()
         assert [r[f"b{i}"] for i in range(8)] == want
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """Reproducible split assignment must stay a pure projection —
+    an Exchange would mean split membership costs a corpus shuffle."""
+    from diachronic_spark.catalog import load
+    from diachronic_spark.operators.text import hash_split
+
+    p = plan_str(hash_split(load(spark, sf_dir, "documents")))
+    assert "Exchange" not in p
+
+
+def test_q46_contamination_probe_is_broadcast(spark, sf_dir):
+    """The benchmark shingle set must reach the corpus as a broadcast,
+    never as a shuffled join of the corpus side."""
+    p = plan_str(QUERIES["q46"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p

@@ -529,3 +529,11 @@ WHERE c_acctbal > (SELECT avg(c2.c_acctbal) * 1.5
                    WHERE c2.c_nationkey = c.c_nationkey)
 ORDER BY c_custkey
 """
+
+EXT_ORACLE["q49"] = """
+SELECT l_returnflag,
+       round(exp(avg(ln(l_quantity))), 2) AS geo_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -536,10 +538,29 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q49: grouped-aggregate pandas UDAF (U4) -------------------------------
+# Geometric mean of l_quantity per return flag via an Arrow-batched
+# grouped-agg UDF — the U4 surface. (Expressible natively as
+# exp(avg(ln(x))), which is exactly what the oracle pins it against;
+# the UDAF exists to exercise the surface, and NumPy log/exp match
+# IEEE-wise well inside the 2-dp rounding.)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def geomean(x: pd.Series) -> float:
+        return float(np.exp(np.log(x.to_numpy(dtype="float64")).mean()))
+
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(_r2(geomean("l_quantity")).alias("geo_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
-    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48,
+    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49,
 }

@@ -537,3 +537,20 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+EXT_ORACLE["q50"] = """
+WITH p AS (
+  SELECT event_type,
+         len(json_keys(props)) AS n_keys,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k_val,
+         (SELECT sum(CAST(json_extract(props, '$.' || key) AS INTEGER))
+          FROM unnest(json_keys(props)) t(key)) AS vals_sum
+  FROM events)
+SELECT event_type,
+       sum(n_keys) AS total_keys,
+       count(k_val) AS n_with_k,
+       sum(k_val) AS sum_k,
+       sum(vals_sum) AS sum_all_vals
+FROM p GROUP BY event_type
+ORDER BY event_type
+"""

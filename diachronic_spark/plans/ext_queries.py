@@ -557,10 +557,40 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q50: map functions over parsed JSON props (F11) -----------------------
+# props parsed once into a MAP<STRING,INT> (from_json), then map_keys /
+# map_values / element_at drive the aggregates — the map surface the
+# events fixture's JSON exercises end-to-end.
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    parsed = e.select(
+        "event_type",
+        m.alias("pm"),
+    ).select(
+        "event_type",
+        F.size(F.map_keys("pm")).alias("n_keys"),
+        F.element_at("pm", "k").alias("k_val"),
+        F.aggregate(
+            F.map_values("pm"), F.lit(0), lambda acc, v: acc + v
+        ).alias("vals_sum"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("n_keys").alias("total_keys"),
+            F.count("k_val").alias("n_with_k"),
+            F.sum("k_val").alias("sum_k"),
+            F.sum("vals_sum").alias("sum_all_vals"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
-    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49,
+    "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
 }

@@ -126,11 +126,16 @@ WITH g AS (
          (epoch_us(ts)/1000000.0
           - lag(epoch_us(ts)/1000000.0) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)) / 86400.0
-           AS gap_days
+           AS gap_days,
+         (lead(epoch_us(ts)/1000000.0) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+          - epoch_us(ts)/1000000.0) / 86400.0
+           AS fwd_days
   FROM events
 )
 SELECT event_type,
        round(avg(gap_days), 2) AS avg_gap_days,
+       round(avg(fwd_days), 2) AS avg_fwd_days,
        count(*)                AS n_gaps
 FROM g WHERE gap_days IS NOT NULL
 GROUP BY event_type

@@ -211,15 +211,17 @@ def q9(spark: SparkSession, sf: str) -> DataFrame:
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = e.withColumn(
-        "gap_days",
-        (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w))
-        / 86400.0,
-    ).filter(F.col("gap_days").isNotNull())
+    sec = F.col("ts").cast("double")
+    gaps = (
+        e.withColumn("gap_days", (sec - F.lag(sec, 1).over(w)) / 86400.0)
+        .withColumn("fwd_days", (F.lead(sec, 1).over(w) - sec) / 86400.0)
+        .filter(F.col("gap_days").isNotNull())
+    )
     return (
         gaps.groupBy("event_type")
         .agg(
             _r2(F.avg("gap_days")).alias("avg_gap_days"),
+            _r2(F.avg("fwd_days")).alias("avg_fwd_days"),
             F.count(F.lit(1)).alias("n_gaps"),
         )
         .orderBy("event_type")

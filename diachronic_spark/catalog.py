@@ -20,9 +20,15 @@ TABLES = tuple(TABLE_SCHEMAS)
 # so results are correct even under an externally-created SparkSession
 # (e.g. the driver's): UTC pins to_date/date_format semantics to match the
 # DuckDB oracle; nanosAsLong makes the ns-timestamp events table readable.
+# AQE and Arrow are performance, not correctness, but both are SQLConf
+# (settable post-startup) and matter under a vanilla external session:
+# AQE coalesces/skew-splits at runtime, Arrow batches every pandas-UDF
+# crossing (q32/q37/q49 are 10x slower row-pickled).
 _REQUIRED_SQL_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
 

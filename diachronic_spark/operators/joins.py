@@ -14,8 +14,48 @@ broadcast-nested-loop a naive ``left.ts >= right.ts`` join plans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: Column,
+    right_ts: Column,
+    band_seconds: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Theta join ``|left_ts - right_ts| <= band_seconds`` as a banded
+    equi-join (SURVEY §2.3 J6/J8).
+
+    A naive ``abs(l - r) <= w`` condition plans as a
+    BroadcastNestedLoopJoin — O(n·m) comparisons, the exact shape that
+    takes the DuckDB oracle 260 s at sf0.1. Instead each left row
+    explodes to the ceil(w/day)+1 day-buckets its window can touch and
+    the join becomes an equi-join on the bucket, with the exact
+    predicate re-applied afterwards. Shuffles on the day key, never
+    materializes the cross space; band width == predicate width keeps
+    the fan-out minimal.
+
+    Returns the joined frame with helper columns ``__l_sec``/``__r_sec``
+    dropped; callers aggregate or project as usual.
+    """
+    n_off = -int(-band_seconds // 86400)  # ceil(w / day): widest day reach
+    l = left.withColumn("__l_sec", left_ts.cast("double")).withColumn(
+        "__l_day", F.to_date(left_ts)
+    )
+    r = right.withColumn("__r_sec", right_ts.cast("double")).withColumn(
+        "__join_day", F.to_date(right_ts)
+    )
+    l_banded = l.select(
+        "*", F.explode(F.expr(f"sequence({-n_off}, {n_off})")).alias("__off")
+    ).withColumn("__join_day", F.date_add("__l_day", F.col("__off")))
+    return (
+        l_banded.join(r, "__join_day", how)
+        .filter(F.abs(F.col("__l_sec") - F.col("__r_sec")) <= band_seconds)
+        .drop("__join_day", "__l_day", "__l_sec", "__r_sec", "__off")
+    )
 
 
 def asof_join(

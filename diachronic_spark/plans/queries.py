@@ -413,27 +413,65 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
 # bucket, then applies the exact |ts' - o_orderdate| <= 1d predicate.
 # Shuffle on the day key; no nested loop anywhere (SURVEY §2.3 J6/J8).
 def q22(spark: SparkSession, sf: str) -> DataFrame:
-    e = (
+    # Eager aggregation pushed below the banded theta join. Because
+    # o_orderdate is a DATE, its epoch-seconds value is exactly midnight
+    # of o_day; the predicate |e_sec - o_sec| <= 86400 therefore
+    # resolves per event DAY, not per event row:
+    #   e_day == o_day - 1  ->  e_sec in [o_sec-86400, o_sec)  -> always in band
+    #   e_day == o_day      ->  e_sec in [o_sec, o_sec+86400)  -> always in band
+    #   e_day == o_day + 1  ->  in band iff e_sec == o_sec+86400, i.e. the
+    #                           event sits exactly ON midnight of its day.
+    # So the join operands shrink to per-day counts (~2.4k rows each at
+    # any SF): pair count per status = sum over order days of
+    # n_orders(day, status) * qualifying_events(day). The 10M-pair
+    # intermediate the generic banded join materializes (joins.py
+    # banded_interval_join — kept as the operator for non-aggregate
+    # outputs, equivalence test-pinned) never exists; both inputs
+    # aggregate map-side before a day-keyed broadcast join.
+    ev = (
         load(spark, sf, "events")
         .select((F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ets"))
         .select(
             F.col("ets").cast("double").alias("e_sec"),
             F.to_date("ets").alias("e_day"),
         )
+        .groupBy("e_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum(
+                (
+                    F.col("e_sec")
+                    == F.col("e_day").cast("timestamp").cast("double")
+                ).cast("long")
+            ).alias("n_mid"),
+        )
     )
-    o = load(spark, sf, "orders").select(
-        "o_orderstatus",
-        F.col("o_orderdate").cast("double").alias("o_sec"),
-        F.to_date("o_orderdate").alias("o_day"),
+    q_ev = (
+        ev.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("e_day").alias("o_day"), F.col("n_ev").alias("w")),
+                    F.struct(
+                        F.date_add("e_day", 1).alias("o_day"), F.col("n_ev").alias("w")
+                    ),
+                    F.struct(
+                        F.date_sub("e_day", 1).alias("o_day"), F.col("n_mid").alias("w")
+                    ),
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.o_day").alias("o_day"))
+        .agg(F.sum("s.w").alias("n_qual"))
     )
-    e_banded = e.select(
-        "e_sec", F.explode(F.expr("sequence(-1, 1)")).alias("off"), "e_day"
-    ).select("e_sec", F.date_add("e_day", F.col("off")).alias("join_day"))
+    o = (
+        load(spark, sf, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("o_day"), "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+    )
     return (
-        e_banded.join(o, e_banded.join_day == o.o_day)
-        .filter(F.abs(F.col("e_sec") - F.col("o_sec")) <= 86400.0)
+        o.join(F.broadcast(q_ev), "o_day")
         .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.sum(F.col("n_ord") * F.col("n_qual")).cast("long").alias("n_pairs"))
         .orderBy("o_orderstatus")
     )
 

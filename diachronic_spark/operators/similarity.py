@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cosine_similarity
@@ -91,6 +91,168 @@ def ivf_topk(
         .join(
             F.broadcast(probe_cells), F.col(cell) == F.col("cell"), "left_semi"
         )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                cosine_similarity("embedding", "q_embedding"), round_to
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def _assigned(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """One assignment pass: (vec_id, cell, v) with cell = argmax-cosine
+    centroid, ties -> lowest cell.
+
+    crossJoin against the broadcast k-row centroid table fans each
+    vector to k sim rows INSIDE the scan stage; max_by aggregates them
+    back down with map-side combine, so only k-row partials per
+    partition reach the one shuffle (on vec_id). ``v`` rides along via
+    first() (identical across a vector's fan-out rows) — downstream
+    centroid recomputation needs no second join.
+    """
+    sims = v.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", "v", cosine_similarity("v", "c").alias("sim")
+    )
+    return sims.groupBy("vec_id").agg(
+        F.max_by(
+            "cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
+        ).alias("cell"),
+        F.first("v").alias("v"),
+    )
+
+
+def _mean_cents(assigned: DataFrame, dim: int, round_to: int) -> DataFrame:
+    """Element-wise per-cell means as ``dim`` parallel avg() aggregates
+    in ONE map-side-combining hash agg — k x (dim+1) partial sums per
+    partition cross the wire, nothing explodes."""
+    return assigned.groupBy("cell").agg(
+        *[
+            F.round(F.avg(F.col("v")[i]), round_to).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    ).select(
+        "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c")
+    )
+
+
+def _init_cents(v: DataFrame, k: int, round_to: int) -> DataFrame:
+    """Deterministic init: the k lowest-id vectors, cell = id rank."""
+    return (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cell"),
+            F.transform("v", lambda x: F.round(x, round_to)).alias("c"),
+        )
+    )
+
+
+def kmeans(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    round_to: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means over cosine similarity.
+
+    Returns ``(assignment, centroids)`` — ``(vec_id, cell)`` and
+    ``(cell, c)``. Replaces the fixture's ``label`` column as the IVF
+    coarse quantizer (the SCALE.md round-2 item).
+
+    Determinism contract (oracle-matchable):
+    - init = the ``k`` lowest-id vectors, cell = their id rank;
+    - assignment = argmax cosine, ties broken by lowest cell;
+    - centroids are element-wise means ROUNDED to ``round_to`` decimals
+      each iteration — both engines round away their last-ulp
+      summation-order drift, so assignments stay identical across
+      engines (sims themselves are bit-equal: sequential fold order on
+      identical rounded centroid values).
+
+    This variant CHECKPOINTS centroids to the driver each iteration
+    (k x dim doubles — bytes) and re-broadcasts them as a literal
+    table: lineage never compounds, and a failed iteration retries
+    from materialized state — the production shape for corpus-scale
+    fits. For small/interactive fits prefer ``kmeans_lazy`` (same
+    semantics, one scheduling round-trip total).
+    """
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()  # the loop's working set: one scan per iteration
+    spark = emb.sparkSession
+
+    def _to_literal(rows) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["c"]]) for r in rows],
+            "cell int, c array<double>",
+        )
+
+    cents = _to_literal(_init_cents(v, k, round_to).collect())
+    for _ in range(n_iter):
+        cents = _to_literal(
+            _mean_cents(_assigned(v, cents), dim, round_to).collect()
+        )
+    return _assigned(v, cents).select("vec_id", "cell"), cents
+
+
+def kmeans_lazy(
+    emb: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    round_to: int = 6,
+) -> tuple[DataFrame, DataFrame]:
+    """Same semantics as ``kmeans`` (identical assignments/centroids —
+    test-pinned), but fully LAZY: iterations chain as DataFrame lineage
+    and execute as one Catalyst-planned job, paying one scheduling
+    round-trip instead of n_iter+2. Per iteration only two narrow
+    shuffles (vec_id agg, cell agg) separate the stages."""
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist()
+    cents = _init_cents(v, k, round_to)
+    for _ in range(n_iter):
+        cents = _mean_cents(_assigned(v, cents), dim, round_to)
+    return _assigned(v, cents).select("vec_id", "cell"), cents
+
+
+def ivf_topk_with_cells(
+    emb: DataFrame,
+    assign: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    k: int = 5,
+    n_probe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF probe against an explicit quantizer (``kmeans`` output):
+    rank cells by centroid similarity, scan only the top ``n_probe``
+    cells' members. With the cell as a partition column the semi join
+    becomes partition pruning — the 100 TB path."""
+    qv = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_embedding")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cell", cosine_similarity("c", "q_embedding").alias("c_sim"))
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        emb.join(assign, "vec_id")
+        .join(F.broadcast(probe), "cell", "left_semi")
+        .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",

@@ -554,3 +554,67 @@ SELECT event_type,
 FROM p GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def _kmeans_ivf_sql(
+    k: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    qid: int = 7,
+    topk: int = 5,
+    dim: int = 64,
+    rnd: int = 6,
+) -> str:
+    """Unrolled Lloyd's k-means + IVF probe, mirroring operators/
+    similarity.py kmeans()/ivf_topk_with_cells() CTE-for-CTE.
+
+    Each iteration is (argmax-cosine assignment, element-wise mean
+    rounded to ``rnd`` dp); rounding is what keeps Spark's and DuckDB's
+    summation-order float drift from ever flipping an assignment."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+         [round(embedding[i]::DOUBLE, {rnd}) FOR i IN generate_series(1, {dim})] AS c
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(n_iter):
+        cos = _COS.format(a="v.embedding", b=f"c{it}.c")
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c{it}.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {cos} DESC, c{it}.cell ASC) AS rn
+    FROM v, c{it}) WHERE rn = 1)""")
+        ctes.append(f"""c{it + 1} AS (
+  SELECT cell, list(m ORDER BY i) AS c FROM (
+    SELECT a{it}.cell AS cell, i, round(avg(v.embedding[i]::DOUBLE), {rnd}) AS m
+    FROM v JOIN a{it} USING (vec_id), range(1, {dim + 1}) t(i)
+    GROUP BY a{it}.cell, i)
+  GROUP BY cell)""")
+    fin = _COS.format(a="v.embedding", b=f"c{n_iter}.c")
+    ctes.append(f"""a{n_iter} AS (
+  SELECT vec_id, cell FROM (
+    SELECT v.vec_id, c{n_iter}.cell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {fin} DESC, c{n_iter}.cell ASC) AS rn
+    FROM v, c{n_iter}) WHERE rn = 1)""")
+    ctes.append(f"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid})")
+    probe_cos = _COS.format(a=f"c{n_iter}.c", b="qe")
+    ctes.append(f"""probe AS (
+  SELECT cell FROM c{n_iter}, q
+  ORDER BY {probe_cos} DESC, cell ASC LIMIT {n_probe})""")
+    out_cos = _COS.format(a="embeddings.embedding", b="qe")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, round({out_cos}, 4) AS cos_sim
+FROM embeddings JOIN a{n_iter} USING (vec_id), q
+WHERE cell IN (SELECT cell FROM probe) AND vec_id <> {qid}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {topk}"""
+    )
+
+
+EXT_ORACLE["q51"] = _kmeans_ivf_sql()

@@ -587,10 +587,25 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q51: IVF ANN with a real k-means coarse quantizer (L3 scale path) ----
+# Lloyd's iterations run as DataFrame ops (centroids re-broadcast as a
+# k-row literal each pass — lineage never compounds); probing scans only
+# the 2 cells nearest the query. The oracle unrolls the identical
+# iterations in SQL; per-iteration centroid rounding (6dp) pins the two
+# engines' summation-order float drift.
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    assign, cents = S.kmeans_lazy(emb, k=8, n_iter=3)
+    return S.ivf_topk_with_cells(
+        emb, assign, cents, query_vec_id=7, k=5, n_probe=2
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
+    "q51": q51,
 }

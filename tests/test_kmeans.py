@@ -1,0 +1,95 @@
+"""k-means quantizer + IVF probe tests (SURVEY §2.11 L3 scale path).
+
+The eager (driver-checkpointed) and lazy (single-job) variants must
+produce IDENTICAL assignments and centroids — they are two execution
+shapes of one algorithm. Recall is pinned against the exact
+brute-force baseline, and a pure-Python replay pins the semantics
+independent of any Spark execution detail.
+"""
+
+from __future__ import annotations
+
+import math
+
+from diachronic_spark.catalog import load
+from diachronic_spark.operators import similarity as S
+
+
+def _cos(a, b):
+    d = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return d / (na * nb)
+
+
+def _py_kmeans(vecs: dict[int, list[float]], k: int, n_iter: int, rnd: int = 6):
+    """Executable spec: the documented determinism contract in ~20 lines."""
+    ids = sorted(vecs)
+    cents = {c: [round(x, rnd) for x in vecs[i]] for c, i in enumerate(ids[:k])}
+
+    def assign():
+        out = {}
+        for i in ids:
+            best = max(
+                cents, key=lambda c: (_cos(vecs[i], cents[c]), -c)
+            )
+            out[i] = best
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        new = {}
+        for c in set(a.values()):
+            members = [vecs[i] for i in ids if a[i] == c]
+            new[c] = [
+                round(sum(col) / len(members), rnd) for col in zip(*members)
+            ]
+        cents = new
+    return assign(), cents
+
+
+def test_eager_and_lazy_kmeans_identical(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a_e, c_e = S.kmeans(emb, k=8, n_iter=3)
+    a_l, c_l = S.kmeans_lazy(emb, k=8, n_iter=3)
+    assert sorted(map(tuple, a_e.collect())) == sorted(map(tuple, a_l.collect()))
+    ce = {r["cell"]: list(r["c"]) for r in c_e.collect()}
+    cl = {r["cell"]: list(r["c"]) for r in c_l.collect()}
+    assert ce == cl
+
+
+def test_kmeans_matches_python_replay(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    py_assign, py_cents = _py_kmeans(vecs, k=8, n_iter=3)
+    a, c = S.kmeans_lazy(emb, k=8, n_iter=3)
+    got_assign = {r["vec_id"]: r["cell"] for r in a.collect()}
+    assert got_assign == py_assign
+    got_cents = {r["cell"]: [round(x, 6) for x in r["c"]] for r in c.collect()}
+    assert set(got_cents) == set(py_cents)
+    for cell in got_cents:
+        for gx, px in zip(got_cents[cell], py_cents[cell]):
+            # both sides round to 6dp; allow one ulp of 1e-6 for
+            # summation-order drift sitting exactly on a boundary
+            assert abs(gx - px) <= 1.1e-6
+
+
+def test_ivf_with_kmeans_recall_vs_brute_force(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    assign, cents = S.kmeans_lazy(emb, k=8, n_iter=3)
+    exact = [
+        r["vec_id"] for r in S.brute_force_topk(emb, 7, k=5).collect()
+    ]
+    approx = [
+        r["vec_id"]
+        for r in S.ivf_topk_with_cells(
+            emb, assign, cents, 7, k=5, n_probe=2
+        ).collect()
+    ]
+    # clustered fixture: probing 2 of 8 cells must recover most of the
+    # true neighborhood
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"recall {overlap}/5 too low: {exact} vs {approx}"

@@ -197,34 +197,52 @@ def jaccard_for_pairs(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
     )
 
 
-def simhash32(corpus: DataFrame) -> DataFrame:
-    """32-bit SimHash per doc from md5-derived token hashes.
+def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """``bits``-wide SimHash per doc from md5-derived token hashes.
 
-    Token hash = first 8 hex chars of md5(token) → 32-bit int; each bit
-    votes +1/-1 weighted by occurrence count; sign of the vote sets the
-    output bit. Pure expressions: explode → one hash-agg on doc_id.
+    Token hash = first bits/4 hex chars of md5(token) → ``bits``-bit
+    int; each bit votes +1/-1 weighted by occurrence count; sign of the
+    vote sets the output bit. Pure expressions: explode → one hash-agg
+    on doc_id.
+
+    bits=32 (default) is the oracle-pinned shape; bits=64 is the
+    production width (same code; the top bit maps to bigint's sign bit
+    via signed conv, and assembly adds LONG_MIN for bit 63 — two's
+    complement, no overflow).
     """
+    assert bits in (32, 64), "simhash supports 32- or 64-bit signatures"
+    # signed target base for 64-bit: values with the top bit set must
+    # land in bigint's negative range instead of overflowing to null
+    h = F.conv(
+        F.substring(F.md5("tok"), 1, bits // 4), 16, -10 if bits == 64 else 10
+    ).cast("bigint")
     toks = corpus.select(
         "doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("tok")
-    ).withColumn(
-        "h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-    )
+    ).withColumn("h", h)
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(SIMHASH_BITS)
+            for b in range(bits)
         ]
     )
     sim = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    for b in range(bits):
+        on = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(F.col(f"v{b}") > 0, on).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash32(corpus: DataFrame) -> DataFrame:
+    """The 32-bit oracle-pinned shape (q24/q25)."""
+    return simhash(corpus, bits=32)
+
+
+def simhash_pairs(
+    sims: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS
+) -> DataFrame:
     """Candidate pairs with hamming(simhash) <= max_hamming via block
     pigeonholing: distance <= d over d+1 equal blocks ⇒ some block
     matches exactly, so an equi-join on (block_idx, block_value) finds
@@ -237,7 +255,7 @@ def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
     nibble scheme degenerates to.
     """
     n_blocks = max_hamming + 1
-    block_bits = SIMHASH_BITS // n_blocks
+    block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
     nib = sims.select(
         "doc_id",
@@ -275,9 +293,10 @@ def simhash_pairs(sims: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
     )
-    ham = F.bit_count(
-        F.col("sh_a").bitwiseXOR(F.col("sh_b")).bitwiseAND((1 << SIMHASH_BITS) - 1)
-    )
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    # at 64 bits the xor already spans the whole bigint — masking with
+    # 2^64-1 would overflow; at 32 bits the mask drops sign-extension
+    ham = F.bit_count(xor if bits == 64 else xor.bitwiseAND((1 << bits) - 1))
     return cand.select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

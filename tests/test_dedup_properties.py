@@ -77,3 +77,65 @@ def test_lsh_finds_exact_duplicates(spark, texts):
     }
     for i in range(len(texts)):
         assert (i, 100 + i) in cand
+
+
+# --- 64-bit SimHash (production width; 32-bit is the oracle shape) --------
+
+def _py_simhash(text: str, bits: int) -> int:
+    """Executable spec mirroring operators/dedup.py::simhash."""
+    import hashlib
+    from collections import Counter
+
+    votes = [0] * bits
+    for tok, n in Counter(t for t in text.split() if t).items():
+        h = int(hashlib.md5(tok.encode()).hexdigest()[: bits // 4], 16)
+        for b in range(bits):
+            votes[b] += n if (h >> b) & 1 else -n
+    u = sum(1 << b for b in range(bits) if votes[b] > 0)
+    return u - (1 << 64) if bits == 64 and u >= (1 << 63) else u
+
+
+def test_simhash64_matches_python_replay(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",
+        "alpha beta gamma delta alpha beta",
+        "completely different content here entirely",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in D.simhash(df, bits=64).collect()}
+    want = {i: _py_simhash(t, 64) for i, t in enumerate(texts)}
+    assert got == want
+    got32 = {r["doc_id"]: r["simhash"] for r in D.simhash(df, bits=32).collect()}
+    want32 = {i: _py_simhash(t, 32) for i, t in enumerate(texts)}
+    assert got32 == want32
+
+
+def test_simhash64_block_pairs_complete_vs_brute_force(spark):
+    # near-dup clusters: single-word edits of shared templates
+    base = "one two three four five six seven eight nine ten"
+    texts = [base]
+    for i, w in enumerate(base.split()):
+        toks = base.split()
+        toks[i] = w + "x"
+        texts.append(" ".join(toks))
+    texts += ["totally unrelated words entirely distinct tokens", base + " eleven"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sims = D.simhash(df, bits=64)
+    rows = {r["doc_id"]: r["simhash"] for r in sims.collect()}
+    for d in (1, 3):
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in D.simhash_pairs(sims, max_hamming=d, bits=64).collect()
+        }
+        want = {
+            (a, b)
+            for a in rows
+            for b in rows
+            if a < b and bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1") <= d
+        }
+        assert got == want, f"d={d}: {got ^ want}"

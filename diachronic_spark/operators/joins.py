@@ -116,3 +116,80 @@ def asof_join(
             *[F.col(f"__f_{c}").alias(f"{c}{suffix}") for c in right_cols],
         )
     )
+
+
+def asof_join_merge(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Cogrouped merge-asof variant of ``asof_join`` — identical
+    semantics (latest right row with ``right_ts <= left_ts`` per key,
+    ``<=`` tie convention, left join), different physical shape.
+
+    ``asof_join`` unions both sides into ONE shuffle, so every left row
+    carries null slots for every right column through the exchange —
+    wasteful when the right schema is wide. Here each side shuffles
+    only its own columns (cogroup on the key), and a per-key
+    ``pandas.merge_asof`` — a linear two-pointer merge over the sorted
+    groups — fills the match inside an Arrow-batched worker. The trade
+    is one Python boundary for a narrower exchange; prefer it when
+    right-side width dominates the shuffle, the union form when
+    avoiding Python matters more (SCALE.md "Known trade-offs").
+    """
+    import pandas as pd
+
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    l_fields = left.schema.fields
+    r_schema = {f.name: f for f in right.schema.fields}
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in l_fields)
+        + ", "
+        + ", ".join(
+            f"`{c}{suffix}` {r_schema[c].dataType.simpleString()}"
+            for c in right_cols
+        )
+    )
+    l_names = [f.name for f in l_fields]
+
+    def _ns_key(s: pd.Series) -> pd.Series:
+        # one int64-ns key dtype on both sides: Arrow may hand either
+        # side datetime64[us|ns] or (for DateType) date objects, and
+        # merge_asof refuses mismatched key dtypes
+        return pd.to_datetime(s).astype("datetime64[ns]").astype("int64")
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.assign(__lk=_ns_key(lpdf[left_ts])).sort_values(
+            "__lk", kind="mergesort"
+        )
+        out_r = [f"{c}{suffix}" for c in right_cols]
+        if rpdf.empty:
+            res = lpdf.copy()
+            for c in out_r:
+                res[c] = None
+            return res[l_names + out_r]
+        keep = list(dict.fromkeys([right_ts] + right_cols))
+        rsub = (
+            rpdf[keep]
+            .rename(columns={c: f"{c}{suffix}" for c in keep})
+            .assign(__rk=_ns_key(rpdf[right_ts]).values)
+            .sort_values("__rk", kind="mergesort")
+        )
+        res = pd.merge_asof(
+            lpdf,
+            rsub,
+            left_on="__lk",
+            right_on="__rk",
+            direction="backward",  # <=: exact-timestamp right rows match
+        )
+        return res[l_names + out_r]
+
+    return (
+        left.groupby(on)
+        .cogroup(right.groupby(on))
+        .applyInPandas(merge, out_schema)
+    )

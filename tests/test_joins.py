@@ -102,3 +102,63 @@ def test_banded_interval_join_plan_has_no_nested_loop(spark, sf_dir):
         e, o, F.col("ets"), F.col("o_orderdate").cast("timestamp"), 86400.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in p
+
+
+def test_asof_join_merge_variant_matches_union_form(spark, sf_dir):
+    """asof_join (union+window, one wide shuffle) and asof_join_merge
+    (cogrouped pandas merge_asof, two narrow shuffles + Arrow boundary)
+    are the same operator — outputs must match row-for-row, including
+    left rows with no earlier right row (null fill)."""
+    from pyspark.sql import Window
+
+    from diachronic_spark.operators.joins import asof_join, asof_join_merge
+
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        (F.col("ts") - F.expr("INTERVAL 29 YEARS")).alias("ets"),
+        "event_id",
+        "event_type",
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("k"), "o_orderdate", "o_totalprice")
+    )
+    kw = dict(
+        on="k", left_ts="ets", right_ts="o_orderdate",
+        right_cols=["o_orderdate", "o_totalprice"],
+    )
+    a = sorted(map(tuple, asof_join(e, o, **kw).collect()))
+    b = sorted(map(tuple, asof_join_merge(e, o, **kw).collect()))
+    assert len(a) == len(b) and a == b
+
+
+def test_asof_join_merge_empty_right_and_no_match(spark):
+    import datetime as dtm
+
+    from diachronic_spark.operators.joins import asof_join, asof_join_merge
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2020-01-05 00:00:00"), "a"),
+            (1, _ts("2020-01-01 00:00:00"), "b"),  # before any right row
+            (2, _ts("2020-06-01 00:00:00"), "c"),  # key with no right rows
+        ],
+        "k int, ets timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, dtm.date(2020, 1, 3), 10.0), (1, dtm.date(2020, 1, 5), 20.0)],
+        "k int, rd date, val double",
+    )
+    kw = dict(on="k", left_ts="ets", right_ts="rd", right_cols=["rd", "val"])
+    a = sorted(map(tuple, asof_join(left, right, **kw).collect()))
+    b = sorted(map(tuple, asof_join_merge(left, right, **kw).collect()))
+    assert a == b
+    by_tag = {r.tag: r for r in asof_join_merge(left, right, **kw).collect()}
+    assert by_tag["a"].val_r == 20.0  # exact-date tie matches (<=)
+    assert by_tag["b"].val_r is None
+    assert by_tag["c"].val_r is None

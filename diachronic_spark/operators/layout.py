@@ -89,3 +89,47 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return lhs.join(rhs, [on, "__salt"], how).drop("__salt")
+
+
+def compact(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: float = 256,
+    range_by: str | list[str] | None = None,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ~``target_file_mb``-sized files. Returns the output file count.
+
+    The small-files problem is a first-order 100 TB hazard: a
+    streaming sink or over-parallel writer leaving millions of KB-scale
+    files makes every later scan pay a per-file open/footer-read tax
+    and floods the driver with split planning. Compaction is the
+    standing maintenance job that keeps scan parallelism proportional
+    to data, not to historical writer parallelism.
+
+    Sizing reads the TOTAL source bytes from the filesystem (Hadoop
+    FS — works for local paths and object stores alike), not row
+    counts, so wide-schema tables size correctly.
+
+    With ``range_by``, output files are RANGE-partitioned on those
+    columns: each file then covers a disjoint key range, so parquet
+    min/max stats let later selective scans skip whole files —
+    compaction doubles as a data-skipping layout pass.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -int(-total_bytes // int(target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(src)
+    if range_by is not None:
+        cols = [range_by] if isinstance(range_by, str) else list(range_by)
+        df = df.repartitionByRange(n_files, *cols)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").option("compression", compression).parquet(dst)
+    out = spark.read.parquet(dst)
+    return len([f for f in out.inputFiles() if f.endswith(".parquet")])

@@ -223,6 +223,10 @@ def kmeans_lazy(
     cents = _init_cents(v, k, round_to)
     for _ in range(n_iter):
         cents = _mean_cents(_assigned(v, cents), dim, round_to)
+    # Both returned frames — and an IVF probe built on them — embed
+    # this same iteration subtree. Caching the k-row result makes every
+    # consumer after the first a cache hit instead of a full re-fit.
+    cents = cents.persist()
     return _assigned(v, cents).select("vec_id", "cell"), cents
 
 

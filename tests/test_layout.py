@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from diachronic_spark.catalog import load
 from diachronic_spark.operators.layout import (
+    compact,
     bucketed_join,
     salted_join,
     write_bucketed,
@@ -78,3 +79,43 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert rows == [
         (1, "a", "X"), (1, "b", "X"), (2, "c", "Y"), (3, "d", None)
     ]
+
+
+def test_compact_merges_small_files_preserving_rows(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem")
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compacted")
+    li.repartition(64).write.parquet(src)
+    n_in = len(spark.read.parquet(src).inputFiles())
+    assert n_in >= 32
+    n_out = compact(spark, src, dst, target_file_mb=64)
+    assert n_out < n_in
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert sorted(a.columns) == sorted(b.columns)
+    # integer sum: order-independent (float sums differ in last ulp
+    # across partition layouts)
+    assert (
+        a.select(F.sum("l_orderkey")).first()[0]
+        == b.select(F.sum("l_orderkey")).first()[0]
+    )
+
+
+def test_compact_range_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    li = load(spark, sf_dir, "lineitem")
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "ranged")
+    li.repartition(16).write.parquet(src)
+    # tiny target forces >1 output file so disjointness is non-vacuous
+    compact(spark, src, dst, target_file_mb=0.05, range_by="l_orderkey")
+    spans = sorted(
+        (r["lo"], r["hi"])
+        for r in spark.read.parquet(dst)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("l_orderkey").alias("lo"), F.max("l_orderkey").alias("hi"))
+        .collect()
+    )
+    assert len(spans) > 1
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        # range partitioning: every key lives in exactly one file, so
+        # consecutive file ranges cannot interleave
+        assert hi_prev <= lo_next

@@ -162,3 +162,46 @@ def test_asof_join_merge_empty_right_and_no_match(spark):
     assert by_tag["a"].val_r == 20.0  # exact-date tie matches (<=)
     assert by_tag["b"].val_r is None
     assert by_tag["c"].val_r is None
+
+
+# --- property: banded join == naive theta join on random instances --------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_EPOCH = dt.datetime(2020, 1, 1)
+_SECS = st.integers(min_value=0, max_value=5 * 86400)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    l_secs=st.lists(_SECS, min_size=1, max_size=12),
+    r_secs=st.lists(_SECS, min_size=1, max_size=12),
+    band=st.sampled_from([0.0, 1800.0, 86400.0, 100000.0, 200000.0]),
+)
+def test_banded_interval_join_property(spark, l_secs, r_secs, band):
+    left = spark.createDataFrame(
+        [(i, _EPOCH + dt.timedelta(seconds=s)) for i, s in enumerate(l_secs)],
+        "l_id int, l_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, _EPOCH + dt.timedelta(seconds=s)) for i, s in enumerate(r_secs)],
+        "r_id int, r_ts timestamp",
+    )
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in banded_interval_join(
+            left, right, F.col("l_ts"), F.col("r_ts"), band
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, ls in enumerate(l_secs)
+        for j, rs in enumerate(r_secs)
+        if abs(ls - rs) <= band
+    )
+    assert got == want

@@ -311,3 +311,65 @@ def exact_dedup(documents: DataFrame, key: str = "text") -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS — the step every
+    dedup pipeline needs after LSH: pairs say "a~b, b~c", but dropping
+    all-but-one per duplicate CLASS needs the transitive closure
+    {a,b,c}. Returns ``(doc_id, component)`` with component = the min
+    doc_id reachable — a canonical, deterministic cluster representative
+    (the survivor under keep-min dedup).
+
+    Algorithm: min-label propagation to fixpoint. Each iteration is one
+    join + one min-aggregate (both on the doc_id key); convergence is
+    detected via the monotonically-decreasing label sum, so an
+    iteration costs exactly one action and no extra comparison join.
+    Labels persist per round and the previous round unpersists —
+    lineage stays flat like kmeans().
+
+    Scale: iterations needed = graph diameter. Near-dup graphs are
+    star-/clique-like (diameter 2-4), not chains, so the bound is
+    small and data-independent in practice; for adversarial chains use
+    the alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce"), which is O(log n) rounds of
+    the same join+min shape.
+
+    ``edges``: (doc_a, doc_b) undirected pairs. ``nodes``: (doc_id) —
+    must cover every endpoint plus any singleton members.
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            edges.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .persist()
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("component")
+    ).persist()
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels, sym["src"] == labels["doc_id"]
+        ).select(F.col("dst").alias("doc_id"), "component")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("component")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels

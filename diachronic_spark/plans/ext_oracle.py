@@ -618,3 +618,39 @@ LIMIT {topk}"""
 
 
 EXT_ORACLE["q51"] = _kmeans_ivf_sql()
+
+# q52: transitive closure of the q26 pair graph via recursive CTE —
+# duplicate-class clustering with min-doc_id representatives.
+EXT_ORACLE["q52"] = f"""
+WITH RECURSIVE {_CORPUS}, {_SHINGLES},
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM shr sa JOIN shr sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE icnt / (za.sz + zb.sz - icnt) >= 0.3),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+lab AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a)
+SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
+FROM lab GROUP BY component HAVING count(*) >= 2
+ORDER BY component
+"""

@@ -1,4 +1,4 @@
-"""Extension queries q23-q46: the LLM-data-pipeline operator suite
+"""Extension queries q23-q52: the LLM-data-pipeline operator suite
 (SURVEY §2.11 — dedup, similarity, text analysis, multimodal,
 training-data ops) plus the remaining relational surface (as-of join,
 pivot, stats, cube, grouping sets, ranking, RANGE frames).
@@ -71,7 +71,11 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 # length — the classic inverted-index skew. True near-dups share many
 # doc-specific shingles, so rare-shingle blocking keeps recall while
 # bounding every posting list. Jaccard is still exact over full sets.
-def q26(spark: SparkSession, sf: str) -> DataFrame:
+def _rare_shingle_jaccard(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame]:
+    """(corpus, exact-jaccard pairs) — the q26 pipeline, shared with the
+    q52 component clustering."""
     max_df = 5
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
     arrs = D.shingle_arrays(corpus).persist()  # shared by 2 plan branches
@@ -110,11 +114,14 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     jac = D.jaccard_for_pairs(pairs, arrs)
-    return (
-        jac.filter(F.col("jaccard") >= 0.3)
-        .select("doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    )
+    return corpus, jac.filter(F.col("jaccard") >= 0.3)
+
+
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    _, jac = _rare_shingle_jaccard(spark, sf)
+    return jac.select(
+        "doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
 
 
 # --- q27: IVF-style approximate nearest neighbors (L3 scale path) ---------
@@ -601,11 +608,32 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q52: duplicate-class clustering (connected components) ---------------
+# LSH/jaccard emits PAIRS; dropping all-but-one per duplicate class
+# needs their transitive closure. Min-label propagation over the q26
+# pair graph; component = min doc_id (the keep-min dedup survivor).
+# The oracle computes the same closure with a recursive CTE.
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    corpus, jac = _rare_shingle_jaccard(spark, sf)
+    comp = D.connected_components(
+        jac.select("doc_a", "doc_b"), corpus.select("doc_id")
+    )
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("component")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
-    "q51": q51,
+    "q51": q51, "q52": q52,
 }

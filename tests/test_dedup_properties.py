@@ -139,3 +139,36 @@ def test_simhash64_block_pairs_complete_vs_brute_force(spark):
             if a < b and bin((rows[a] ^ rows[b]) & ((1 << 64) - 1)).count("1") <= d
         }
         assert got == want, f"d={d}: {got ^ want}"
+
+
+# --- connected components (duplicate-class clustering) --------------------
+
+def test_connected_components_chain_cliques_singletons(spark):
+    # chain 0-1-2-3-4 (worst diameter), clique {10,11,12}, singletons 20,21
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [0, 1, 2, 3, 4, 10, 11, 12, 20, 21]], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(edges, nodes).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_connected_components_reversed_chain_converges(spark):
+    # labels must flow AGAINST edge direction too (undirected closure):
+    # the min id sits at the chain's far end
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "doc_id long")
+    got = {
+        r["doc_id"]: r["component"]
+        for r in D.connected_components(edges, nodes).collect()
+    }
+    assert got == {i: 0 for i in range(5)}

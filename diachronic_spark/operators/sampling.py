@@ -1,0 +1,59 @@
+"""Deterministic sampling for training-data pipelines.
+
+RNG-based sampling (``df.sample``, ``sampleBy``) is not reproducible
+across engines, partitionings, or reruns — a training-data cut must
+be. Both operators here derive the sampling decision from md5 of a
+stable key, so the same row set comes out on any engine and any
+cluster layout, and the DuckDB oracle can replay the exact choice.
+
+Scale shape: ``hash_sample_fraction`` is a pure filter projection
+(zero shuffle, pushes past scans); ``stratified_sample_k`` is one
+shuffle on the strata key + a window top-k (rank truncation happens
+inside the Window operator, nothing else is carried).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_bucket(key: Column, mod: int) -> Column:
+    """First 8 md5 hex chars of the stringified key -> 32-bit int, mod
+    ``mod``. Same construction as text.hash_split (q43) — uniform
+    enough for sampling, portable to any engine with md5.
+    """
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
+    ).cast("long") % mod
+
+
+def hash_sample_fraction(
+    df: DataFrame, key_col: str, fraction: float, mod: int = 10_000
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key
+    hash. Granularity is 1/``mod``. Shuffle-free; consistent across
+    reruns, engines, and partition layouts — and consistent ACROSS
+    TABLES: any table sampled on the same key keeps the same entities,
+    so foreign-key joins between samples still line up.
+    """
+    return df.filter(
+        _md5_bucket(F.col(key_col), mod) < int(round(fraction * mod))
+    )
+
+
+def stratified_sample_k(
+    df: DataFrame, strata_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: rank rows within
+    each stratum by (md5(key), key) — a reproducible pseudo-random
+    order — and keep the first ``k``. Exact sample sizes (min(k, n)
+    per stratum), unlike fraction-based sampling which only hits the
+    target in expectation. Adds ``sample_rank`` (1-based).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), key_col
+    )
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

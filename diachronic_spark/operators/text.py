@@ -182,3 +182,54 @@ def pack_sequences(
             F.floor((F.col("cum_toks") - 1) / F.lit(bin_tokens)).cast("bigint"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — never
+    divides by zero, never goes negative).
+
+    Ranking is by score ROUNDED TO 6 DP desc, then term asc: tf and df
+    are integers but ln() may differ in the last ulp across engines,
+    and an ulp must never flip a rank (same guard as the kmeans fit).
+
+    Scale shape: one shuffle to (doc, term) counts with map-side
+    partial aggregation; the per-term document-frequency table is
+    vocabulary-sized (zipfian, << corpus) and joins back on the term
+    key — AQE broadcasts it when small; N arrives as a 1-row broadcast
+    cross-join, not a driver-side collect.
+
+    Returns (id_col, term_rank, term, score[2dp]).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(whitespace_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((1.0 + F.col("n")) / (1.0 + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select(id_col, "term_rank", "term", "score")
+    )

@@ -654,3 +654,109 @@ SELECT component, count(*) AS n_docs, max(doc_id) AS max_doc
 FROM lab GROUP BY component HAVING count(*) >= 2
 ORDER BY component
 """
+
+# q53: gaps-and-islands sessionization — identical window rewrite
+# (lag gap flag -> running sum), integer-microsecond gap math.
+EXT_ORACLE["q53"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 21600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM o)
+SELECT user_id, session_idx,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+# q54: hourly rollup onto a dense generate_series spine, LOCF via
+# last_value IGNORE NULLS; avg rounded before the fill (as in Spark).
+EXT_ORACLE["q54"] = """
+WITH r AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         count(*) AS n_events,
+         ((2 * sum(round(value * 100)::BIGINT) + count(*))
+            // (2 * count(*))) / 100.0 AS avg_value
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM r),
+spine AS (
+  SELECT et.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) et
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM b) g),
+j AS (
+  SELECT s.event_type, s.bucket,
+         coalesce(r.n_events, 0) AS n_events, r.avg_value
+  FROM spine s LEFT JOIN r USING (event_type, bucket))
+SELECT event_type, strftime(bucket, '%Y-%m-%d %H:%M:%S.%f') AS bucket,
+       n_events, avg_value,
+       last_value(avg_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM j ORDER BY event_type, 2
+"""
+
+# q55: stratified fixed-k sample — identical md5-of-key rank.
+EXT_ORACLE["q55"] = """
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+  FROM documents)
+SELECT lang, sample_rank, doc_id FROM r
+WHERE sample_rank <= 20
+ORDER BY lang, sample_rank
+"""
+
+# q56: smoothed TF-IDF, rank by 6dp-rounded score (ulp guard) then term.
+EXT_ORACLE["q56"] = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dfc FROM tf GROUP BY term),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + nd.n) / (1.0 + dfq.dfc)) + 1.0) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY round(score, 6) DESC, term) AS term_rank
+  FROM sc)
+SELECT doc_id, term_rank, term, round(score, 2) AS score
+FROM r WHERE term_rank <= 3
+ORDER BY doc_id, term_rank
+"""
+
+# q57: cumulative distinct users via first-seen flags (the standard
+# running-COUNT-DISTINCT rewrite), daily grain.
+EXT_ORACLE["q57"] = """
+WITH f AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_new
+  FROM events),
+d AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS dau,
+         sum(is_new) AS new_users
+  FROM f GROUP BY 1)
+SELECT day, n_events, dau, new_users,
+       sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM d ORDER BY day
+"""

@@ -16,11 +16,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import functions as fn
 from ..catalog import load
 from ..operators import dedup as D
 from ..operators import multimodal as M
+from ..operators import sampling as SA
+from ..operators import sessions as SN
 from ..operators import similarity as S
 from ..operators import text as T
+from ..operators import timeseries as TS
 from ..operators.joins import asof_join
 
 
@@ -629,11 +633,128 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q53: batch sessionization (gaps-and-islands) -------------------------
+# Per-user session assignment from inactivity gaps (>6h), then
+# per-session stats. One shuffle on user_id feeds both window ops.
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    s = SN.sessionize(ev, gap_seconds=21600)
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            fn.ts_str(F.min("ts")).alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+                "duration_us"
+            ),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+# --- q54: time-bucket rollup + gap-fill with LOCF --------------------------
+# Hypertable-style: hourly per-event-type averages densified onto a
+# complete hour spine, gaps filled by carrying the last observation
+# forward (counts zero-filled). avg is rounded BEFORE the fill so the
+# carried value is bit-identical to the source row on both engines.
+# Tiny groups of 2-dp values put float avg EXACTLY on .xx5 rounding
+# boundaries, where Spark (half-up on the double's SHORTEST DECIMAL,
+# via BigDecimal.valueOf) and DuckDB (round the BINARY value) pick
+# different digits — so the cent-precision average is computed in
+# exact integer arithmetic (half-up = floor((2s+n)/2n), values are
+# positive) and floats only appear in the final /100.0, which both
+# engines do on the identical integer.
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        load(spark, sf, "events")
+        .select("ts", "event_type", "value")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    avg_cents = F.expr(
+        "(2 * sum(cents) + count(1)) div (2 * count(1))"
+    )
+    rolled = TS.bucket_rollup(
+        ev,
+        "event_type",
+        "ts",
+        "hour",
+        {
+            "n_events": F.count(F.lit(1)),
+            "avg_value": avg_cents / F.lit(100.0),
+        },
+    )
+    filled = TS.gap_fill_locf(
+        rolled, "event_type", bucket="hour", fill=("avg_value",),
+        zero=("n_events",),
+    )
+    return filled.select(
+        "event_type",
+        fn.ts_str(F.col("bucket")).alias("bucket"),
+        "n_events",
+        "avg_value",
+        F.col("avg_value_filled").alias("filled_value"),
+    ).orderBy("event_type", "bucket")
+
+
+# --- q55: deterministic stratified sample ----------------------------------
+# Fixed k per language stratum, chosen by md5-of-key rank — exact
+# sizes, reproducible across engines/reruns/partitionings (no RNG).
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    return (
+        SA.stratified_sample_k(docs, "lang", "doc_id", k=20)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+# --- q56: TF-IDF top terms per document ------------------------------------
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return (
+        T.tfidf_top_terms(docs, top_k=3)
+        .select(
+            "doc_id", "term_rank", "term", _r2(F.col("score")).alias("score")
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+# --- q57: user growth accounting (cumulative distinct via first-seen) ------
+# Running COUNT(DISTINCT) isn't a window aggregate in either engine;
+# the standard rewrite is first-seen flags (row_number==1 per user)
+# summed cumulatively — two narrow window passes, no quadratic state.
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "ts", "user_id")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "is_new", (F.row_number().over(wu) == 1).cast("long")
+    )
+    daily = (
+        flagged.groupBy(fn.date_str(F.col("ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("dau"),
+            F.sum("is_new").alias("new_users"),
+        )
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        daily.withColumn("cum_users", F.sum("new_users").over(wd))
+        .select("day", "n_events", "dau", "new_users", "cum_users")
+        .orderBy("day")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
     "q33": q33, "q34": q34, "q35": q35, "q36": q36, "q37": q37,
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
-    "q51": q51, "q52": q52,
+    "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
+    "q56": q56, "q57": q57,
 }

@@ -1,0 +1,94 @@
+"""Unit tests for sessionize / gap_fill_locf / sampling / tfidf edges
+that the sf0.01 parity run can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from diachronic_spark.operators import sampling as SA
+from diachronic_spark.operators import sessions as SN
+from diachronic_spark.operators import timeseries as TS
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundary_and_ties(spark):
+    # gap == threshold continues the session (strict >); equal
+    # timestamps break ties on event_id so order is total.
+    rows = [
+        (1, _ts("2024-01-01 00:00:00"), 7),
+        (2, _ts("2024-01-01 00:30:00"), 7),   # exactly 1800s: same session
+        (3, _ts("2024-01-01 01:00:01"), 7),   # 1801s: new session
+        (5, _ts("2024-01-01 01:00:01"), 7),   # tie ts -> ordered by id
+        (4, _ts("2024-01-02 00:00:00"), 9),   # other user independent
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in SN.sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 5: 2, 4: 1}
+
+
+def test_gap_fill_locf_leading_gap_stays_null(spark):
+    # key B has no observation in the first bucket: filled stays null
+    # until B's first real row; counts zero-fill everywhere.
+    rows = [
+        ("A", _ts("2024-01-01 00:15:00"), 1.0),
+        ("A", _ts("2024-01-01 03:15:00"), 3.0),
+        ("B", _ts("2024-01-01 02:15:00"), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    rolled = TS.bucket_rollup(
+        df, "k", "ts", "hour",
+        {"n": F.count(F.lit(1)), "avg_v": F.avg("v")},
+    )
+    out = TS.gap_fill_locf(rolled, "k", "hour", fill=("avg_v",), zero=("n",))
+    got = {
+        (r["k"], r["bucket"].hour): (r["n"], r["avg_v_filled"])
+        for r in out.collect()
+    }
+    # spine: hours 0..3 for both keys (global bounds)
+    assert len(got) == 8
+    assert got[("A", 0)] == (1, 1.0)
+    assert got[("A", 1)] == (0, 1.0)      # LOCF carries hour-0 avg
+    assert got[("A", 2)] == (0, 1.0)
+    assert got[("A", 3)] == (1, 3.0)
+    assert got[("B", 0)] == (0, None)     # before first obs: null
+    assert got[("B", 1)] == (0, None)
+    assert got[("B", 2)] == (1, 9.0)
+    assert got[("B", 3)] == (0, 9.0)
+
+
+def test_hash_sample_consistent_across_tables(spark):
+    # the same keys survive sampling in any table sampled on that key,
+    # so FK joins between samples still line up
+    a = spark.range(0, 1000).withColumnRenamed("id", "k")
+    b = a.withColumn("payload", F.col("k") * 2)
+    ka = {r["k"] for r in SA.hash_sample_fraction(a, "k", 0.2).collect()}
+    kb = {r["k"] for r in SA.hash_sample_fraction(b, "k", 0.2).collect()}
+    assert ka == kb
+    assert 100 < len(ka) < 300  # ~200 expected
+
+
+def test_stratified_sample_exact_sizes_and_determinism(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+    )
+    s1 = SA.stratified_sample_k(df, "lang", "doc_id", k=7).collect()
+    s2 = SA.stratified_sample_k(df, "lang", "doc_id", k=7).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    by_stratum = {}
+    for r in s1:
+        by_stratum.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert {len(v) for v in by_stratum.values()} == {7}
+    # small stratum caps at its size, not k
+    tiny = spark.createDataFrame(
+        [(1, "x"), (2, "x")], "doc_id long, lang string"
+    )
+    assert SA.stratified_sample_k(tiny, "lang", "doc_id", k=7).count() == 2

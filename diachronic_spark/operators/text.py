@@ -233,3 +233,52 @@ def tfidf_top_terms(
         .filter(F.col("term_rank") <= top_k)
         .select(id_col, "term_rank", "term", "score")
     )
+
+
+# Rolling-hash parameters: Horner fold acc*B + code mod P. P = 2^31-1
+# (Mersenne) keeps acc*B + 0xFFFF < 2^39, far from int64 overflow, and
+# is portable to any engine with 64-bit integer arithmetic.
+RH_BASE = 131
+RH_MOD = 2**31 - 1
+
+
+def fingerprint_rolling(
+    df: DataFrame, text_col: str = "text", k: int = 16, stride: int = 4
+) -> DataFrame:
+    """Production variant of ``fingerprint``: same min-over-k-char-
+    windows bottom-1 sketch, but each window hashes via a polynomial
+    Horner fold of Unicode code points in plain int64 arithmetic
+    instead of an md5 digest — no cryptographic rounds in the hot
+    loop, stays fully inside whole-stage codegen.
+
+    The code-point array must materialize ONCE per document: lambda
+    bodies get no CSE, and a plain ``withColumn`` is NOT enough —
+    CollapseProject inlines it into every window's slice, re-splitting
+    the whole text per window (O(len²) per doc; measured 15.7s vs 1.0s
+    at sf0.1). The barrier is ``explode(array(codes))``: a Generate
+    node evaluates its child exactly once per row and downstream
+    references see an attribute, not a substitutable expression — no
+    cache, no shuffle, still one streaming pass.
+
+    ``fp`` is a bigint (vs the md5 variant's hex string) — 8 bytes per
+    doc in every downstream shuffle instead of 32.
+    """
+    txt = F.col(text_col)
+    last_start = F.greatest(F.length(txt) - F.lit(k - 1), F.lit(1))
+    starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    codes = F.transform(F.split(txt, ""), lambda c: F.ascii(c).cast("long"))
+    with_codes = df.select(
+        "*", F.explode(F.array(codes)).alias("__codes")
+    )
+    window_hash = lambda i: F.aggregate(  # noqa: E731
+        F.slice(F.col("__codes"), i, k),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * RH_BASE + c) % RH_MOD,
+    )
+    return (
+        with_codes.withColumn(
+            "fp", F.array_min(F.transform(starts, window_hash))
+        )
+        .withColumn("n_grams", F.size(starts))
+        .drop("__codes")
+    )

@@ -261,14 +261,22 @@ SELECT lang,
 FROM t GROUP BY lang ORDER BY lang
 """
 
+# q31: polynomial rolling-hash fingerprint (Horner fold of code
+# points, B=131, P=2^31-1) — replays the identical fold with
+# list_reduce over the same code-point slices.
 EXT_ORACLE["q31"] = """
+WITH c AS (
+  SELECT doc_id,
+         [ord(x)::BIGINT FOR x IN string_split(text, '')] AS codes,
+         greatest(length(text) - 15, 1) AS last_start
+  FROM documents)
 SELECT doc_id,
-       list_min([md5(substring(text, i, 16))
-                 FOR i IN generate_series(1, greatest(length(text) - 15, 1), 4)])
-         AS fp,
-       CAST(len(generate_series(1, greatest(length(text) - 15, 1), 4))
-            AS INTEGER) AS n_grams
-FROM documents
+       list_min([list_reduce(
+                   list_prepend(0::BIGINT, list_slice(codes, i, i + 15)),
+                   (acc, ch) -> (acc * 131 + ch) % 2147483647)
+                 FOR i IN generate_series(1, last_start, 4)]) AS fp,
+       CAST(len(generate_series(1, last_start, 4)) AS INTEGER) AS n_grams
+FROM c
 ORDER BY doc_id
 """
 

@@ -182,7 +182,11 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 # --- q31: rolling-hash document fingerprint (L4) --------------------------
 def q31(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "text")
-    return T.fingerprint(d).select("doc_id", "fp", "n_grams").orderBy("doc_id")
+    return (
+        T.fingerprint_rolling(d)
+        .select("doc_id", "fp", "n_grams")
+        .orderBy("doc_id")
+    )
 
 
 # --- q32: multimodal binary plumbing (L5) ---------------------------------

@@ -92,3 +92,47 @@ def test_stratified_sample_exact_sizes_and_determinism(spark):
         [(1, "x"), (2, "x")], "doc_id long, lang string"
     )
     assert SA.stratified_sample_k(tiny, "lang", "doc_id", k=7).count() == 2
+
+
+def test_fingerprint_rolling_matches_python_replay(spark):
+    # pure-Python Horner replay over code points, incl. CJK + short doc
+    from diachronic_spark.operators.text import RH_BASE, RH_MOD, fingerprint_rolling
+
+    texts = ["hello world this is a longer document text", "的是了在我有", "ab"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["fp"], r["n_grams"])
+        for r in fingerprint_rolling(df, k=16, stride=4).collect()
+    }
+
+    def replay(t):
+        codes = [ord(c) for c in t]
+        last = max(len(t) - 15, 1)
+        hs = []
+        for i in range(1, last + 1, 4):
+            acc = 0
+            for c in codes[i - 1 : i - 1 + 16]:
+                acc = (acc * RH_BASE + c) % RH_MOD
+            hs.append(acc)
+        return min(hs), len(hs)
+
+    assert got == {i: replay(t) for i, t in enumerate(texts)}
+
+
+def test_fingerprint_rolling_same_window_structure_as_md5(spark):
+    # both variants sketch the same windows: n_grams must agree, and
+    # identical texts must share fp under both
+    from diachronic_spark.operators.text import fingerprint, fingerprint_rolling
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "abcdefghijklmnopqrstuvwxyz"),
+         (3, "completely different text here")],
+        "doc_id long, text string",
+    )
+    md5v = {r["doc_id"]: (r["fp"], r["n_grams"]) for r in fingerprint(df).collect()}
+    roll = {r["doc_id"]: (r["fp"], r["n_grams"]) for r in fingerprint_rolling(df).collect()}
+    assert {k: v[1] for k, v in md5v.items()} == {k: v[1] for k, v in roll.items()}
+    assert md5v[1][0] == md5v[2][0] and roll[1][0] == roll[2][0]
+    assert roll[1][0] != roll[3][0]

@@ -422,3 +422,70 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- IVF store at rest: cell as a physical partition column ---------------
+
+def write_ivf_store(
+    emb: DataFrame, assign: DataFrame, path: str
+) -> None:
+    """Materialize an IVF index as a partitioned parquet layout: one
+    directory per quantizer cell (``cell=<id>/``). This turns the probe
+    step's cell membership semi-join into PARTITION PRUNING — a query
+    that probes 2 of 256 cells plans a scan of 2/256ths of the corpus;
+    the other 254 directories are never listed into the scan.
+
+    ``assign`` is (vec_id, cell) — a ``kmeans`` fit or any quantizer.
+    One shuffle on cell at write time (repartition before partitionBy
+    so each cell directory is a few large files, not one shard per
+    input partition).
+    """
+    (
+        emb.join(assign, "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_store_topk(
+    spark,
+    path: str,
+    cents: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k over a ``write_ivf_store`` layout. The probe cells come
+    from ranking the centroid table (k rows — a driver-side collect of
+    KB-scale metadata, the same trick as a file-index lookup), and the
+    scan filters ``cell IN (...)`` with LITERALS, which is the form
+    Spark's datasource can push into partition pruning at PLANNING
+    time (check PartitionFilters in the explain output;
+    tests/test_layout.py asserts it).
+    """
+    from pyspark.sql import functions as F  # local: keep module header slim
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_rows = (
+        cents.select(
+            "cell", cosine_similarity(F.col("c"), q).alias("c_sim")
+        )
+        .orderBy(F.desc("c_sim"), F.asc("cell"))
+        .limit(n_probe)
+        .collect()
+    )
+    probe_cells = [r["cell"] for r in probe_rows]
+    store = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    return (
+        store.select(
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), q), round_to).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(k)
+    )

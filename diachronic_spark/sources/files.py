@@ -42,3 +42,21 @@ def read_csv(
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC scan — columnar like parquet (stripe statistics, predicate
+    pushdown, column pruning all apply), common as an interchange
+    format out of Hive/Trino warehouses. Schema optional: ORC embeds
+    one, but pass it when the directory mixes writer versions.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    df.write.mode("overwrite").option("compression", compression).orc(path)

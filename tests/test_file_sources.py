@@ -35,3 +35,14 @@ def test_jsonl_permissive_on_malformed(spark, tmp_path):
     rows = df.collect()
     # malformed line becomes a null row, valid rows survive
     assert sorted(r.k for r in rows if r.k is not None) == [1, 2]
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from diachronic_spark.catalog import load
+    from diachronic_spark.sources.files import read_orc, write_orc
+
+    src = load(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path, src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

@@ -119,3 +119,49 @@ def test_compact_range_layout_gives_disjoint_file_ranges(spark, sf_dir, tmp_path
         # range partitioning: every key lives in exactly one file, so
         # consecutive file ranges cannot interleave
         assert hi_prev <= lo_next
+
+
+def test_ivf_store_prunes_partitions_and_matches_full_scan(spark, sf_dir, tmp_path):
+    from diachronic_spark.catalog import load
+    from diachronic_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    # quantizer = the label cells (deterministic, no fit needed here)
+    assign = emb.select("vec_id", F.col("label").alias("cell"))
+    cents = (
+        emb.groupBy(F.col("label").alias("cell"))
+        .agg(F.array(*[F.round(F.avg(F.col("embedding")[i]), 6)
+                       for i in range(64)]).alias("c"))
+    )
+    path = str(tmp_path / "ivf_store")
+    S.write_ivf_store(emb.select("vec_id", "embedding"), assign, path)
+
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 7).select("embedding").first()[0]]
+    got = S.ivf_store_topk(spark, path, cents, qv, k=5, n_probe=2)
+
+    # 1) plan-level: the scan must carry a PartitionFilters entry on
+    # cell — the probe semi-join became metadata pruning
+    plan = plan_str(got)
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # 2) the probe is selective: more cells exist than are probed
+    n_cells = assign.select("cell").distinct().count()
+    assert n_cells > 2  # otherwise the test proves nothing
+
+    # 3) results equal the unpartitioned probe over the same cells
+    from diachronic_spark.functions import cosine_similarity
+    q = F.array(*[F.lit(x) for x in qv])
+    probe_cells = [r["cell"] for r in
+                   cents.select("cell",
+                                cosine_similarity(F.col("c"), q).alias("s"))
+                   .orderBy(F.desc("s"), F.asc("cell")).limit(2).collect()]
+    want = (
+        emb.join(assign, "vec_id")
+        .filter(F.col("cell").isin(probe_cells))
+        .select("vec_id",
+                F.round(cosine_similarity(F.col("embedding"), q), 4)
+                .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]

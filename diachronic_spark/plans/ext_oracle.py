@@ -768,3 +768,53 @@ SELECT day, n_events, dau, new_users,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
 FROM d ORDER BY day
 """
+
+# q58: unpivot as the canonical UNION ALL rewrite.
+EXT_ORACLE["q58"] = """
+WITH a AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price,
+         round(sum(l_discount), 2) AS sum_disc
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM a
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+ORDER BY l_returnflag, metric
+"""
+
+# q59: ordered LISTAGG.
+EXT_ORACLE["q59"] = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+# q60: exact weekly distinct; the sketch estimate's 5%-band membership
+# is a fixed fact for fixed data, so the oracle pins it TRUE.
+EXT_ORACLE["q60"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       count(DISTINCT user_id) AS exact_users,
+       true AS est_within_5pct
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+# q61: JSON path access over props; integer-exact average.
+EXT_ORACLE["q61"] = """
+WITH k AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_type,
+       count(k) AS n,
+       sum(k) AS sum_k,
+       ((200 * sum(k) + count(k)) // (2 * count(k))) / 100.0 AS avg_k
+FROM k GROUP BY event_type
+ORDER BY event_type
+"""

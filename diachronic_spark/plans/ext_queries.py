@@ -753,6 +753,104 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q58: unpivot / melt (wide -> long reshape) ----------------------------
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        _r2(F.sum("l_quantity")).alias("sum_qty"),
+        _r2(F.sum("l_extendedprice")).alias("sum_price"),
+        _r2(F.sum("l_discount")).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
+        "metric", "value",
+    ).orderBy("l_returnflag", "metric")
+
+
+# --- q59: ordered string aggregation (LISTAGG) -----------------------------
+# collect_list is order-nondeterministic under parallel merge, so the
+# deterministic form is collect -> array_sort -> join.
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    s = load(spark, sf, "supplier").select("s_nationkey", "s_name")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(
+                F.array_sort(F.collect_list("s_name")), ","
+            ).alias("supplier_csv"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q60: mergeable HLL sketches (datasketches surface) --------------------
+# The 100 TB pattern: materialize a tiny sketch per (day) partition
+# once, answer distinct-count rollups at any coarser grain by MERGING
+# sketches — no re-scan of raw events. HLL registers are max-merged so
+# the estimate is order-insensitive and deterministic; the oracle
+# checks the exact weekly distinct and that the estimate lands within
+# 5% (a fixed fact for fixed data, not a flaky tolerance).
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        fn.date_str(F.col("ts")).alias("day"),
+        F.date_format(
+            F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+        ).alias("week"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    weekly_est = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("week").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        weekly_est.join(exact, "week")
+        .select(
+            "week",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("week")
+    )
+
+
+# --- q61: VariantType semi-structured access -------------------------------
+# Spark-4-native JSON handling: parse once into the variant binary
+# encoding, then path access without re-parsing the string per field
+# (vs q50's from_json map). Average in exact integer arithmetic (the
+# q54 shortest-decimal guard).
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_type", "props")
+    k = ev.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "int"
+        ).alias("k"),
+    )
+    avg_k = F.expr("(200 * sum(k) + count(k)) div (2 * count(k))") / F.lit(
+        100.0
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            avg_k.alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -760,5 +858,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38": q38, "q39": q39, "q40": q40, "q41": q41, "q42": q42,
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
-    "q56": q56, "q57": q57,
+    "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
+    "q61": q61,
 }

@@ -236,3 +236,58 @@ def purchase_attribution_join(
     ).select(
         "p_user", "purchase_id", "click_id", "c_ts", "p_ts", "purchase_value"
     )
+
+
+def threshold_scan_tws(
+    events: DataFrame, epoch: dt.datetime
+) -> DataFrame:
+    """``threshold_scan_stream`` on the NEW arbitrary-state API
+    (transformWithStateInPandas, Spark 4): identical semantics, but
+    state lives in named, schema-typed handles (ValueState) managed by
+    the state store instead of a single opaque tuple — the
+    forward-looking surface (composable state variables, TTL, timers,
+    initial-state bootstrap) for new stateful operators.
+
+    Output equivalence with the GroupState form is test-pinned.
+    Requires the RocksDB state store provider and the protobuf package
+    (the Python driver worker speaks protobuf to the JVM state
+    server) — the test gates on both.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ThresholdScan(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cur = handle.getValueState("cur", STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key: Tuple[Any, ...], rows: Iterator[pd.DataFrame], timer_values
+        ) -> Iterator[pd.DataFrame]:
+            got = self._cur.get()
+            cur = pd.Timestamp(got[0]) if got is not None else pd.Timestamp(epoch)
+            out = []
+            for pdf in rows:
+                for row in pdf.sort_values("ts").itertuples(index=False):
+                    if pd.Timestamp(row.ts) >= cur:
+                        out.append((key[0], row.event_id, row.ts, row.value))
+                        cur = (
+                            pd.Timestamp(row.ts).normalize()
+                            + pd.Timedelta(days=1)
+                        )
+            self._cur.update((cur.to_pydatetime(),))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "event_id", "ts", "value"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=ThresholdScan(),
+        outputStructType=SCAN_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )

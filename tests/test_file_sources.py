@@ -46,3 +46,44 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     write_orc(src, path)
     back = read_orc(spark, path, src.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_wiki_manifest_datasource(spark, tmp_path):
+    import json
+
+    from diachronic_spark.sources import manifest_ds
+    from diachronic_spark.sources.manifest import files_to_run
+
+    for wiki, files in [
+        ("enwiki", {"enwiki-a.7z": {"size": 11, "url": "u/a", "sha1": "aa"},
+                    "enwiki-b.7z": {"size": 22, "url": "u/b", "sha1": "bb"}}),
+        ("dewiki", {"dewiki-a.7z": {"size": 33, "url": "u/c", "sha1": "cc"}}),
+    ]:
+        d = tmp_path / wiki
+        d.mkdir()
+        (d / "dumpstatus.json").write_text(json.dumps(
+            {"jobs": {"metahistory7zdump": {"files": files}}}
+        ))
+
+    manifest_ds.register(spark)
+    df = (
+        spark.read.format("wiki_manifest")
+        .option("paths", ",".join(
+            str(tmp_path / w / "dumpstatus.json") for w in ["enwiki", "dewiki"]
+        ))
+        .load()
+    )
+    rows = {(r["wiki"], r["file_name"], r["size"]) for r in df.collect()}
+    assert rows == {("enwiki", "enwiki-a.7z", 11),
+                    ("enwiki", "enwiki-b.7z", 22),
+                    ("dewiki", "dewiki-a.7z", 33)}
+    # parse parallelism = one partition per manifest
+    assert df.rdd.getNumPartitions() == 2
+
+    # composes with the incremental-skip anti-join
+    done = spark.createDataFrame(
+        [("enwiki-a.7z.parquet",)], "blob_name string"
+    )
+    todo = {r["file_name"]
+            for r in files_to_run(df, done).select("file_name").collect()}
+    assert todo == {"enwiki-b.7z", "dewiki-a.7z"}

@@ -303,3 +303,39 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, stream_dir):
         for r in purchase_attribution_join(bc, bp).collect()
     )
     assert got and got == want
+
+
+def test_threshold_scan_tws_equals_groupstate_form(spark, sf_dir, stream_dir):
+    # transformWithState's Python driver worker speaks protobuf to the
+    # JVM state server; without the protobuf package the query crashes
+    # at init. Gate, don't fail — the operator is correct surface and
+    # runs wherever pyspark's standard connect/streaming deps exist.
+    pytest.importorskip("google.protobuf")
+    from diachronic_spark.streaming.events import threshold_scan_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    epoch = dt.datetime(2024, 1, 1)
+    q = (
+        threshold_scan_tws(read_event_stream(spark, stream_dir), epoch)
+        .writeStream.format("memory")
+        .queryName("scan_tws")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q)
+    q2 = (
+        threshold_scan_stream(read_event_stream(spark, stream_dir), epoch)
+        .writeStream.format("memory")
+        .queryName("scan_gs")
+        .outputMode("append")
+        .start()
+    )
+    _drain(q2)
+    tws = {tuple(r) for r in spark.sql("select * from scan_tws").collect()}
+    gs = {tuple(r) for r in spark.sql("select * from scan_gs").collect()}
+    assert tws == gs and len(tws) > 0

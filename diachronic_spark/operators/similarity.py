@@ -489,3 +489,32 @@ def ivf_store_topk(
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the 4× memory /
+    bandwidth reduction that makes billion-vector ANN indexes fit: keep
+    ``q_vec`` (int8-range bigints) + one double ``scale`` per vector
+    instead of float32s; dequantize on read as ``q / scale``.
+
+    ``scale = 127 / max|x|`` (1.0 for an all-zero vector so the guard
+    never divides by zero); ``q_i = floor(x_i * scale + 0.5)``.
+    floor(x+0.5) instead of round(): Spark's round() on doubles rounds
+    the shortest-decimal rendering (BigDecimal.valueOf) while other
+    engines round the binary value, so exact-.5 renderings can diverge
+    cross-engine — floor is pure IEEE arithmetic, bit-identical
+    everywhere. Expression-only, row-local, no shuffle.
+    """
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(amax == 0, F.lit(1.0)).otherwise(F.lit(127.0) / amax)
+    with_scale = emb.withColumn("scale", scale)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)),
+    )
+    return with_scale.withColumn("q_vec", q).withColumn(
+        "dq_vec",
+        F.transform(F.col("q_vec"), lambda v: v / F.col("scale")),
+    )

@@ -282,3 +282,44 @@ def fingerprint_rolling(
         .withColumn("n_grams", F.size(starts))
         .drop("__codes")
     )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking (context-window shaping for
+    training corpora): chunk ``c`` covers tokens
+    ``[1 + c*stride, 1 + c*stride + size)``, so consecutive chunks
+    overlap by ``size - stride`` tokens and trailing chunks may be
+    shorter — every token is covered, nothing is padded. An empty
+    document yields one empty chunk (row preserved for accounting).
+
+    Expression-only and row-local: ``sequence`` generates the start
+    offsets, one ``posexplode`` Generate emits a row per chunk, and
+    ``slice`` re-reads the already-materialized token array — no
+    shuffle, no Python, scales linearly with corpus bytes. chunk_id is
+    the 0-based posexplode index, identical to ``(start-1)/stride``.
+    """
+    assert 0 < stride <= size, "stride must be in (0, size]"
+    toks = df.select(
+        id_col, whitespace_tokens(F.col(text_col)).alias("toks")
+    ).withColumn("n_toks", F.size("toks"))
+    starts = F.sequence(
+        F.lit(1), F.greatest("n_toks", F.lit(1)), F.lit(stride)
+    )
+    return (
+        toks.select(
+            id_col, "toks", F.posexplode(starts).alias("chunk_id", "start")
+        )
+        .withColumn("chunk_toks", F.slice("toks", F.col("start"), size))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("chunk_toks").alias("chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )

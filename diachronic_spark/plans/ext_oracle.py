@@ -818,3 +818,68 @@ SELECT event_type,
 FROM k GROUP BY event_type
 ORDER BY event_type
 """
+
+# q62: sliding-window token chunking; chunk_id = (start-1)/stride.
+EXT_ORACLE["q62"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(len(toks), 1), 24)) AS start
+  FROM toks)
+SELECT doc_id,
+       (start - 1) // 24 AS chunk_id,
+       len(list_slice(toks, start, start + 31)) AS chunk_tokens,
+       array_to_string(list_slice(toks, start, start + 31), ' ')
+         AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+# q63: int8 quantization fidelity. floor(x*s + 0.5) replays Spark's
+# quantizer in pure IEEE arithmetic (see quantize_embeddings).
+EXT_ORACLE["q63"] = """
+WITH scaled AS (
+  SELECT vec_id, embedding,
+         CASE WHEN amax = 0 THEN 1.0 ELSE 127.0 / amax END AS s
+  FROM (SELECT vec_id, embedding,
+               list_max([abs(embedding[i]::DOUBLE)
+                         FOR i IN generate_series(1, 64)]) AS amax
+        FROM embeddings)),
+qz AS (
+  SELECT vec_id,
+         [floor(embedding[i]::DOUBLE * s + 0.5) / s
+          FOR i IN generate_series(1, 64)] AS dq
+  FROM scaled),
+q AS (SELECT dq AS qdq FROM qz WHERE vec_id = 0),
+exact5 AS (
+  SELECT vec_id FROM (
+    SELECT e.vec_id,
+           list_sum([e.embedding[i]::DOUBLE * x.qe[i]::DOUBLE
+                     FOR i IN generate_series(1, 64)])
+           / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                             FOR i IN generate_series(1, 64)]))
+              * sqrt(list_sum([x.qe[i]::DOUBLE * x.qe[i]::DOUBLE
+                               FOR i IN generate_series(1, 64)]))) AS c
+    FROM embeddings e,
+         (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) x
+    WHERE e.vec_id <> 0
+    ORDER BY c DESC, e.vec_id LIMIT 5)),
+top_q AS (
+  SELECT qz.vec_id,
+         list_sum([qz.dq[i] * q.qdq[i] FOR i IN generate_series(1, 64)])
+         / (sqrt(list_sum([qz.dq[i] * qz.dq[i]
+                           FOR i IN generate_series(1, 64)]))
+            * sqrt(list_sum([q.qdq[i] * q.qdq[i]
+                             FOR i IN generate_series(1, 64)]))) AS cos_q_full
+  FROM qz, q WHERE qz.vec_id <> 0
+  ORDER BY cos_q_full DESC, qz.vec_id LIMIT 5)
+SELECT vec_id,
+       round(cos_q_full, 4) AS cos_q,
+       vec_id IN (SELECT vec_id FROM exact5) AS in_exact_top5
+FROM top_q
+ORDER BY cos_q DESC, vec_id
+"""

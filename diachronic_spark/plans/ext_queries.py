@@ -851,6 +851,68 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q62: sliding-window token chunking ------------------------------------
+# Context-window shaping for training: 32-token chunks, stride 24
+# (8-token overlap). Row-local Generate, no shuffle — the op that turns
+# a 100 TB document corpus into model-ready sequences in one pass.
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return T.chunk_tokens(d, size=32, stride=24).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# --- q63: int8 embedding quantization + neighbor fidelity ------------------
+# Symmetric scalar quantization (4× smaller vectors), then the metric
+# that matters: does the quantized index return the same neighbors?
+# Top-5 cosine over DEQUANTIZED vectors for query vec_id=0, flagged
+# against the exact float top-5 (q19). For this data the recall is
+# 5/5 — a pinned fact, like q60's sketch band.
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    dq = S.quantize_embeddings(emb).select("vec_id", "dq_vec")
+    qv = dq.filter(F.col("vec_id") == 0).select(
+        F.col("dq_vec").alias("q_dq")
+    )
+    exact5 = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(
+            F.broadcast(
+                emb.filter(F.col("vec_id") == 0).select(
+                    F.col("embedding").alias("qe")
+                )
+            )
+        )
+        .select("vec_id", fn.cosine_similarity("embedding", "qe").alias("c"))
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id")
+    )
+    top_q = (
+        dq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            fn.cosine_similarity("dq_vec", "q_dq").alias("cos_q_full"),
+        )
+        .orderBy(F.desc("cos_q_full"), F.asc("vec_id"))
+        .limit(5)
+    )
+    return (
+        top_q.join(
+            F.broadcast(exact5.withColumn("hit", F.lit(True))),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.round("cos_q_full", 4).alias("cos_q"),
+            F.coalesce("hit", F.lit(False)).alias("in_exact_top5"),
+        )
+        .orderBy(F.desc("cos_q"), F.asc("vec_id"))
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -859,5 +921,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
-    "q61": q61,
+    "q61": q61, "q62": q62, "q63": q63,
 }

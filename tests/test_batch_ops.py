@@ -136,3 +136,51 @@ def test_fingerprint_rolling_same_window_structure_as_md5(spark):
     assert {k: v[1] for k, v in md5v.items()} == {k: v[1] for k, v in roll.items()}
     assert md5v[1][0] == md5v[2][0] and roll[1][0] == roll[2][0]
     assert roll[1][0] != roll[3][0]
+
+
+def test_chunk_tokens_edges(spark):
+    from diachronic_spark.operators.text import chunk_tokens
+
+    rows = [
+        (1, "a b c d e f g"),   # 7 tokens: size 3 stride 2 -> 4 chunks
+        (2, "x"),               # shorter than size -> one chunk
+        (3, ""),                # empty -> one empty chunk, row preserved
+        (4, "p q r"),           # exactly size -> chunks at 1 and 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_tokens, r.chunk_text)
+        for r in chunk_tokens(df, size=3, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): (3, "a b c"), (1, 1): (3, "c d e"),
+        (1, 2): (3, "e f g"), (1, 3): (1, "g"),
+        (2, 0): (1, "x"),
+        (3, 0): (0, ""),
+        (4, 0): (3, "p q r"), (4, 1): (1, "r"),
+    }
+    # overlap invariant: consecutive chunks share size-stride tokens
+    c0, c1 = got[(1, 0)][1].split(), got[(1, 1)][1].split()
+    assert c0[-1] == c1[0]
+
+
+def test_quantize_embeddings_range_and_zero_guard(spark):
+    from diachronic_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, [0.0, 0.0, 0.0]),     # zero vector: scale guard, q = 0
+        (2, [-0.1, 0.1, 0.05]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r.q_vec)
+    assert out[1].scale == 1.0 and out[1].q_vec == [0, 0, 0]
+    # max-magnitude component always maps to ±127 (scale definition)
+    assert max(abs(q) for q in out[0].q_vec) == 127
+    # dequantization error bounded by half a quantization step
+    for r in (out[0], out[2]):
+        step = 1.0 / r.scale
+        for x, dq in zip(r.embedding, r.dq_vec):
+            assert abs(x - dq) <= step / 2 + 1e-12

@@ -133,3 +133,61 @@ def compact(
     df.write.mode("overwrite").option("compression", compression).parquet(dst)
     out = spark.read.parquet(dst)
     return len([f for f in out.inputFiles() if f.endswith(".parquet")])
+
+
+def _equi_depth_bucket(col: str, boundaries: list[float]) -> F.Column:
+    """0-based equi-depth bucket index: the count of boundaries <= x.
+    Boundary list is a literal array (KB-scale), so this is a pure
+    codegen expression — no join, no shuffle."""
+    blit = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(
+        F.filter(blit, lambda b: b <= F.col(col).cast("double"))
+    ).cast("long")
+
+
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering: the file
+    layout that makes selective scans on ANY of ``cols`` skip most
+    files, not just scans on the single lead sort key.
+
+    A linear sort on x packs each file into a thin x-slice spanning the
+    FULL y range — a y-predicate then intersects every file. Z-order
+    interleaves the bits of per-column equi-depth bucket ranks, so each
+    file covers a small hyper-rectangle in (x, y, ...) space and
+    parquet footer min/max stats prune files for predicates on any
+    clustered column (tests assert the bbox-intersection count).
+
+    Mechanics, all scalable: one tiny aggregate computes
+    ``approx_percentile`` boundaries per column (2^bits-1 doubles,
+    embedded as literals — equi-depth so skew can't collapse buckets),
+    the z-value is a pure bit-interleave expression, and the write is
+    ``repartitionByRange`` + ``sortWithinPartitions`` on z — one
+    shuffle, the same cost as any compaction pass.
+    """
+    n_buckets = 1 << bits
+    qs = [float(k) / n_buckets for k in range(1, n_buckets)]
+    bounds = df.select(
+        *[
+            F.percentile_approx(
+                F.col(c).cast("double"), F.array(*[F.lit(q) for q in qs])
+            ).alias(c)
+            for c in cols
+        ]
+    ).collect()[0]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bucket = _equi_depth_bucket(c, list(bounds[c]))
+            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )

@@ -165,3 +165,42 @@ def test_ivf_store_prunes_partitions_and_matches_full_scan(spark, sf_dir, tmp_pa
         .orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(5)
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+
+def test_zorder_layout_skips_files_on_either_dimension(spark, tmp_path):
+    from diachronic_spark.operators.layout import zorder_layout
+
+    # 64x64 uniform grid: the adversarial case for a linear sort (no
+    # correlation between dimensions).
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    zpath, lpath = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    zorder_layout(grid, ["x", "y"], n_files=16, bits=4).write.parquet(zpath)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        lpath
+    )
+
+    def files_hit(path, col, lo, hi):
+        bbox = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_name").alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+        )
+        return bbox.filter(
+            (F.col("hi") >= lo) & (F.col("lo") <= hi)
+        ).count()
+
+    # rows preserved, 16 real files
+    z = spark.read.parquet(zpath)
+    assert z.count() == 64 * 64
+    assert z.select("_metadata.file_name").distinct().count() == 16
+    # a thin y-band intersects EVERY linear file but only a corner of
+    # the z-order files; a thin x-band still prunes under z-order.
+    assert files_hit(lpath, "y", 0, 3) == 16
+    assert files_hit(zpath, "y", 0, 3) <= 8
+    assert files_hit(zpath, "x", 0, 3) <= 8
+    # z-order prunes on BOTH dimensions; linear only on its sort key.
+    both = files_hit(zpath, "x", 0, 3) + files_hit(zpath, "y", 0, 3)
+    linear = files_hit(lpath, "x", 0, 3) + files_hit(lpath, "y", 0, 3)
+    assert both < linear

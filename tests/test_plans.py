@@ -8,7 +8,9 @@ that small-data correctness tests would never catch.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
+from diachronic_spark.catalog import load
 from diachronic_spark.plans import QUERIES
 
 
@@ -133,3 +135,43 @@ def test_q46_contamination_probe_is_broadcast(spark, sf_dir):
     never as a shuffled join of the corpus side."""
     p = plan_str(QUERIES["q46"](spark, sf_dir))
     assert "BroadcastHashJoin" in p
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: when the build side of a shuffled
+    join carries a selective filter, Spark injects a bloom_filter_agg
+    on it and a might_contain predicate on the probe-side SCAN — rows
+    of the 100 TB fact side that can't join die before the exchange.
+    Thresholds are production-scale (10 GB probe side), so the test
+    lowers them; the assertion is that the rewrite fires at all.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in [
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ]
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        orders = (
+            load(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey")
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        p = plan_str(j)
+        assert "might_contain" in p and "bloom_filter_agg" in p
+        # the filter sits on the probe side BELOW the join's exchange
+        assert p.index("might_contain") > p.index("SortMergeJoin")
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

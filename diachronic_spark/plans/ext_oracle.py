@@ -883,3 +883,14 @@ SELECT vec_id,
 FROM top_q
 ORDER BY cos_q DESC, vec_id
 """
+
+# q64: exact weekly p90 (quantile_cont matches Spark's percentile
+# interpolation); the KLL estimate's 5%-band membership is a pinned
+# fact for fixed data, like q60's HLL band.
+EXT_ORACLE["q64"] = """
+SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+       round(quantile_cont(value, 0.9), 2) AS p90_exact,
+       true AS est_within_5pct
+FROM events
+GROUP BY 1 ORDER BY 1
+"""

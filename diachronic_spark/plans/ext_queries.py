@@ -913,6 +913,53 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q64: mergeable KLL quantile sketches ----------------------------------
+# q60's pattern for PERCENTILES: one KLL sketch per (week, day)
+# partial, weekly p90 answered by merging the day sketches — never
+# re-scanning raw events. kll_sketch_merge is a binary scalar, so the
+# weekly merge is a fold over the (sorted — collect_list is
+# merge-order-nondeterministic) sketch array. Output pins the exact
+# p90 and the estimate's 5% band membership (margin is ~5× the
+# sketch's rank error at k=200, so the boolean is a stable fact).
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        F.date_format(
+            F.date_trunc("week", F.col("ts")), "yyyy-MM-dd"
+        ).alias("week"),
+        F.to_date("ts").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk")
+    )
+    sks = F.array_sort(F.collect_list("sk"))
+    merged = F.aggregate(
+        F.slice(sks, 2, F.greatest(F.size(sks) - 1, F.lit(0))),
+        F.element_at(sks, 1),
+        lambda acc, x: F.kll_sketch_merge_double(acc, x),
+    )
+    weekly = daily.groupBy("week").agg(
+        F.kll_sketch_get_quantile_double(merged, F.lit(0.9)).alias(
+            "p90_est"
+        )
+    )
+    exact = ev.groupBy("week").agg(
+        F.percentile("value", 0.9).alias("p90_exact")
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            _r2(F.col("p90_exact")).alias("p90_exact"),
+            (
+                F.abs(F.col("p90_est") - F.col("p90_exact"))
+                <= 0.05 * F.abs(F.col("p90_exact"))
+            ).alias("est_within_5pct"),
+        )
+        .orderBy("week")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -921,5 +968,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
-    "q61": q61, "q62": q62, "q63": q63,
+    "q61": q61, "q62": q62, "q63": q63, "q64": q64,
 }

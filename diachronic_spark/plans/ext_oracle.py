@@ -894,3 +894,9 @@ SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
 FROM events
 GROUP BY 1 ORDER BY 1
 """
+
+# q65: the SAME recursive SQL text Spark runs (engine-portable by
+# construction) — imported, not duplicated.
+from .ext_queries import Q65_SQL  # noqa: E402
+
+EXT_ORACLE["q65"] = Q65_SQL

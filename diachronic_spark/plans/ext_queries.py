@@ -960,6 +960,45 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q65: recursive CTE hierarchy descent (Spark 4 WITH RECURSIVE) ---------
+# The SQL-surface complement of q52's iterative DataFrame loop: a
+# recursive traversal of the region→nation→customer→orders DAG,
+# counting reachable nodes per (region, depth). One SQL string runs
+# VERBATIM on both engines — the oracle is the same text. Spark's
+# recursion only supports UNION ALL (no dedup step yet), so the
+# traversal must be acyclic; a DAG descent terminates naturally,
+# which is why this exercises a hierarchy rather than the near-dup
+# graph closure (that stays DataFrame-iterative in q52).
+Q65_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 'r' || r_regionkey AS src, 'n' || n_nationkey AS dst
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  UNION ALL
+  SELECT 'n' || n_nationkey, 'c' || c_custkey
+  FROM nation JOIN customer ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'c' || c_custkey, 'o' || o_orderkey
+  FROM customer JOIN orders ON o_custkey = c_custkey
+),
+reach(root, node, depth) AS (
+  SELECT 'r' || r_regionkey, 'r' || r_regionkey, 0 FROM region
+  UNION ALL
+  SELECT r.root, e.dst, r.depth + 1
+  FROM reach r JOIN edges e ON r.node = e.src
+)
+SELECT r_name, depth, count(*) AS n_nodes
+FROM reach JOIN region ON root = 'r' || r_regionkey
+GROUP BY r_name, depth
+ORDER BY r_name, depth
+"""
+
+
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    for t in ["region", "nation", "customer", "orders"]:
+        load(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(Q65_SQL)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -968,5 +1007,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43": q43, "q44": q44, "q45": q45, "q46": q46, "q47": q47, "q48": q48, "q49": q49, "q50": q50,
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
-    "q61": q61, "q62": q62, "q63": q63, "q64": q64,
+    "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
 }

@@ -323,3 +323,51 @@ def chunk_tokens(
             F.array_join("chunk_toks", " ").alias("chunk_text"),
         )
     )
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+# Patterns kept to the regex subset where Java's engine (Spark) and
+# RE2 (DuckDB) agree exactly: char classes, bounded repeats, \b.  No
+# backrefs, no lookaround (RE2 has neither).
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def inject_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Deterministically append synthetic PII to every 7th document —
+    the test substrate for `redact_pii` (the real corpus is lorem text
+    with no emails/phones, so redaction would be an untested no-op).
+    Mirrored verbatim in the q70 oracle SQL.
+    """
+    pii = F.format_string(
+        " contact user%d@example.com or 555-%04d",
+        F.col(id_col), F.col(id_col) % 10000,
+    )
+    return df.withColumn(
+        text_col,
+        F.when(F.col(id_col) % 7 == 0, F.concat(F.col(text_col), pii))
+        .otherwise(F.col(text_col)),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails/phone numbers with typed placeholder tokens and
+    count what was removed.
+
+    Row-local and expression-only (regexp_extract_all + two
+    regexp_replace): scan-bound at 100 TB, no shuffle, and the scan
+    only reads the text column (column pruning).  Adds: n_emails,
+    n_phones, redacted (text with [EMAIL]/[PHONE] substituted).
+    """
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))))
+        .withColumn("n_phones", F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))))
+        .withColumn(
+            "redacted",
+            F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+            ),
+        )
+    )

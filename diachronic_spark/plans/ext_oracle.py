@@ -900,3 +900,98 @@ GROUP BY 1 ORDER BY 1
 from .ext_queries import Q65_SQL  # noqa: E402
 
 EXT_ORACLE["q65"] = Q65_SQL
+
+# q66: ordered funnel — min-cascade formulation (k joins). Parity with
+# the Spark single-shuffle fold pins fold ≡ cascade semantics
+# (first step-i event strictly after the stage-(i-1) timestamp).
+EXT_ORACLE["q66"] = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+       JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+       JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+) ORDER BY stage
+"""
+
+# q67: weekly retention cohorts (both engines truncate weeks to ISO
+# Monday; the offset division is exact because both operands are week
+# starts).
+EXT_ORACLE["q67"] = """
+WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+           FROM events GROUP BY user_id)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cw, date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f ON e.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+# q68: SCD2 change compression + validity intervals.
+EXT_ORACLE["q68"] = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+scd AS (
+  SELECT user_id, event_type, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type,
+       strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+FROM scd ORDER BY user_id, vf
+"""
+
+# q69: column profile — the oracle is the k-pass UNION ALL form; the
+# Spark side computes all four columns' stats in ONE scan + stack().
+_PROF_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+EXT_ORACLE["q69"] = (
+    "SELECT * FROM (\n"
+    + "\n  UNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+       count(*) - count({c}) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(round(min({c}), 2) AS DOUBLE) AS min_v,
+       CAST(round(max({c}), 2) AS DOUBLE) AS max_v FROM lineitem"""
+        for c in _PROF_COLS
+    )
+    + "\n) ORDER BY col_name"
+)
+
+# q70: PII injection + redaction audit. Injection CASE mirrors
+# operators/text.py::inject_pii verbatim; patterns are in the
+# Java-regex ∩ RE2 subset so replace/extract counts agree.
+_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-z]{2,}"
+_PHONE = "\\b555-[0-9]{4}\\b"
+EXT_ORACLE["q70"] = """
+WITH inj AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || printf(' contact user%d@example.com or 555-%04d',
+                                  doc_id, doc_id % 10000)
+              ELSE text END AS text
+  FROM documents),
+red AS (
+  SELECT lang, text,
+         len(regexp_extract_all(text, '__EMAIL__')) AS n_emails,
+         len(regexp_extract_all(text, '__PHONE__')) AS n_phones,
+         regexp_replace(regexp_replace(text, '__EMAIL__', '[EMAIL]', 'g'),
+                        '__PHONE__', '[PHONE]', 'g') AS redacted
+  FROM inj)
+SELECT lang, count(*) AS n_docs,
+       sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
+       sum(n_emails) AS total_emails,
+       sum(n_phones) AS total_phones,
+       sum(length(text) - length(redacted)) AS chars_removed
+FROM red GROUP BY lang ORDER BY lang
+""".replace("__EMAIL__", _EMAIL).replace("__PHONE__", _PHONE)

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from .. import functions as fn
 from ..catalog import load
 from ..operators import dedup as D
+from ..operators import lifecycle as LC
 from ..operators import multimodal as M
 from ..operators import sampling as SA
 from ..operators import sessions as SN
@@ -999,6 +1000,101 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(Q65_SQL)
 
 
+# --- q66: ordered funnel (view → click → purchase) -------------------------
+# Single-shuffle fold (operators/lifecycle.py): events time-sorted per
+# user, folded with a monotone k-slot state struct — the per-key
+# ordered-scan shape of the reference's threshold loop (main.py:151-161)
+# generalized to k stages. The oracle is the equivalent k-join
+# min-cascade, so parity also pins fold ≡ cascade.
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return LC.funnel(e, ["view", "click", "purchase"]).orderBy("stage")
+
+
+# --- q67: weekly retention cohorts -----------------------------------------
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        LC.retention_cohorts(e)
+        .select(
+            fn.date_str(F.col("cohort_week")).alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# --- q68: SCD2 dimension build (change-stream → validity intervals) --------
+# Consecutive identical states collapse (classic temporal compression);
+# valid_to NULL marks the open/current interval. Both engines run the
+# same two-window shape; Spark plans ONE Window exchange+sort for both
+# lag and lead (same partition/order spec).
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    scd = LC.scd2_compress(e, "user_id", "event_type", "ts", "event_id")
+    return (
+        scd.select(
+            "user_id",
+            "event_type",
+            fn.ts_str(F.col("valid_from")).alias("valid_from"),
+            fn.ts_str(F.col("valid_to")).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
+
+
+# --- q69: single-pass column profiling (data-quality audit) ----------------
+# One aggregation computes (nulls, exact distinct, min, max) for every
+# profiled column, then stack() reshapes wide→long — ONE scan of the
+# table vs the oracle's UNION ALL of per-column passes. At 100 TB this
+# is the difference between 1 and k full scans; Spark's partial
+# aggregation keeps the single pass map-side-combined.
+PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.round(F.min(c), 2).alias(f"mn_{c}"),
+            F.round(F.max(c), 2).alias(f"mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, cast(mn_{c} as double), cast(mx_{c} as double)"
+        for c in PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n_nulls, n_distinct, min_v, max_v)"
+    ).orderBy("col_name")
+
+
+# --- q70: PII redaction audit (training-data hygiene) ----------------------
+# Synthetic emails/phones injected into every 7th doc (the lorem corpus
+# has none — the injection makes the redaction path actually fire),
+# then regex-redacted and counted per language. Patterns stay in the
+# Java-regex ∩ RE2 subset so both engines match identically.
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    d = T.inject_pii(load(spark, sf, "documents"))
+    r = T.redact_pii(d)
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_emails") > 0).cast("long")).alias("docs_with_pii"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1008,4 +1104,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51": q51, "q52": q52, "q53": q53, "q54": q54, "q55": q55,
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
+    "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
 }

@@ -995,3 +995,83 @@ SELECT lang, count(*) AS n_docs,
        sum(length(text) - length(redacted)) AS chars_removed
 FROM red GROUP BY lang ORDER BY lang
 """.replace("__EMAIL__", _EMAIL).replace("__PHONE__", _PHONE)
+
+# q71: point-in-time join — explicit interval-containment form. The
+# Spark side is asof_join(latest valid_from <= ts); parity pins that
+# those are the same because SCD2 intervals partition each user's
+# timeline.
+EXT_ORACLE["q71"] = """
+WITH chg AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+scd AS (
+  SELECT user_id, event_type AS state, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+  FROM chg WHERE prev IS NULL OR prev <> event_type),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS probe_ts,
+       s.state
+FROM p JOIN scd s
+  ON p.user_id = s.user_id AND p.ts >= s.vf AND (s.vt IS NULL OR p.ts < s.vt)
+ORDER BY p.event_id
+"""
+
+# q72: trailing 7-row z-score anomalies over exact-cents daily revenue.
+EXT_ORACLE["q72"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(round(value * 100)) / 100.0 AS rev
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT event_type, day, rev,
+         avg(rev) OVER w AS mu,
+         stddev_samp(rev) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       round(rev, 2) + 0.0 AS rev,
+       round(CASE WHEN sd > 0 THEN (rev - mu) / sd END, 2) + 0.0 AS z,
+       abs(CASE WHEN sd > 0 THEN (rev - mu) / sd END) > 2 AS is_anomaly
+FROM win ORDER BY event_type, day
+"""
+
+# q73/q74: inverted index audit + conjunctive AND-query. Postings are
+# built from DISTINCT (doc, token) pairs; q74's intersection oracle is
+# the relational HAVING-count form (doc contains BOTH terms).
+_POSTINGS = """
+pairs AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS token
+  FROM documents),
+postings AS (
+  SELECT token, count(*) AS n_docs,
+         list(doc_id ORDER BY doc_id) AS docs
+  FROM pairs GROUP BY token)
+"""
+EXT_ORACLE["q73"] = f"""
+WITH {_POSTINGS}
+SELECT token, n_docs,
+       array_to_string(docs[1:5], ',') AS first_docs
+FROM postings
+ORDER BY n_docs DESC, token
+LIMIT 10
+"""
+
+EXT_ORACLE["q74"] = f"""
+WITH {_POSTINGS},
+top2 AS (
+  SELECT token, row_number() OVER (ORDER BY n_docs DESC, token) AS rn
+  FROM postings
+  ORDER BY n_docs DESC, token LIMIT 2),
+hits AS (
+  SELECT doc_id FROM pairs
+  WHERE token IN (SELECT token FROM top2)
+  GROUP BY doc_id HAVING count(DISTINCT token) = 2)
+SELECT (SELECT token FROM top2 WHERE rn = 1) AS term_a,
+       (SELECT token FROM top2 WHERE rn = 2) AS term_b,
+       doc_id
+FROM hits ORDER BY doc_id
+"""

@@ -1095,6 +1095,132 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q71: point-in-time join (probe events vs the q68 SCD2 dimension) ------
+# "What was the user's state when this event happened?" — the temporal
+# join every feature-store / training-data pipeline needs (no label
+# leakage: state strictly as-of the probe ts). Composition: SCD2 build
+# (lifecycle.scd2_compress) + as-of join (operators/joins.asof_join);
+# since SCD2 intervals partition each user's timeline, "latest
+# valid_from <= ts" IS "the interval containing ts" — the oracle uses
+# the explicit interval-containment form to pin that equivalence.
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    scd = LC.scd2_compress(e, "user_id", "event_type", "ts", "event_id")
+    probes = e.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        probes,
+        scd.select("user_id", F.col("event_type").alias("state"), "valid_from"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=["state"],
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        fn.ts_str(F.col("ts")).alias("probe_ts"),
+        F.col("state_r").alias("state"),
+    ).orderBy("event_id")
+
+
+# --- q72: trailing-window z-score anomaly flags ----------------------------
+# Daily revenue per event_type, 7-day trailing mean/stddev (ROWS
+# -6..0), |z| > 2 flagged. Daily sums run in exact integer cents
+# (sum of 2dp doubles is engine-order-dependent in the last ulps;
+# cents are exact bigints — the q54 trick), so mean/std/z see
+# bit-identical inputs on both engines.
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg((F.sum(F.round(F.col("value") * 100)) / 100.0).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    z = (F.col("rev") - F.mean("rev").over(w)) / F.stddev_samp("rev").over(w)
+    return (
+        daily.withColumn(
+            "z", F.when(F.stddev_samp("rev").over(w) > 0, z)
+        )
+        .select(
+            "event_type",
+            fn.date_str(F.col("day")).alias("day"),
+            _r2(F.col("rev")).alias("rev"),
+            _r2(F.col("z")).alias("z"),
+            (F.abs(F.col("z")) > 2).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# --- q73/q74: inverted index + conjunctive search --------------------------
+# The search-engine primitive over the documents corpus: token →
+# sorted posting list of doc_ids. q73 audits the index (top-10 tokens
+# by document frequency); q74 runs a 2-term AND query as a posting-
+# list intersection (array_intersect on two already-deduped sorted
+# arrays — the classic merge, no per-doc re-scan). At 100 TB the
+# postings build is one explode + one shuffle on token; hot tokens
+# skew the shuffle, which AQE skew-split handles (they are also
+# exactly the stopwords a real pipeline would prune first).
+def _postings(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(fn.whitespace_tokens(F.lower(F.col("text"))))
+        ).alias("token"),
+    )
+    return pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+    )
+
+
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    p = _postings(spark, sf)
+    return (
+        p.orderBy(F.desc("n_docs"), "token")
+        .limit(10)
+        .select(
+            "token",
+            "n_docs",
+            F.array_join(F.slice("docs", 1, 5), ",").alias("first_docs"),
+        )
+    )
+
+
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    p = _postings(spark, sf)
+    # limit-first so the plan is TakeOrdered over the postings, and the
+    # (unavoidably global) row_number window only ever sees 2 rows.
+    w = Window.orderBy(F.desc("n_docs"), "token")
+    top2 = (
+        p.orderBy(F.desc("n_docs"), "token")
+        .limit(2)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    a = top2.filter("rn = 1").select(
+        F.col("token").alias("term_a"), F.col("docs").alias("da")
+    )
+    b = top2.filter("rn = 2").select(
+        F.col("token").alias("term_b"), F.col("docs").alias("db")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "term_a",
+            "term_b",
+            F.explode(F.array_intersect("da", "db")).alias("doc_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1105,4 +1231,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56": q56, "q57": q57, "q58": q58, "q59": q59, "q60": q60,
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
+    "q71": q71, "q72": q72, "q73": q73, "q74": q74,
 }

@@ -518,3 +518,43 @@ def quantize_embeddings(
         "dq_vec",
         F.transform(F.col("q_vec"), lambda v: v / F.col("scale")),
     )
+
+
+def brute_force_topk_pandas(
+    emb: DataFrame,
+    query: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched numpy variant of `brute_force_topk`: one matmul
+    per record batch against the (broadcast-by-closure) query vector.
+
+    This is the vectorized scale path for wide vectors / many queries
+    — BLAS does dim-many multiply-adds per row in SIMD, where the HOF
+    fold is one codegen loop per row. Per-batch top-k shrinks the
+    Python→JVM return to k rows per batch before the global
+    TakeOrdered. Summation order differs from the sequential fold
+    (BLAS pairwise vs left fold) only below the 4dp rounding used for
+    ranking.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    schema = f"{id_col} long, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(np.asarray).values).astype(np.float64)
+            cos = (m @ q) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col].values, "cos_sim": np.round(cos, 4)})
+            # keep="all" retains every row tied at the kth value: the
+            # global (cos desc, id asc) TakeOrdered breaks ties, and a
+            # smaller-id tie must not be pruned batch-locally.
+            yield out.nlargest(min(k, len(out)), "cos_sim", keep="all")
+
+    return (
+        emb.select(id_col, vec_col)
+        .mapInPandas(score, schema)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -371,3 +371,15 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+# the GPT-2 pattern family minus lookarounds (kept to the Java ∩ RE2
+# subset; both engines use leftmost-first alternation so the splits
+# agree). Case-folded before matching.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
+
+
+def bpe_tokens(col) -> "F.Column":
+    """Token array under the BPE-ish regex (lowercased input)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), F.lit(0))

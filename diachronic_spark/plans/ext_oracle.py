@@ -1075,3 +1075,23 @@ SELECT (SELECT token FROM top2 WHERE rn = 1) AS term_a,
        doc_id
 FROM hits ORDER BY doc_id
 """
+
+# q75: BPE-ish tokenizer accounting (same regex text both engines;
+# leftmost-first alternation agrees between Java regex and RE2).
+EXT_ORACLE["q75"] = """
+WITH toks AS (
+  SELECT lang,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS t
+  FROM documents)
+SELECT lang,
+       sum(len(t)) AS n_tokens,
+       sum(len(list_distinct(t))) AS sum_doc_vocab,
+       round(avg(len(t)), 2) + 0.0 AS avg_tokens_per_doc
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+# q76: identical semantics to q19 (vectorized pandas path) — same
+# oracle text, imported not duplicated.
+from .oracle import ORACLE as _BASE_ORACLE  # noqa: E402
+
+EXT_ORACLE["q76"] = _BASE_ORACLE["q19"]

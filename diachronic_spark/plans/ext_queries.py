@@ -1221,6 +1221,39 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q75: BPE-ish regex tokenization (token accounting) --------------------
+# The pre-tokenizer a BPE vocabulary trainer runs first: letter runs /
+# digit runs / punctuation runs. Complements q20's whitespace counts —
+# punctuation becomes its own tokens, so counts differ where it
+# matters. Output: corpus-level token accounting per lang.
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select("lang", T.bpe_tokens(F.col("text")).alias("toks"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.sum(F.size("toks")).alias("n_tokens"),
+            F.sum(F.size(F.array_distinct("toks"))).alias("sum_doc_vocab"),
+            _r2(F.avg(F.size("toks"))).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --- q76: vectorized pandas top-k cosine (the Arrow matmul scale path) -----
+# Same answer as q19 (the oracle IS q19's oracle text), different
+# physical shape: mapInPandas batches → one BLAS matmul per batch →
+# per-batch top-k (ties kept) → global TakeOrdered. This is the
+# wide-vector / many-query scale path; q19's HOF fold stays the
+# expression-only baseline.
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return S.brute_force_topk_pandas(
+        emb.filter(F.col("vec_id") != 0), list(qv), k=5
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1232,4 +1265,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
+    "q75": q75, "q76": q76,
 }

@@ -45,20 +45,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts_unit(path: str) -> str:
+    """Physical unit of the events ``ts`` column, from the parquet footer.
+
+    The driver has shipped this fixture as both ``timestamp[ns]`` and
+    ``timestamp[us]`` across rounds, so detect instead of assume. A footer
+    read is a driver-side metadata fetch (no data pages), cheap at any SF.
+    Falls back to "ns" (the historical format) if pyarrow can't read it.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        return getattr(t, "unit", "us")
+    except Exception:
+        return "ns"
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its explicit schema.
 
-    Parquet stores ``timestamp[ns]`` for events, which Spark's reader
-    rejects; with ``nanosAsLong`` it arrives as a ns-since-epoch long and
-    is converted here to a µs TimestampType (lossless for this data; the
-    oracle truncates identically — SURVEY §7 watch-list 5).
+    The events ``ts`` column has shipped as ``timestamp[ns]`` (which
+    Spark's reader rejects; with ``nanosAsLong`` it arrives as a long and
+    is truncated to µs here — lossless for this data, and the oracle
+    truncates identically; SURVEY §7 watch-list 5) and as
+    ``timestamp[us]`` (read natively as TIMESTAMP_NTZ, cast to a session-
+    UTC TimestampType so downstream to_date/window math matches DuckDB).
     """
     ensure_confs(spark)
     if name == "events":
-        raw = spark.read.schema(EVENTS_RAW).parquet(table_path(sf_dir, name))
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        path = table_path(sf_dir, name)
+        if _events_ts_unit(path) == "ns":
+            raw = spark.read.schema(EVENTS_RAW).parquet(path)
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            raw = spark.read.parquet(path).withColumn(
+                "ts", F.col("ts").cast("timestamp")
+            )
+        return raw.select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     schema = TABLE_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:

@@ -1,0 +1,76 @@
+"""MERGE / upsert: apply a keyed change-set (insert/update/delete) to a
+dimension table — the SCD1 counterpart of lifecycle.scd2_compress.
+
+The reference never mutates data (append-only parquet snapshots,
+/root/reference/main.py:177-184), but its incremental skip
+(main.py:56-71) is exactly the "don't redo what exists" half of a
+MERGE; this operator supplies the general form every warehouse-style
+pipeline needs (Delta/Iceberg MERGE INTO semantics, expressed with
+vanilla DataFrame ops so it works on plain parquet).
+
+Scale: one full-outer shuffle join on the key — both sides hash-
+partition once, no driver-side state. A full outer join can't
+broadcast even a tiny change-set (unmatched target rows must
+survive), so at 100 TB the change-set and target co-partition on the
+key; with a bucketed target (operators/layout.py) the exchange on the
+target side disappears entirely. AQE handles the skew/coalesce.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OP_UPDATE, OP_INSERT, OP_DELETE = "U", "I", "D"
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    update_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply ``source`` (rows carry ``op_col`` in {'U','I','D'}) to
+    ``target`` keyed by ``key``.
+
+    - 'D': the matching target row is dropped.
+    - 'U': the matching target row survives with each ``update_cols``
+      value replaced by the source value when it is non-null (null
+      source value = "leave this column alone").
+    - 'I': the source row is appended; target columns the source lacks
+      stay null.
+    - target rows with no source match pass through unchanged.
+
+    Deterministic given unique keys per side (enforce upstream; this
+    is MERGE's own precondition — multiple source rows per key is a
+    cardinality violation in every MERGE dialect).
+    """
+    t, s = target.alias("__t"), source.alias("__s")
+    j = t.join(s, F.col(f"__t.{key}") == F.col(f"__s.{key}"), "full_outer")
+    op = F.col(f"__s.{op_col}")
+    keep = op.isNull() | (op != F.lit(OP_DELETE))
+
+    out: list[Column] = []
+    source_cols = set(source.columns)
+    for c in target.columns:
+        tc = F.col(f"__t.{c}")
+        if c == key:
+            out.append(F.coalesce(tc, F.col(f"__s.{key}")).alias(c))
+        elif c in source_cols and c in set(update_cols):
+            sc = F.col(f"__s.{c}")
+            out.append(
+                F.when(
+                    op.isin(OP_UPDATE, OP_INSERT), F.coalesce(sc, tc)
+                )
+                .otherwise(tc)
+                .alias(c)
+            )
+        elif c in source_cols:
+            # not updatable: target value wins, source fills inserts
+            out.append(F.coalesce(tc, F.col(f"__s.{c}")).alias(c))
+        else:
+            out.append(tc.alias(c))
+    return j.filter(keep).select(*out)

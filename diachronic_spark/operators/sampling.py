@@ -57,3 +57,36 @@ def stratified_sample_k(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each row gets score
+    ``ln(u) / w`` with ``u = (md5_bucket(key) + 0.5) / mod`` — a
+    reproducible uniform in (0,1) — and the top-``k`` scores win.
+    Inclusion probability is proportional to ``w`` (requires w > 0),
+    yet the draw is a pure function of the key: reruns, engines, and
+    partition layouts all pick the same rows, and the usual
+    ``rand()``-based sample's nondeterminism under retries/speculation
+    at scale disappears.
+
+    Scale: scoring is embarrassingly parallel; selection is a global
+    top-k (TakeOrdered: per-partition heaps, no full sort/shuffle).
+    Adds ``sample_score`` (the A-ES key, scaled by 1e6 so 6-dp
+    rounding keeps signal; larger = more likely selected).
+    """
+    u = (_md5_bucket(F.col(key_col), mod) + F.lit(0.5)) / F.lit(
+        float(mod)
+    )
+    score = F.log(u) / F.col(weight_col) * F.lit(1e6)
+    return (
+        df.withColumn("sample_score", score)
+        .orderBy(F.desc("sample_score"), F.col(key_col))
+        .limit(k)
+    )

@@ -73,3 +73,34 @@ def gap_fill_locf(
             f"{c}_filled", F.last(c, ignorenulls=True).over(w)
         )
     return out
+
+
+def rolling_median(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    n: int = 7,
+    out_col: str = "rolling_median",
+) -> DataFrame:
+    """Exact trailing-``n``-row median (continuous: even counts
+    average the two middle values) via collect_list over a ROWS frame
+    + array_sort — a per-row O(n log n) that stays entirely inside
+    whole-stage codegen. Built-in percentile/median aren't window
+    functions in Spark, and approx sketches can't give the exact
+    mid-pair semantics DuckDB's windowed ``median`` has.
+
+    Works on integer value columns (e.g. exact cents): the mid-pair
+    average ``(a+b)/2.0`` is either .0 or .5 — exactly representable,
+    so no cross-engine rounding hazard (the q54 lesson). Scale: the
+    frame is row-bounded (n values buffered per row, not the whole
+    partition); use a partitioned Window upstream for per-key series.
+    """
+    frame = Window.orderBy(order_col).rowsBetween(-(n - 1), 0)
+    arr = F.array_sort(F.collect_list(value_col).over(frame))
+    sz = F.size(arr)
+    lo = F.element_at(arr, F.floor((sz + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (F.floor(sz / 2) + 1).cast("int"))
+    med = F.when(sz % 2 == 1, lo.cast("double")).otherwise(
+        (lo.cast("double") + hi.cast("double")) / 2.0
+    )
+    return df.withColumn(out_col, med)

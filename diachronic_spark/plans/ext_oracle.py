@@ -1095,3 +1095,65 @@ FROM toks GROUP BY lang ORDER BY lang
 from .oracle import ORACLE as _BASE_ORACLE  # noqa: E402
 
 EXT_ORACLE["q76"] = _BASE_ORACLE["q19"]
+
+# q77: MERGE semantics as the textbook FULL OUTER JOIN + CASE rewrite.
+EXT_ORACLE["q77"] = """
+WITH src AS (
+  SELECT c_custkey AS k, 'U' AS op,
+         round(c_acctbal + 1000, 2) AS s_acctbal,
+         NULL AS s_seg
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 'D', NULL, NULL
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 'I', 0.0, c_mktsegment
+  FROM customer WHERE c_custkey % 97 = 0),
+merged AS (
+  SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
+         CASE WHEN s.op IN ('U','I')
+              THEN COALESCE(s.s_acctbal, c.c_acctbal)
+              ELSE c.c_acctbal END AS acctbal,
+         COALESCE(c.c_mktsegment, s.s_seg) AS seg
+  FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k
+  WHERE s.op IS NULL OR s.op <> 'D')
+SELECT seg AS c_mktsegment,
+       count(*) AS n_rows,
+       round(sum(acctbal), 2) + 0.0 AS sum_acctbal
+FROM merged GROUP BY seg ORDER BY seg
+"""
+
+# q78: A-ES weighted sample — identical md5-derived uniform and score.
+_H32_OKEY = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substring(md5(o_orderkey::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+)
+
+EXT_ORACLE["q78"] = f"""
+WITH s AS (
+  SELECT o_orderkey, o_totalprice,
+         ln(((({_H32_OKEY}) % 1000000) + 0.5) / 1000000.0)
+           / o_totalprice * 1000000.0 AS score
+  FROM orders)
+SELECT o_orderkey,
+       round(o_totalprice, 2) + 0.0 AS o_totalprice,
+       round(score, 4) + 0.0 AS sample_score
+FROM s ORDER BY score DESC, o_orderkey LIMIT 20
+"""
+
+# q79: exact rolling median over a trailing 7-row frame; DuckDB's
+# windowed median interpolates the even-count mid-pair exactly like
+# TS.rolling_median's (a+b)/2.0.
+EXT_ORACLE["q79"] = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_orderdate)
+SELECT strftime(d, '%Y-%m-%d') AS d,
+       rev_cents,
+       median(rev_cents) OVER (
+         ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS median_cents
+FROM daily ORDER BY d
+"""

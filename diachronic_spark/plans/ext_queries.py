@@ -27,6 +27,7 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..operators import timeseries as TS
 from ..operators.joins import asof_join
+from ..operators.merge import merge_upsert
 
 
 def _r2(c) -> F.Column:
@@ -1254,6 +1255,85 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q77: MERGE / upsert (SCD1 change-set application) ---------------------
+# A deterministic change-set derived from customer itself (update the
+# acctbal of every key%10==0, delete key%10==1, insert a key+1M clone
+# of every key%97==0) applied via operators/merge.merge_upsert (one
+# full-outer shuffle join), then re-aggregated by segment. The oracle
+# is the textbook FULL OUTER JOIN + CASE rewrite, pinning the operator
+# to MERGE INTO semantics without a table format.
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    key = F.col("c_custkey")
+    upd = c.filter(key % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    dele = c.filter(key % 10 == 1).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    ins = c.filter(key % 97 == 0).select(
+        (key + 1_000_000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    merged = merge_upsert(c, src, "c_custkey", ["c_acctbal"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _r2(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q78: deterministic weighted sampling (A-ES top-k) ---------------------
+# Efraimidis–Spirakis with a hash-derived uniform: inclusion odds
+# proportional to o_totalprice, selection a pure function of the key
+# (no rand(): retries/speculation at scale can't change the sample).
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    s = SA.weighted_sample_k(o, "o_orderkey", "o_totalprice", k=20)
+    return s.select(
+        "o_orderkey",
+        _r2(F.col("o_totalprice")).alias("o_totalprice"),
+        (F.round(F.col("sample_score"), 4) + F.lit(0.0)).alias(
+            "sample_score"
+        ),
+    ).orderBy(F.desc("sample_score"), "o_orderkey")
+
+
+# --- q79: exact rolling median over daily revenue --------------------------
+# Daily order revenue in exact integer cents (the q54/q72 substrate),
+# then a trailing-7-day exact median via TS.rolling_median. The
+# mid-pair average of cents is .0/.5-exact in IEEE, so the double
+# output needs no rounding guard.
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    r = TS.rolling_median(daily, "d", "rev_cents", n=7, out_col="med_cents")
+    return r.select(
+        fn.date_str(F.col("d")).alias("d"),
+        "rev_cents",
+        F.col("med_cents").alias("median_cents"),
+    ).orderBy("d")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1265,5 +1345,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
-    "q75": q75, "q76": q76,
+    "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79,
 }

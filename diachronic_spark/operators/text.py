@@ -383,3 +383,48 @@ BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]+"
 def bpe_tokens(col) -> "F.Column":
     """Token array under the BPE-ish regex (lowercased input)."""
     return F.regexp_extract_all(F.lower(col), F.lit(BPE_RE), F.lit(0))
+
+
+def bigram_pairs(tokens: "F.Column") -> "F.Column":
+    """Adjacent token bigrams as array<struct<a,b>> — row-local (a HOF
+    over the token array; no posexplode self-join, no shuffle). Empty
+    for docs with < 2 tokens. NB: F.sequence(1, n) with n < 1 counts
+    DOWN (Spark sequences are bidirectional), hence the explicit
+    short-doc guard.
+    """
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(tokens, i).alias("a"),
+            F.element_at(tokens, i + 1).alias("b"),
+        ),
+    )
+    return F.when(n >= 2, pairs).otherwise(
+        F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def char_entropy(text: "F.Column", max_chars: int = 512) -> "F.Column":
+    """Shannon entropy (bits/char) of the character distribution over
+    the first ``max_chars`` chars — a classic machine-generated-text /
+    binary-junk quality signal. Entirely row-local HOF arithmetic
+    (O(distinct_chars * len) comparisons per doc, all inside codegen);
+    the prefix cap bounds the cost per row at scale.
+    """
+    s = F.lower(F.substring(text, 1, max_chars))
+    arr = F.filter(F.split(s, ""), lambda c: c != "")
+    n = F.size(arr).cast("double")
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda c: F.size(F.filter(arr, lambda x: x == c)).cast("double"),
+    )
+    return F.when(
+        n > 0,
+        -F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda acc, k: acc + (k / n) * F.log2(k / n),
+        ),
+    ).otherwise(F.lit(0.0))

@@ -1157,3 +1157,98 @@ SELECT strftime(d, '%Y-%m-%d') AS d,
        ) AS median_cents
 FROM daily ORDER BY d
 """
+
+# q80: count-min sketch — identical md5-nibble base hash + affine
+# rehash family (operators/sketches.CM_A/CM_P); the oracle builds the
+# global grid directly, pinning merge-of-partials == one-pass build.
+from ..operators.sketches import CM_A, CM_P  # noqa: E402
+
+_H32_TOK = " + ".join(
+    f"(strpos('0123456789abcdef', substring(md5(tok), {p + 1}, 1)) - 1)"
+    f" * {16 ** (7 - p)}"
+    for p in range(8)
+)
+_CM_W = 512
+_CM_CELLS = "\n  UNION ALL ".join(
+    f"SELECT {j} AS j, ((({_H32_TOK}) * {CM_A[j]} + {j}) % {CM_P}) % {_CM_W}"
+    f" AS b FROM tk"
+    for j in range(4)
+)
+_CM_PROBES = "\n  UNION ALL ".join(
+    f"SELECT tok, n_exact, {j} AS j,"
+    f" ((({_H32_TOK}) * {CM_A[j]} + {j}) % {CM_P}) % {_CM_W} AS b FROM top"
+    for j in range(4)
+)
+
+EXT_ORACLE["q80"] = f"""
+WITH tk AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+rows_ AS (
+  {_CM_CELLS}),
+cells AS (SELECT j, b, count(*) AS n FROM rows_ GROUP BY j, b),
+top AS (
+  SELECT tok, count(*) AS n_exact FROM tk GROUP BY tok
+  ORDER BY n_exact DESC, tok LIMIT 20),
+probes AS (
+  {_CM_PROBES}),
+est AS (
+  SELECT p.tok, p.n_exact, min(coalesce(c.n, 0)) AS cm_est
+  FROM probes p LEFT JOIN cells c USING (j, b)
+  GROUP BY p.tok, p.n_exact)
+SELECT tok, n_exact, cm_est, cm_est - n_exact AS over_err
+FROM est ORDER BY n_exact DESC, tok
+"""
+
+# q81: bigram PMI — ranking on integer counts only, PMI as payload.
+EXT_ORACLE["q81"] = """
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+big AS (
+  SELECT t[i] AS a, t[i + 1] AS b
+  FROM toks, LATERAL unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2),
+bc AS (SELECT a, b, count(*) AS nab FROM big GROUP BY a, b),
+uni AS (
+  SELECT unnest(t) AS tok FROM toks),
+uc AS (SELECT tok, count(*) AS n FROM uni GROUP BY tok),
+tot AS (
+  SELECT sum(len(t)) AS nt,
+         sum(greatest(len(t) - 1, 0)) AS nb
+  FROM toks)
+SELECT bc.a, bc.b, bc.nab,
+       round(log2((bc.nab * tot.nt * tot.nt * 1.0)
+                  / (tot.nb * ua.n * ub.n)), 4) + 0.0 AS pmi
+FROM bc
+JOIN uc ua ON ua.tok = bc.a
+JOIN uc ub ON ub.tok = bc.b
+CROSS JOIN tot
+ORDER BY bc.nab DESC, bc.a, bc.b LIMIT 20
+"""
+
+# q82: char-distribution Shannon entropy over the first 512 chars.
+EXT_ORACLE["q82"] = """
+WITH ch AS (
+  SELECT lang,
+         [substring(s, i, 1)
+          FOR i IN generate_series(1, length(s))] AS chars
+  FROM (SELECT lang, lower(substring(text, 1, 512)) AS s FROM documents)),
+ent AS (
+  SELECT lang,
+         CASE WHEN len(chars) = 0 THEN 0.0
+              ELSE -list_sum(
+                [ (len(list_filter(chars, x -> x = c)) * 1.0 / len(chars))
+                   * log2(len(list_filter(chars, x -> x = c)) * 1.0
+                          / len(chars))
+                  FOR c IN list_distinct(chars)])
+         END AS h
+  FROM ch)
+SELECT lang, count(*) AS n_docs,
+       round(avg(h), 2) + 0.0 AS avg_entropy,
+       round(min(h), 2) + 0.0 AS min_entropy,
+       round(max(h), 2) + 0.0 AS max_entropy
+FROM ent GROUP BY lang ORDER BY lang
+"""

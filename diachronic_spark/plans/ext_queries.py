@@ -28,6 +28,7 @@ from ..operators import text as T
 from ..operators import timeseries as TS
 from ..operators.joins import asof_join
 from ..operators.merge import merge_upsert
+from ..operators import sketches as SK
 
 
 def _r2(c) -> F.Column:
@@ -1334,6 +1335,100 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d")
 
 
+# --- q80: count-min sketch heavy hitters -----------------------------------
+# Per-language partial grids merged cell-wise to a global sketch
+# (count_min_merge), probed for the exact top-20 tokens. The oracle
+# builds the global grid DIRECTLY, so parity pins merge-of-partials ≡
+# single-pass build — the mergeability fact that makes the sketch
+# usable as a no-raw-rescan rollup at scale. cm_est >= n_exact is the
+# CMS overestimate invariant, carried as an output column.
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(
+        "lang", F.explode(fn.whitespace_tokens(F.col("text"))).alias("tok")
+    )
+    cells = SK.count_min_merge(
+        SK.count_min_build(toks, "tok", partial_by=["lang"])
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "tok")
+        .limit(20)
+    )
+    est = SK.count_min_estimate(cells, top, "tok")
+    return est.select(
+        "tok",
+        "n_exact",
+        "cm_est",
+        (F.col("cm_est") - F.col("n_exact")).alias("over_err"),
+    ).orderBy(F.desc("n_exact"), "tok")
+
+
+# --- q81: bigram collocations with PMI -------------------------------------
+# Bigrams are row-local (text.bigram_pairs HOF — no posexplode
+# self-join), unigram/total tables broadcast back onto the bigram
+# counts. Ranking is on integer counts only; PMI is carried as a
+# rounded payload so float ulps can't reorder rows.
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    toks = d.select(fn.whitespace_tokens(F.lower(F.col("text"))).alias("t"))
+    big = (
+        toks.select(F.explode(T.bigram_pairs(F.col("t"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("nab"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = toks.select(
+        F.sum(F.size("t")).alias("nt"),
+        F.sum(F.greatest(F.size("t") - 1, F.lit(0))).alias("nb"),
+    )
+    ua = uni.select(F.col("tok").alias("a"), F.col("n").alias("na"))
+    ub = uni.select(F.col("tok").alias("b"), F.col("n").alias("nb_tok"))
+    j = (
+        big.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log2(
+        (F.col("nab") * F.col("nt") * F.col("nt"))
+        / (F.col("nb") * F.col("na") * F.col("nb_tok"))
+    )
+    return (
+        j.select(
+            "a",
+            "b",
+            "nab",
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.desc("nab"), "a", "b")
+        .limit(20)
+    )
+
+
+# --- q82: character-entropy quality signal ---------------------------------
+# Bits/char Shannon entropy over the first 512 chars, averaged per
+# language — the machine-junk detector every corpus-hygiene pass
+# carries (L6 family). Pure row-local HOF arithmetic.
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    e = d.select("lang", T.char_entropy(F.col("text")).alias("h"))
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _r2(F.avg("h")).alias("avg_entropy"),
+            _r2(F.min("h")).alias("min_entropy"),
+            _r2(F.max("h")).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1345,5 +1440,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61": q61, "q62": q62, "q63": q63, "q64": q64, "q65": q65,
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
-    "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79,
+    "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79, "q80": q80, "q81": q81,
+    "q82": q82,
 }

@@ -1,0 +1,73 @@
+"""Count-min sketch invariants + bigram/entropy helper units."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from diachronic_spark.operators.sketches import (
+    count_min_build,
+    count_min_estimate,
+    count_min_merge,
+)
+from diachronic_spark.operators.text import bigram_pairs, char_entropy
+
+
+def _tok_df(spark):
+    rows = []
+    for g, tokens in [
+        ("x", ["a"] * 50 + ["b"] * 20 + ["c"] * 5),
+        ("y", ["a"] * 30 + ["d"] * 7 + ["e"] * 1),
+    ]:
+        rows += [(g, t) for t in tokens]
+    return spark.createDataFrame(rows, "g string, tok string")
+
+
+def test_cms_never_underestimates_and_merge_equals_direct(spark):
+    df = _tok_df(spark)
+    direct = count_min_build(df, "tok", width=16)
+    merged = count_min_merge(count_min_build(df, "tok", width=16, partial_by=["g"]))
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    exact = df.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = count_min_estimate(merged, exact, "tok", width=16)
+    for r in est.collect():
+        assert r["cm_est"] >= r["n_exact"]  # CMS overestimate invariant
+
+
+def test_cms_estimate_exact_when_wide(spark):
+    # width >> distinct keys: collisions vanish, estimates are exact
+    df = _tok_df(spark)
+    cells = count_min_build(df, "tok", width=4096)
+    exact = df.groupBy("tok").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = count_min_estimate(cells, exact, "tok", width=4096)
+    assert all(r["cm_est"] == r["n_exact"] for r in est.collect())
+
+
+def test_bigram_pairs_short_docs(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",)], "text string"
+    )
+    from diachronic_spark.functions import whitespace_tokens
+
+    out = df.select(
+        bigram_pairs(whitespace_tokens(F.col("text"))).alias("bg")
+    ).collect()
+    assert [[(p["a"], p["b"]) for p in r["bg"]] for r in out] == [
+        [("a", "b"), ("b", "c")],
+        [],
+        [],
+    ]
+
+
+def test_char_entropy_known_values(spark):
+    df = spark.createDataFrame(
+        [("aaaa",), ("abab",), ("",), ("abcd",)], "text string"
+    )
+    out = [r["h"] for r in df.select(char_entropy(F.col("text")).alias("h")).collect()]
+    assert out[0] == 0.0                      # single symbol
+    assert math.isclose(out[1], 1.0)          # two equiprobable symbols
+    assert out[2] == 0.0                      # empty text guard
+    assert math.isclose(out[3], 2.0)          # four equiprobable symbols

@@ -1,0 +1,179 @@
+"""Weighted PageRank over an edge DataFrame — the iterative-algorithm
+complement of dedup.connected_components (min-label propagation).
+
+Reference scope note: the reference has no graph ops at all (SURVEY
+§2.13); this is an EXT operator in the iterative family (q51 k-means,
+q52 components, q65 recursive CTE) that a training-data pipeline uses
+for site/domain authority weighting and dedup-cluster ranking.
+
+Execution shapes (the similarity.kmeans dual, applied to a graph
+fixpoint):
+
+- **local** (default for small graphs): the edge/out-degree prep is
+  distributed — one shuffle — then the KB-scale (u, v, frac) table is
+  collected and the rank vector iterates driver-side. Rank state for
+  even a 10M-node graph is MBs; the iteration is pure arithmetic on
+  the driver exactly like kmeans' driver-checkpointed centroids, and
+  the result re-parallelizes. No per-iteration Spark jobs at all.
+- **distributed**: each iteration is one join edge⋈rank + one
+  hash-agg on dst (the Pregel-as-dataframe step), with the rank DF
+  persisted+materialized per iteration so lineage stays flat — for
+  graphs whose EDGE table is itself beyond driver memory.
+
+Ranks round to a fixed precision each iteration, which (a) makes the
+fixpoint deterministic across partition orders, engines, and the two
+execution shapes (the q51 trick) and (b) costs nothing at graph
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def _prep(edges: DataFrame, src: str, dst: str, weight: str):
+    """(nodes, frac, dangling) — one distributed pass over edges."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    out = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum(weight).alias("wout")
+    )
+    frac = edges.join(out, edges[src] == out["node"]).select(
+        F.col(src).alias("u"),
+        F.col(dst).alias("v"),
+        (F.col(weight) / F.col("wout")).alias("frac"),
+    )
+    dangling = nodes.join(out, "node", "left_anti")
+    return nodes, frac, dangling
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    damping: float = 0.85,
+    iterations: int = 5,
+    precision: int = 10,
+    mode: str = "local",
+) -> DataFrame:
+    """Weighted PageRank with dangling-mass redistribution.
+
+    pr_{t+1}(v) = (1-d)/N + d * (Σ_{(u,v)} pr_t(u)·w(u,v)/out(u)
+                                 + dangling_t / N)
+
+    Returns (node, pr). ``mode='local'`` collects the normalized edge
+    fractions (driver-side state: O(E) for the fractions, O(V) for the
+    ranks) and iterates without Spark jobs; ``mode='distributed'``
+    keeps everything as DataFrames with a persist per iteration.
+    """
+    if mode == "local":
+        return _pagerank_local(
+            edges, src, dst, weight, damping, iterations, precision
+        )
+    return _pagerank_distributed(
+        edges, src, dst, weight, damping, iterations, precision
+    )
+
+
+def _pagerank_local(edges, src, dst, weight, damping, iterations, precision):
+    spark = edges.sparkSession
+    # ONE Spark job: collect the (already aggregated) edge table; node
+    # set, out-degrees, fractions, and dangling set are O(E) driver
+    # arithmetic — by this mode's precondition that's KB-to-MB scale.
+    # (Deriving them as DataFrames would re-run the upstream edge
+    # build once per collect unless the caller persisted it.)
+    rows = [
+        (r[0], r[1], r[2])
+        for r in edges.select(src, dst, weight).collect()
+    ]
+    nodes = sorted({u for u, _, _ in rows} | {v for _, v, _ in rows})
+    wout: dict = {}
+    for u, _, w in rows:
+        wout[u] = wout.get(u, 0.0) + w
+    frac = [(u, v, w / wout[u]) for u, v, w in rows]
+    dangling = {v for v in nodes if v not in wout}
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    # Deterministic accumulation order: fractions sorted by (u, v).
+    frac.sort(key=lambda t: (t[0], t[1]))
+    for _ in range(iterations):
+        dang = sum(pr[v] for v in nodes if v in dangling)
+        contrib = {v: 0.0 for v in nodes}
+        for u, v, f in frac:
+            contrib[v] += pr[u] * f
+        base = (1.0 - damping) / n
+        pr = {
+            v: _round_half_up(
+                base + damping * (contrib[v] + dang / n), precision
+            )
+            for v in nodes
+        }
+    src_field = edges.schema[src]
+    schema = StructType(
+        [
+            StructField("node", src_field.dataType, True),
+            StructField("pr", DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(v, pr[v]) for v in nodes], schema
+    )
+
+
+def _round_half_up(x: float, p: int) -> float:
+    """Match Spark's F.round / DuckDB's round (HALF_UP), not Python's
+    banker's rounding — keeps all three execution paths bit-identical
+    at the per-iteration rounding step."""
+    import math
+
+    m = 10.0**p
+    return math.floor(x * m + 0.5) / m
+
+
+def _pagerank_distributed(
+    edges, src, dst, weight, damping, iterations, precision
+):
+    nodes, frac, dangling_nodes = _prep(edges, src, dst, weight)
+    nodes = nodes.persist()
+    n = nodes.count()
+    frac = frac.persist()
+    dangling_nodes = dangling_nodes.persist()
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).persist()
+    pr.count()
+    for _ in range(iterations):
+        contrib = (
+            frac.join(pr, frac["u"] == pr["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("frac")).alias("c"))
+        )
+        dang = dangling_nodes.join(pr, "node").agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        nxt = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                F.round(
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / n
+                    ),
+                    precision,
+                ).alias("pr"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize: flat lineage, one job per iteration
+        pr.unpersist()
+        pr = nxt
+    return pr

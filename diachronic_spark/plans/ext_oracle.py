@@ -1252,3 +1252,71 @@ SELECT lang, count(*) AS n_docs,
        round(max(h), 2) + 0.0 AS max_entropy
 FROM ent GROUP BY lang ORDER BY lang
 """
+
+# q83: PageRank — unrolled iterations, identical 10dp per-iteration
+# rounding (the q51 determinism pattern applied to a graph fixpoint).
+_PR_ITERS = 5
+_PR_D = 0.85
+_PR_STEP = """
+r{t} AS (
+  SELECT n.node,
+         round((1 - {d}) / nn.n
+               + {d} * (coalesce(c.c, 0) + dg.dang / nn.n), 10) AS pr
+  FROM nodes n
+  LEFT JOIN (SELECT f.v AS node, sum(r.pr * f.frac) AS c
+             FROM frac f JOIN r{p} r ON f.u = r.node
+             GROUP BY f.v) c ON c.node = n.node
+  CROSS JOIN (SELECT coalesce(sum(r.pr), 0) AS dang
+              FROM r{p} r LEFT JOIN outw o ON r.node = o.node
+              WHERE o.node IS NULL) dg
+  CROSS JOIN nn)"""
+
+_PR_CHAIN = ",".join(
+    _PR_STEP.format(t=t, p=t - 1, d=_PR_D) for t in range(1, _PR_ITERS + 1)
+)
+
+EXT_ORACLE["q83"] = f"""
+WITH e AS (
+  SELECT cn.n_name AS u, sn.n_name AS v, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT u AS node, sum(w) AS wout FROM e GROUP BY u),
+frac AS (SELECT e.u, e.v, e.w * 1.0 / o.wout AS frac
+         FROM e JOIN outw o ON e.u = o.node),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{_PR_CHAIN}
+SELECT node AS n_name, round(pr, 6) + 0.0 AS pagerank
+FROM r{_PR_ITERS} ORDER BY n_name
+"""
+
+# q84: blocked levenshtein self-join (DuckDB levenshtein == Spark's).
+EXT_ORACLE["q84"] = """
+WITH pairs AS (
+  SELECT a.p_brand AS brand,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= 4)
+SELECT brand, count(*) AS n_pairs, min(dist) AS min_dist,
+       round(avg(dist), 2) + 0.0 AS avg_dist
+FROM pairs WHERE dist <= 4
+GROUP BY brand ORDER BY brand
+"""
+
+# q85: full one-pass recompute — pins partial-merge == recompute.
+EXT_ORACLE["q85"] = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

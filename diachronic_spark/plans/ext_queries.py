@@ -29,6 +29,8 @@ from ..operators import timeseries as TS
 from ..operators.joins import asof_join
 from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
+from ..operators import graph as G
+from ..operators import incremental as INC
 
 
 def _r2(c) -> F.Column:
@@ -1429,6 +1431,119 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q83: weighted PageRank over the nation trade graph --------------------
+# Edges: customer-nation -> supplier-nation weighted by lineitem count
+# (one pass over the star join, dims broadcast); then 5 damped,
+# dangling-aware iterations on the KB-scale graph. Ranks round to 10dp
+# per iteration (the q51 determinism trick), so the oracle's unrolled
+# SQL iterations land on identical values.
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = G.pagerank(edges, damping=0.85, iterations=5, precision=10)
+    return pr.select(
+        F.col("node").alias("n_name"),
+        (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pagerank"),
+    ).orderBy("n_name")
+
+
+# --- q84: blocked string-similarity self-join (levenshtein) ----------------
+# Fuzzy-dup detection on part names: equality blocking on
+# (p_brand, p_size) bounds the candidate set (the LSH-for-edit-
+# distance analog), a length-difference band is the cheap necessary
+# condition evaluated first, and Spark's 3-arg levenshtein
+# short-circuits past the threshold — the expensive DP never runs to
+# completion on clearly-far pairs.
+def q84(spark: SparkSession, sf: str) -> DataFrame:
+    thr = 4
+    p = load(spark, sf, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size"
+    )
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(b, ["brand", "size"]).filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b")) <= thr
+        )
+    )
+    d = pairs.withColumn(
+        "dist", F.levenshtein("name_a", "name_b", thr)
+    ).filter(F.col("dist") >= 0)
+    return (
+        d.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("dist").alias("min_dist"),
+            _r2(F.avg("dist")).alias("avg_dist"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- q85: incremental aggregate maintenance --------------------------------
+# Two batch partials (orders before/after a cutoff) merged via
+# operators/incremental.merge_states; the oracle recomputes from the
+# full table in one pass — parity pins partial-merge == full recompute,
+# the invariant that lets a 100 TB rollup absorb a daily batch without
+# rescanning history. Integer cents keep every value engine-exact.
+def q85(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    cutoff = "1996-01-01"
+    base = INC.agg_state(
+        o.filter(F.col("o_orderdate") < cutoff),
+        ["o_orderpriority"],
+        ["cents"],
+    )
+    delta = INC.agg_state(
+        o.filter(F.col("o_orderdate") >= cutoff),
+        ["o_orderpriority"],
+        ["cents"],
+    )
+    m = INC.merge_states([base, delta], ["o_orderpriority"])
+    return m.select(
+        "o_orderpriority",
+        F.col("state_n").alias("n_orders"),
+        F.col("sum_cents").alias("revenue_cents"),
+        F.col("min_cents").alias("min_cents"),
+        F.col("max_cents").alias("max_cents"),
+    ).orderBy("o_orderpriority")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1441,5 +1556,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
     "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79, "q80": q80, "q81": q81,
-    "q82": q82,
+    "q82": q82, "q83": q83, "q84": q84, "q85": q85,
 }

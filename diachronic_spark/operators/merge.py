@@ -74,3 +74,42 @@ def merge_upsert(
         else:
             out.append(tc.alias(c))
     return j.filter(keep).select(*out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """CDC between two snapshots of a keyed table: one full-outer
+    shuffle join emitting (key, change_type) with change_type in
+    {'added','removed','changed'} (unchanged rows are dropped —
+    at 100 TB the diff is small, the snapshots are not).
+
+    ``snapshot_diff(t, merge_upsert(t, src, ...), key, cols)``
+    recovers the effective change-set of the merge — the round-trip
+    invariant q87 pins against the oracle.
+
+    Comparison is null-safe per column (NULL == NULL); restrict
+    ``compare_cols`` to the business payload so metadata-only noise
+    (load timestamps etc.) doesn't read as churn.
+    """
+    o, n = old.alias("__o"), new.alias("__n")
+    j = o.join(n, F.col(f"__o.{key}") == F.col(f"__n.{key}"), "full_outer")
+    ok, nk = F.col(f"__o.{key}"), F.col(f"__n.{key}")
+    differs = None
+    for c in compare_cols:
+        d = ~F.col(f"__o.{c}").eqNullSafe(F.col(f"__n.{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(ok.isNull(), F.lit("added"))
+        .when(nk.isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce(ok, nk).alias(key), change.alias("change_type")
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

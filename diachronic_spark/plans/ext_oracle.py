@@ -1320,3 +1320,67 @@ SELECT o_orderpriority,
        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+# q86: same checks as direct SQL counts.
+EXT_ORACLE["q86"] = """
+SELECT 'fk_lineitem_orders' AS check_name,
+       (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+         AS n_violations
+UNION ALL
+SELECT 'fk_orders_customer',
+       (SELECT count(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey
+        WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+UNION ALL
+SELECT 'pk_customer_unique',
+       (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+UNION ALL
+SELECT 'pk_orders_unique',
+       (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'range_discount_0_1',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT coalesce(l_discount BETWEEN 0.0 AND 1.0, FALSE))
+UNION ALL
+SELECT 'range_price_nonneg',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT coalesce(l_extendedprice >= 0, FALSE))
+UNION ALL
+SELECT 'range_qty_le_40',
+       (SELECT count(*) FROM lineitem
+        WHERE NOT coalesce(l_quantity <= 40, FALSE))
+ORDER BY check_name
+"""
+
+# q87: expected diff derived straight from the change-set definition —
+# pins diff(merge(t, src)) == src's effective operations.
+EXT_ORACLE["q87"] = """
+SELECT 'added' AS change_type,
+       (SELECT count(*) FROM customer WHERE c_custkey % 97 = 0) AS n
+UNION ALL
+SELECT 'changed',
+       (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0
+        AND round(c_acctbal + 1000, 2) <> c_acctbal)
+UNION ALL
+SELECT 'removed',
+       (SELECT count(*) FROM customer WHERE c_custkey % 10 = 1)
+ORDER BY change_type
+"""
+
+# q88: identical bin arithmetic (same IEEE ops on the same doubles).
+EXT_ORACLE["q88"] = """
+WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+           FROM orders),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - b.lo)
+                          / ((b.hi - b.lo) / 20.0)) AS INTEGER), 19) AS bin,
+         b.lo AS blo, (b.hi - b.lo) / 20.0 AS w
+  FROM orders CROSS JOIN b)
+SELECT bin,
+       round(blo + bin * w, 2) + 0.0 AS lo,
+       round(blo + (bin + 1) * w, 2) + 0.0 AS hi,
+       count(*) AS n
+FROM binned GROUP BY bin, blo, w ORDER BY bin
+"""

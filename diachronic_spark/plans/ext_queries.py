@@ -31,6 +31,9 @@ from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
 from ..operators import graph as G
 from ..operators import incremental as INC
+from ..operators import quality as Q
+from ..operators import stats as ST
+from ..operators.merge import snapshot_diff
 
 
 def _r2(c) -> F.Column:
@@ -1544,6 +1547,87 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+# --- q86: data-quality constraint audit ------------------------------------
+# dbt-test/Deequ-style batch gate: PK uniqueness, FK integrity,
+# accepted ranges — each a single agg or anti-join, all UNION ALLed
+# into one action. The l_quantity<=40 check intentionally fires
+# (TPC-H quantities run to 50) so the violated path is exercised.
+def q86(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    checks = {
+        "pk_customer_unique": Q.unique_violations(c, ["c_custkey"]),
+        "pk_orders_unique": Q.unique_violations(o, ["o_orderkey"]),
+        "fk_orders_customer": Q.fk_violations(
+            o, "o_custkey", c, "c_custkey"
+        ),
+        "fk_lineitem_orders": Q.fk_violations(
+            li, "l_orderkey", o, "o_orderkey"
+        ),
+        "range_discount_0_1": Q.range_violations(
+            li, F.col("l_discount").between(0.0, 1.0)
+        ),
+        "range_price_nonneg": Q.range_violations(
+            li, F.col("l_extendedprice") >= 0
+        ),
+        "range_qty_le_40": Q.range_violations(
+            li, F.col("l_quantity") <= 40
+        ),
+    }
+    return Q.audit(checks).orderBy("check_name")
+
+
+# --- q87: snapshot diff (CDC) round-trips the q77 merge --------------------
+# diff(target, merge(target, change-set)) must recover the effective
+# change-set; the oracle derives the expected counts DIRECTLY from
+# the change-set definition — the strongest possible pin of the
+# merge/diff pair against each other.
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    key = F.col("c_custkey")
+    upd = c.filter(key % 10 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    dele = c.filter(key % 10 == 1).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    ins = c.filter(key % 97 == 0).select(
+        (key + 1_000_000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.col("c_mktsegment"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    merged = merge_upsert(c, src, "c_custkey", ["c_acctbal"])
+    d = snapshot_diff(c, merged, "c_custkey", ["c_acctbal"])
+    return (
+        d.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change_type")
+    )
+
+
+# --- q88: equi-width histogram ---------------------------------------------
+# Bounds via a broadcast 1-row aggregate (no driver action): the
+# whole histogram is scan → min/max → bin hash-agg in one job.
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders").select("o_totalprice")
+    h = ST.equi_width_histogram(o, "o_totalprice", bins=20)
+    return h.select(
+        "bin",
+        _r2(F.col("lo")).alias("lo"),
+        _r2(F.col("hi")).alias("hi"),
+        "n",
+    ).orderBy("bin")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1556,5 +1640,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66": q66, "q67": q67, "q68": q68, "q69": q69, "q70": q70,
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
     "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79, "q80": q80, "q81": q81,
-    "q82": q82, "q83": q83, "q84": q84, "q85": q85,
+    "q82": q82, "q83": q83, "q84": q84, "q85": q85, "q86": q86,
+    "q87": q87, "q88": q88,
 }

@@ -175,3 +175,33 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q78_weighted_sample_is_shuffle_free_topk(spark, sf_dir):
+    p = plan_str(QUERIES["q78"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, "top-k must be TakeOrdered"
+    assert "Exchange hashpartitioning" not in p, (
+        "A-ES scoring+selection must not shuffle"
+    )
+
+
+def test_q80_cms_probe_is_broadcast(spark, sf_dir):
+    p = plan_str(QUERIES["q80"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p, "the d*w cell grid must broadcast"
+
+
+def test_q84_blocked_join_no_nested_loop(spark, sf_dir):
+    p = plan_str(QUERIES["q84"](spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p, (
+        "equality blocking must plan as a hash/merge join"
+    )
+
+
+def test_q86_audit_scans_prune_to_single_columns(spark, sf_dir):
+    p = plan_str(QUERIES["q86"](spark, sf_dir))
+    # each range check must scan exactly its one column, not lineitem's
+    # full 11-column schema
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert any(s.strip() == "l_quantity:double" for s in schemas), schemas

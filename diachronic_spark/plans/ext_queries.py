@@ -1420,8 +1420,8 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
 # language — the machine-junk detector every corpus-hygiene pass
 # carries (L6 family). Pure row-local HOF arithmetic.
 def q82(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
-    e = d.select("lang", T.char_entropy(F.col("text")).alias("h"))
+    d = load(spark, sf, "documents").select("lang", "text")
+    e = T.with_char_entropy(d, out_col="h").select("lang", "h")
     return (
         e.groupBy("lang")
         .agg(

@@ -71,3 +71,24 @@ def test_char_entropy_known_values(spark):
     assert math.isclose(out[1], 1.0)          # two equiprobable symbols
     assert out[2] == 0.0                      # empty text guard
     assert math.isclose(out[3], 2.0)          # four equiprobable symbols
+
+
+def test_with_char_entropy_matches_column_form(spark):
+    from diachronic_spark.operators.text import with_char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, "abcd"), (5, "aab bba")],
+        "doc_id int, text string",
+    )
+    col_form = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", char_entropy(F.col("text")).alias("h")
+        ).collect()
+    }
+    df_form = {
+        r["doc_id"]: r["entropy"]
+        for r in with_char_entropy(df).select("doc_id", "entropy").collect()
+    }
+    for k in col_form:
+        assert abs(col_form[k] - df_form[k]) < 1e-12, k

@@ -193,3 +193,63 @@ def asof_join_merge(
         .cogroup(right.groupby(on))
         .applyInPandas(merge, out_schema)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Interval × interval overlap join — both sides carry
+    ``[start, end)`` half-open intervals; rows pair when the intervals
+    intersect: ``l_start < r_end AND r_start < l_end``.
+
+    Written directly, that predicate plans as a nested-loop cross
+    product (the banded_interval_join problem, squared). Instead BOTH
+    sides explode to the bucket grid their interval touches and the
+    join is an equi-join on the bucket; an overlapping pair shares at
+    least one bucket (any t in the intersection lies in a bucket both
+    sides generated), duplicates from multi-bucket overlaps collapse
+    via the minimum shared bucket (join on bucket == greatest(first
+    bucket of each side) — a pure filter, no DISTINCT shuffle), and
+    the exact predicate re-applies last.
+
+    Fan-out per row = interval length / bucket_seconds + 1 — pick the
+    bucket near the typical interval length. Both exchanges hash on
+    the bucket key, so at 100 TB this scales like any equi-join; skew
+    = a bucket crossed by very many LONG intervals (pick coarser
+    buckets, or split the long-interval minority out first).
+    """
+    b = F.lit(bucket_seconds)
+
+    def buckets(s: str, e: str):
+        lo = F.floor(F.col(s).cast("double") / b)
+        # half-open end: an interval ending exactly on a bucket edge
+        # does not occupy that bucket
+        hi = F.floor((F.col(e).cast("double") - F.lit(1e-6)) / b)
+        seq = F.when(
+            F.col(e) > F.col(s),  # empty/degenerate intervals emit no
+            F.sequence(lo.cast("long"), hi.cast("long")),  # buckets
+        ).otherwise(F.array().cast("array<long>"))
+        return lo, seq
+
+    llo, lseq = buckets(l_start, l_end)
+    rlo, rseq = buckets(r_start, r_end)
+    lb = left.withColumn("__l_b0", llo.cast("long")).withColumn(
+        "__bucket", F.explode(lseq)
+    )
+    rb = right.withColumn("__r_b0", rlo.cast("long")).withColumn(
+        "__bucket", F.explode(rseq)
+    )
+    j = lb.join(rb, "__bucket")
+    exact = (F.col(l_start) < F.col(r_end)) & (
+        F.col(r_start) < F.col(l_end)
+    )
+    dedup = F.col("__bucket") == F.greatest(
+        F.col("__l_b0"), F.col("__r_b0")
+    )
+    return j.filter(exact & dedup).drop("__bucket", "__l_b0", "__r_b0")

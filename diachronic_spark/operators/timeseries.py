@@ -104,3 +104,38 @@ def rolling_median(
         (lo.cast("double") + hi.cast("double")) / 2.0
     )
     return df.withColumn(out_col, med)
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Exact trailing-``days`` distinct-key counts per day (DATE-based
+    RANGE frame, so calendar gaps don't stretch the window the way a
+    ROWS frame would).
+
+    Sliding COUNT(DISTINCT) doesn't decompose into algebraic partials,
+    so the shape is: per-day key SETS (one hash-agg — at 100 TB the
+    per-day set is active-key-sized, not event-sized), then a RANGE
+    window flattening ``days`` sets and counting distinct members.
+    Window state is bounded by days × per-day actives. When actives
+    are too large for that, trade exactness for the q60 pattern:
+    per-day HLL sketch partials merged over the same window.
+
+    Returns (d, n_1d, n_window) per day.
+    """
+    daily = df.groupBy(F.to_date(ts_col).alias("d")).agg(
+        F.collect_set(key_col).alias("__ks")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01")))
+        .rangeBetween(-(days - 1), 0)
+    )
+    sets = F.collect_list("__ks").over(w)
+    return daily.select(
+        "d",
+        F.size("__ks").alias("n_1d"),
+        F.size(F.array_distinct(F.flatten(sets))).alias("n_window"),
+    )

@@ -1384,3 +1384,49 @@ SELECT bin,
        count(*) AS n
 FROM binned GROUP BY bin, blo, w ORDER BY bin
 """
+
+# q89: overlap as the plain theta join (nested loop is fine for the
+# oracle; the Spark side must NOT plan one — tests/test_plans.py).
+EXT_ORACLE["q89"] = """
+WITH sess AS (
+  SELECT user_id, session_idx,
+         min(ts) AS s_start,
+         max(ts) + INTERVAL 1 MICROSECOND AS s_end
+  FROM (
+    SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) > 21600
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM (SELECT user_id, ts, event_id,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events))
+  GROUP BY user_id, session_idx),
+b AS (SELECT date_trunc('day', min(ts)) AS d0, max(ts) AS d1 FROM events),
+windows AS (
+  SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS w_start
+  FROM b),
+w2 AS (SELECT w_start, w_start + INTERVAL 2 HOUR AS w_end FROM windows),
+j AS (
+  SELECT s.user_id, w2.w_start
+  FROM sess s JOIN w2
+    ON s.s_start < w2.w_end AND w2.w_start < s.s_end)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start,
+       count(*) AS n_sessions,
+       count(DISTINCT user_id) AS n_users
+FROM j GROUP BY w_start ORDER BY w_start
+"""
+
+# q90: correlated-subquery distinct over the trailing 7-day date range.
+EXT_ORACLE["q90"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS n_1d
+  FROM events GROUP BY 1)
+SELECT strftime(d, '%Y-%m-%d') AS d, n_1d,
+       (SELECT count(DISTINCT user_id) FROM events e
+        WHERE CAST(e.ts AS DATE) BETWEEN daily.d - 6 AND daily.d)
+         AS n_window
+FROM daily ORDER BY d
+"""

@@ -26,7 +26,7 @@ from ..operators import sessions as SN
 from ..operators import similarity as S
 from ..operators import text as T
 from ..operators import timeseries as TS
-from ..operators.joins import asof_join
+from ..operators.joins import asof_join, interval_overlap_join
 from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
 from ..operators import graph as G
@@ -1628,6 +1628,59 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bin")
 
 
+# --- q89: interval-overlap join (sessions × maintenance windows) -----------
+# User sessions (q53's gaps-and-islands intervals) joined to daily
+# 00:00-02:00 maintenance windows on INTERVAL OVERLAP — the
+# interval×interval generalization of the q22 band. Both sides
+# explode to day buckets; the join is an equi-join on the bucket with
+# a min-shared-bucket filter for dedup (no DISTINCT shuffle), exact
+# predicate last. Window spine derives from the events time range via
+# a broadcast 1-row bounds aggregate.
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("event_id", "ts", "user_id")
+    s = SN.sessionize(ev, gap_seconds=21600)
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias("s_end"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.max("ts").alias("d1"),
+    )
+    windows = bounds.select(
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 day)")
+        ).alias("w_start")
+    ).select(
+        "w_start",
+        (F.col("w_start") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+    )
+    j = interval_overlap_join(
+        sess, windows, "s_start", "s_end", "w_start", "w_end"
+    )
+    return (
+        j.groupBy(fn.ts_str(F.col("w_start")).alias("w_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("w_start")
+    )
+
+
+# --- q90: sliding-window distinct counts -----------------------------------
+# Trailing-7-DAY distinct users per day: per-day key sets (hash-agg)
+# + a DATE-based RANGE frame flattening the sets — exact, with the
+# q60 HLL-merge pattern as the documented escape hatch when per-day
+# actives outgrow window state.
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("ts", "user_id")
+    r = TS.sliding_distinct(ev, "ts", "user_id", days=7)
+    return r.select(
+        fn.date_str(F.col("d")).alias("d"), "n_1d", "n_window"
+    ).orderBy("d")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1641,5 +1694,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
     "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79, "q80": q80, "q81": q81,
     "q82": q82, "q83": q83, "q84": q84, "q85": q85, "q86": q86,
-    "q87": q87, "q88": q88,
+    "q87": q87, "q88": q88, "q89": q89, "q90": q90,
 }

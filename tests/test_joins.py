@@ -205,3 +205,93 @@ def test_banded_interval_join_property(spark, l_secs, r_secs, band):
         if abs(ls - rs) <= band
     )
     assert got == want
+
+
+def test_interval_overlap_join_matches_naive_and_edges(spark):
+    import datetime as dt
+
+    from diachronic_spark.operators.joins import interval_overlap_join
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(h):  # hours offset
+        return T0 + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(0), ts(2)),     # overlaps w1 only
+            (2, ts(23), ts(49)),   # spans 3 days -> multi-bucket; w2, w3
+            (3, ts(5), ts(5)),     # degenerate (empty) -> joins nothing
+            (4, ts(26), ts(30)),   # inside day 2 -> w2
+        ],
+        "lid int, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, ts(1), ts(3)),    # w1
+            (20, ts(25), ts(27)),  # w2
+            (30, ts(48), ts(50)),  # w3
+            (40, ts(3), ts(4)),    # touches nothing
+        ],
+        "rid int, s2 timestamp, e2 timestamp",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "s", "e", "s2", "e2"
+        ).collect()
+    }
+    # naive truth: overlap iff s < e2 and s2 < e (half-open)
+    import itertools
+
+    lrows = left.collect()
+    rrows = right.collect()
+    want = {
+        (lr["lid"], rr["rid"])
+        for lr, rr in itertools.product(lrows, rrows)
+        if lr["s"] < rr["e2"] and rr["s2"] < lr["e"] and lr["s"] < lr["e"]
+    }
+    assert got == want
+    assert (2, 20) in got and (2, 30) in got  # multi-bucket span found
+    assert all(lid != 3 for lid, _ in got)  # degenerate emits nothing
+    # exactly one row per overlapping pair (bucket dedup, no DISTINCT)
+    n_rows = interval_overlap_join(left, right, "s", "e", "s2", "e2").count()
+    assert n_rows == len(want)
+
+
+def test_interval_overlap_half_open_boundary(spark):
+    import datetime as dt
+
+    from diachronic_spark.operators.joins import interval_overlap_join
+
+    T0 = dt.datetime(2024, 1, 1)
+    a = spark.createDataFrame(
+        [(1, T0, T0 + dt.timedelta(hours=1))], "lid int, s timestamp, e timestamp"
+    )
+    b = spark.createDataFrame(
+        [(2, T0 + dt.timedelta(hours=1), T0 + dt.timedelta(hours=2))],
+        "rid int, s2 timestamp, e2 timestamp",
+    )
+    # [0,1) vs [1,2): touching endpoints do NOT overlap
+    assert interval_overlap_join(a, b, "s", "e", "s2", "e2").count() == 0
+
+
+def test_sliding_distinct_date_gaps(spark):
+    import datetime as dt
+
+    from diachronic_spark.operators.timeseries import sliding_distinct
+
+    rows = []
+    # day 0: users 1,2 ; day 1: user 2 ; day 9 (gap): user 3
+    for day, users in [(0, [1, 2]), (1, [2]), (9, [3])]:
+        for u in users:
+            rows.append((dt.datetime(2024, 1, 1 + day, 12, 0), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    out = {
+        str(r["d"]): (r["n_1d"], r["n_window"])
+        for r in sliding_distinct(df, "ts", "user_id", days=7).collect()
+    }
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-02"] == (1, 2)   # union of days 1-2
+    # day 10 is beyond the 7-day range of days 1-2: only user 3
+    assert out["2024-01-10"] == (1, 1)

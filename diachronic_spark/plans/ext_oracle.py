@@ -1430,3 +1430,10 @@ SELECT strftime(d, '%Y-%m-%d') AS d, n_1d,
          AS n_window
 FROM daily ORDER BY d
 """
+
+# q91-q98: the SAME SQL templates as the Spark side (TPCH_SQL),
+# formatted with bare table names — byte-identical query text.
+from .ext_queries import TPCH_SQL  # noqa: E402
+
+for _qid, _tpl in TPCH_SQL.items():
+    EXT_ORACLE[_qid] = _tpl.format(v="")

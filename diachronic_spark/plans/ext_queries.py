@@ -1681,6 +1681,162 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("d")
 
 
+# --- q91-q98: TPC-H-shaped relational suite (SQL surface) ------------------
+# Classic TPC-H query shapes adapted to the fixture's column subset
+# (no partsupp/shipmode/container), run from ONE SQL template per
+# query: the Spark side formats table suffix "_v" (temp views), the
+# oracle formats "" — byte-identical SQL otherwise, so the engines are
+# compared on the exact same query text. Revenue aggregates/rankings
+# use exact integer cents×100 ("e4") so no float ever decides a row.
+# Shapes exercised: EXISTS (q91), two-sided nation exchange (q92),
+# conditional-share over a 7-table star (q93), integer-ranked top-k
+# (q94), correlated scalar avg subquery (q95), monthly promo share
+# (q96), disjunctive multi-band predicates (q97), NOT EXISTS + global
+# scalar subquery (q98).
+_REV_E4 = (
+    "CAST(round(l.l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l.l_discount * 100) AS BIGINT))"
+)
+
+TPCH_SQL: dict[str, str] = {
+    "q91": """
+        SELECT o.o_orderpriority, count(*) AS n_orders
+        FROM orders{v} o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem{v} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+    "q92": f"""
+        WITH e4 AS (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS yr, {_REV_E4} AS rev_e4
+          FROM lineitem{{v}} l
+          JOIN orders{{v}} o ON l.l_orderkey = o.o_orderkey
+          JOIN customer{{v}} c ON o.o_custkey = c.c_custkey
+          JOIN supplier{{v}} s ON l.l_suppkey = s.s_suppkey
+          JOIN nation{{v}} n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation{{v}} n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        SELECT supp_nation, cust_nation, yr,
+               round(sum(rev_e4) / 10000e0, 2) + 0.0 AS revenue
+        FROM e4 GROUP BY supp_nation, cust_nation, yr
+        ORDER BY supp_nation, cust_nation, yr
+    """,
+    "q93": f"""
+        WITH rev AS (
+          SELECT year(o.o_orderdate) AS yr, n1.n_name AS supp_nation,
+                 {_REV_E4} AS rev_e4
+          FROM part{{v}} p
+          JOIN lineitem{{v}} l ON p.p_partkey = l.l_partkey
+          JOIN orders{{v}} o ON l.l_orderkey = o.o_orderkey
+          JOIN customer{{v}} c ON o.o_custkey = c.c_custkey
+          JOIN nation{{v}} n2 ON c.c_nationkey = n2.n_nationkey
+          JOIN region{{v}} r ON n2.n_regionkey = r.r_regionkey
+          JOIN supplier{{v}} s ON l.l_suppkey = s.s_suppkey
+          JOIN nation{{v}} n1 ON s.s_nationkey = n1.n_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO')
+        SELECT yr,
+               round(100e0 * sum(CASE WHEN supp_nation = 'NATION_3'
+                                      THEN rev_e4 ELSE 0 END)
+                     / sum(rev_e4), 4) + 0.0 AS mkt_share
+        FROM rev GROUP BY yr ORDER BY yr
+    """,
+    "q94": f"""
+        WITH r AS (
+          SELECT c.c_custkey, c.c_name, n.n_name,
+                 sum({_REV_E4}) AS rev_e4
+          FROM customer{{v}} c
+          JOIN orders{{v}} o ON c.c_custkey = o.o_custkey
+          JOIN lineitem{{v}} l ON o.o_orderkey = l.l_orderkey
+          JOIN nation{{v}} n ON c.c_nationkey = n.n_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY c.c_custkey, c.c_name, n.n_name)
+        SELECT c_custkey, c_name, n_name,
+               round(rev_e4 / 10000e0, 2) + 0.0 AS revenue
+        FROM r ORDER BY rev_e4 DESC, c_custkey LIMIT 20
+    """,
+    "q95": """
+        SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     / 100e0 / 7e0, 2) + 0.0 AS avg_yearly
+        FROM lineitem{v} l
+        JOIN part{v} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type = 'SMALL'
+          AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                              FROM lineitem{v} l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "q96": f"""
+        WITH e AS (
+          SELECT month(l.l_shipdate) AS mo,
+                 p.p_type = 'PROMO' AS is_promo, {_REV_E4} AS rev_e4
+          FROM lineitem{{v}} l
+          JOIN part{{v}} p ON l.l_partkey = p.p_partkey
+          WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00')
+        SELECT mo,
+               round(100e0 * sum(CASE WHEN is_promo THEN rev_e4 ELSE 0 END)
+                     / sum(rev_e4), 4) + 0.0 AS promo_pct
+        FROM e GROUP BY mo ORDER BY mo
+    """,
+    "q97": f"""
+        SELECT round(sum({_REV_E4}) / 10000e0, 2) + 0.0 AS revenue
+        FROM lineitem{{v}} l
+        JOIN part{{v}} p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    "q98": """
+        WITH pos AS (SELECT avg(c_acctbal) AS a
+                     FROM customer{v} WHERE c_acctbal > 0.0)
+        SELECT c.c_custkey % 10 AS bucket, count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) + 0.0 AS total_bal
+        FROM customer{v} c CROSS JOIN pos
+        WHERE c.c_acctbal > pos.a
+          AND NOT EXISTS (SELECT 1 FROM orders{v} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >=
+                                TIMESTAMP '1998-01-01 00:00:00')
+        GROUP BY c.c_custkey % 10 ORDER BY bucket
+    """,
+}
+
+_TPCH_TABLES = (
+    "region nation customer supplier part orders lineitem".split()
+)
+
+
+def _tpch_sql_query(qid: str):
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        for t in _TPCH_TABLES:
+            load(spark, sf, t).createOrReplaceTempView(f"{t}_v")
+        return spark.sql(TPCH_SQL[qid].format(v="_v"))
+
+    run.__name__ = qid
+    run.__doc__ = (
+        "TPC-H-shaped SQL-surface query (shared template with the "
+        "oracle; see TPCH_SQL)."
+    )
+    return run
+
+
+q91 = _tpch_sql_query("q91")
+q92 = _tpch_sql_query("q92")
+q93 = _tpch_sql_query("q93")
+q94 = _tpch_sql_query("q94")
+q95 = _tpch_sql_query("q95")
+q96 = _tpch_sql_query("q96")
+q97 = _tpch_sql_query("q97")
+q98 = _tpch_sql_query("q98")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1694,5 +1850,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71": q71, "q72": q72, "q73": q73, "q74": q74,
     "q75": q75, "q76": q76, "q77": q77, "q78": q78, "q79": q79, "q80": q80, "q81": q81,
     "q82": q82, "q83": q83, "q84": q84, "q85": q85, "q86": q86,
-    "q87": q87, "q88": q88, "q89": q89, "q90": q90,
+    "q87": q87, "q88": q88, "q89": q89, "q90": q90, "q91": q91,
+    "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
+    "q97": q97, "q98": q98,
 }

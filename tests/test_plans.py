@@ -205,3 +205,14 @@ def test_q86_audit_scans_prune_to_single_columns(spark, sf_dir):
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
     assert any(s.strip() == "l_quantity:double" for s in schemas), schemas
+
+
+def test_q91_exists_decorrelates_to_semi_join(spark, sf_dir):
+    p = plan_str(QUERIES["q91"](spark, sf_dir))
+    assert "LeftSemi" in p, "EXISTS must decorrelate to a semi join"
+    assert "NestedLoop" not in p
+
+
+def test_q98_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    p = plan_str(QUERIES["q98"](spark, sf_dir))
+    assert "LeftAnti" in p, "NOT EXISTS must decorrelate to an anti join"

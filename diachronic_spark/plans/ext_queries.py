@@ -1806,6 +1806,30 @@ TPCH_SQL: dict[str, str] = {
                                 TIMESTAMP '1998-01-01 00:00:00')
         GROUP BY c.c_custkey % 10 ORDER BY bucket
     """,
+    "q99": """
+        WITH i AS (
+          SELECT c_nationkey AS nk FROM customer{v}
+          INTERSECT ALL
+          SELECT s_nationkey FROM supplier{v}),
+        x AS (
+          SELECT c_nationkey AS nk FROM customer{v}
+          EXCEPT ALL
+          SELECT s_nationkey FROM supplier{v})
+        SELECT 'except_all' AS op, nk, count(*) AS n
+        FROM x GROUP BY nk
+        UNION ALL
+        SELECT 'intersect_all', nk, count(*) FROM i GROUP BY nk
+        ORDER BY op, nk
+    """,
+    "q100": """
+        SELECT n.n_name, t.c_name,
+               round(t.c_acctbal, 2) + 0.0 AS c_acctbal
+        FROM nation{v} n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer{v} c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        ORDER BY n.n_name, c_acctbal DESC, c_name
+    """,
 }
 
 _TPCH_TABLES = (
@@ -1835,6 +1859,8 @@ q95 = _tpch_sql_query("q95")
 q96 = _tpch_sql_query("q96")
 q97 = _tpch_sql_query("q97")
 q98 = _tpch_sql_query("q98")
+q99 = _tpch_sql_query("q99")
+q100 = _tpch_sql_query("q100")
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1852,5 +1878,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82": q82, "q83": q83, "q84": q84, "q85": q85, "q86": q86,
     "q87": q87, "q88": q88, "q89": q89, "q90": q90, "q91": q91,
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
-    "q97": q97, "q98": q98,
+    "q97": q97, "q98": q98, "q99": q99, "q100": q100,
 }

@@ -206,7 +206,11 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Interval × interval overlap join — both sides carry
     ``[start, end)`` half-open intervals; rows pair when the intervals
-    intersect: ``l_start < r_end AND r_start < l_end``.
+    have a NONEMPTY intersection: ``l_start < r_end AND r_start <
+    l_end`` and neither interval is empty. (For empty ``[x, x)``
+    intervals the textbook predicate alone would claim a point
+    "overlap" inside any covering interval; this operator defines
+    empty intervals to match nothing — they generate no buckets.)
 
     Written directly, that predicate plans as a nested-loop cross
     product (the banded_interval_join problem, squared). Instead BOTH

@@ -295,3 +295,55 @@ def test_sliding_distinct_date_gaps(spark):
     assert out["2024-01-02"] == (1, 2)   # union of days 1-2
     # day 10 is beyond the 7-day range of days 1-2: only user 3
     assert out["2024-01-10"] == (1, 1)
+
+
+_IVL = st.tuples(
+    st.integers(min_value=0, max_value=4 * 86400),
+    st.integers(min_value=0, max_value=3 * 86400),
+)  # (start_sec, duration_sec) — duration 0 = degenerate
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    l_ivls=st.lists(_IVL, min_size=1, max_size=10),
+    r_ivls=st.lists(_IVL, min_size=1, max_size=10),
+    bucket=st.sampled_from([3600, 86400]),
+)
+def test_interval_overlap_join_property(spark, l_ivls, r_ivls, bucket):
+    from diachronic_spark.operators.joins import interval_overlap_join
+
+    def mk(ivls, idc, sc, ec):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    _EPOCH + dt.timedelta(seconds=s),
+                    _EPOCH + dt.timedelta(seconds=s + d),
+                )
+                for i, (s, d) in enumerate(ivls)
+            ],
+            f"{idc} int, {sc} timestamp, {ec} timestamp",
+        )
+
+    left = mk(l_ivls, "l_id", "s", "e")
+    right = mk(r_ivls, "r_id", "s2", "e2")
+    rows = interval_overlap_join(
+        left, right, "s", "e", "s2", "e2", bucket_seconds=bucket
+    ).collect()
+    got = sorted((r.l_id, r.r_id) for r in rows)
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(l_ivls)
+        for j, (rs, rd) in enumerate(r_ivls)
+        # nonempty-INTERSECTION semantics: empty intervals match
+        # nothing (the textbook predicate s1<e2 AND s2<e1 would claim
+        # a point "overlap" for an empty [x,x) sitting inside a
+        # nonempty interval — the operator defines that out)
+        if ld > 0 and rd > 0 and ls < rs + rd and rs < ls + ld
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # exactly one row per pair

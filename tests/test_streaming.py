@@ -339,3 +339,40 @@ def test_threshold_scan_tws_equals_groupstate_form(spark, sf_dir, stream_dir):
     tws = {tuple(r) for r in spark.sql("select * from scan_tws").collect()}
     gs = {tuple(r) for r in spark.sql("select * from scan_gs").collect()}
     assert tws == gs and len(tws) > 0
+
+
+def test_streaming_cms_equals_batch_sketch(spark, sf_dir, stream_dir, tmp_path):
+    from diachronic_spark.operators.sketches import count_min_build
+    from diachronic_spark.streaming.sketches import (
+        count_min_state,
+        count_min_stream,
+    )
+    from diachronic_spark.streaming.events import read_event_stream
+
+    state = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+    stream = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    _drain(
+        count_min_stream(stream, state, ckpt, "event_type", width=64)
+    )
+    streamed = {
+        (r["j"], r["b"]): r["n"]
+        for r in count_min_state(spark, state).collect()
+    }
+    batch = {
+        (r["j"], r["b"]): r["n"]
+        for r in count_min_build(
+            load(spark, sf_dir, "events"), "event_type", width=64
+        ).collect()
+    }
+    assert streamed == batch  # merge-of-micro-batches == one-pass build
+
+    # restart with the same checkpoint: committed batches don't re-run,
+    # and the per-batch overwrite keeps the state identical either way
+    stream2 = read_event_stream(spark, stream_dir, max_files_per_trigger=1)
+    _drain(count_min_stream(stream2, state, ckpt, "event_type", width=64))
+    streamed2 = {
+        (r["j"], r["b"]): r["n"]
+        for r in count_min_state(spark, state).collect()
+    }
+    assert streamed2 == batch

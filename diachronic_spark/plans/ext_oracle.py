@@ -1,4 +1,4 @@
-"""DuckDB oracle SQL for the extension queries q23-q46.
+"""DuckDB oracle SQL for the extension queries q23-q100.
 
 The dedup oracles rebuild the exact md5-seeded minhash / simhash
 pipeline in SQL (list comprehensions give the same sequential

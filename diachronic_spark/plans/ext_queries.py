@@ -1,7 +1,9 @@
-"""Extension queries q23-q52: the LLM-data-pipeline operator suite
+"""Extension queries q23-q100: the LLM-data-pipeline operator suite
 (SURVEY §2.11 — dedup, similarity, text analysis, multimodal,
-training-data ops) plus the remaining relational surface (as-of join,
-pivot, stats, cube, grouping sets, ranking, RANGE frames).
+training-data ops), the remaining relational surface (as-of join,
+pivot, stats, cube, grouping sets, ranking, RANGE frames), the
+mergeable-sketch family (HLL/KLL/CMS), lifecycle/graph/quality/CDC
+operators, and the shared-template SQL suite (TPCH_SQL, q91-q100).
 
 Same contract as queries.py: aliases/rounding/string-dates match the
 oracle, full deterministic ordering.

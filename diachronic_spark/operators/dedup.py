@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from ..functions import whitespace_tokens, word_shingles
 
@@ -373,3 +374,51 @@ def connected_components(
         prev_sum = cur_sum
     sym.unpersist()
     return labels
+
+
+def connected_components_local(
+    edges: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """Same contract as :func:`connected_components` (component = min
+    reachable doc_id), different execution shape: union-find over the
+    COLLECTED pair list.
+
+    Driver state is O(edges) — near-dup pair sets are churn-sized, not
+    corpus-sized (LSH emits a few pairs per duplicate cluster), so
+    even a billion-doc corpus with millions of dup pairs fits. The
+    corpus-sized part stays distributed: singleton nodes (no pairs)
+    are label==self via a left-anti join against the KB-scale endpoint
+    mapping — never collected. The kmeans/pagerank driver-state dual,
+    applied to closure; the distributed min-label loop remains for
+    edge sets beyond driver memory.
+    """
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges.select("doc_a", "doc_b").collect():
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN label so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(x, find(x)) for x in sorted(parent)]
+    id_field = nodes.schema["doc_id"]
+    schema = StructType(
+        [id_field, StructField("component", id_field.dataType, True)]
+    )
+    endpoint_df = spark.createDataFrame(mapping, schema)
+    singles = nodes.join(endpoint_df, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    return endpoint_df.unionByName(singles)

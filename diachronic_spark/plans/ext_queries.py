@@ -633,7 +633,10 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 # The oracle computes the same closure with a recursive CTE.
 def q52(spark: SparkSession, sf: str) -> DataFrame:
     corpus, jac = _rare_shingle_jaccard(spark, sf)
-    comp = D.connected_components(
+    # Pair graphs are churn-sized (edges << corpus): the union-find
+    # driver shape wins; the distributed min-label loop stays
+    # available and equivalence-pinned for beyond-driver edge sets.
+    comp = D.connected_components_local(
         jac.select("doc_a", "doc_b"), corpus.select("doc_id")
     )
     return (

@@ -172,3 +172,28 @@ def test_connected_components_reversed_chain_converges(spark):
         for r in D.connected_components(edges, nodes).collect()
     }
     assert got == {i: 0 for i in range(5)}
+
+
+def test_connected_components_local_equals_distributed(spark):
+    from diachronic_spark.operators.dedup import (
+        connected_components,
+        connected_components_local,
+    )
+
+    # chain 1-2-3, clique 10-11-12, pair 20-21, singletons 30/31
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30, 31]],
+        "doc_id long",
+    )
+    dist = sorted(map(tuple, connected_components(edges, nodes).collect()))
+    loc = sorted(
+        map(tuple, connected_components_local(edges, nodes).collect())
+    )
+    assert dist == loc
+    comp = dict(loc)
+    assert comp[3] == 1 and comp[12] == 10 and comp[21] == 20
+    assert comp[30] == 30 and comp[31] == 31

@@ -57,7 +57,9 @@ def _events_ts_unit(path: str) -> str:
         import pyarrow.parquet as pq
 
         t = pq.read_schema(path).field("ts").type
-        return getattr(t, "unit", "us")
+        # plain INT64 (no timestamp logical type) has no .unit: treat as
+        # the historical ns-since-epoch long format
+        return getattr(t, "unit", "ns")
     except Exception:
         return "ns"
 

@@ -127,9 +127,11 @@ def _pagerank_local(edges, src, dst, weight, damping, iterations, precision):
 
 
 def _round_half_up(x: float, p: int) -> float:
-    """Match Spark's F.round / DuckDB's round (HALF_UP), not Python's
-    banker's rounding — keeps all three execution paths bit-identical
-    at the per-iteration rounding step."""
+    """Multiplicative HALF_UP — matches DuckDB's round and the
+    distributed mode's floor(x*m + 0.5)/m, NOT Python's banker's
+    rounding and NOT Spark's F.round (which rounds via the double's
+    shortest-decimal repr and disagrees at half boundaries like
+    1.005). All three execution paths use this same form."""
     import math
 
     m = 10.0**p
@@ -161,14 +163,26 @@ def _pagerank_distributed(
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
-                F.round(
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
-                        + F.col("dang") / n
-                    ),
-                    precision,
+                # multiply-floor HALF_UP, NOT F.round: Spark's round()
+                # goes through the double's shortest-decimal repr
+                # (BigDecimal.valueOf) and rounds 1.005 -> 1.01 where
+                # the multiplicative form (and DuckDB, and
+                # _round_half_up in local mode) yields 1.00 — the
+                # three paths must agree at half boundaries
+                (
+                    F.floor(
+                        (
+                            F.lit((1.0 - damping) / n)
+                            + F.lit(damping)
+                            * (
+                                F.coalesce(F.col("c"), F.lit(0.0))
+                                + F.col("dang") / n
+                            )
+                        )
+                        * F.lit(10.0**precision)
+                        + F.lit(0.5)
+                    )
+                    / F.lit(10.0**precision)
                 ).alias("pr"),
             )
             .persist()
@@ -176,4 +190,9 @@ def _pagerank_distributed(
         nxt.count()  # materialize: flat lineage, one job per iteration
         pr.unpersist()
         pr = nxt
+    # internals are no longer needed once pr is materialized (pr's
+    # lineage can recompute them if its cache is evicted — correctness
+    # is unaffected, only re-read cost)
+    for df in (nodes, frac, dangling_nodes):
+        df.unpersist()
     return pr

@@ -228,6 +228,12 @@ def interval_overlap_join(
     = a bucket crossed by very many LONG intervals (pick coarser
     buckets, or split the long-interval minority out first).
     """
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            "interval_overlap_join requires disjoint column names; "
+            f"shared: {sorted(shared)} — rename one side first"
+        )
     b = F.lit(bucket_seconds)
 
     def buckets(s: str, e: str):

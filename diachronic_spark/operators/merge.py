@@ -39,9 +39,12 @@ def merge_upsert(
     - 'D': the matching target row is dropped.
     - 'U': the matching target row survives with each ``update_cols``
       value replaced by the source value when it is non-null (null
-      source value = "leave this column alone").
-    - 'I': the source row is appended; target columns the source lacks
-      stay null.
+      source value = "leave this column alone"). An unmatched 'U' is
+      a no-op — MERGE's WHEN MATCHED clauses never fire for absent
+      keys, so no phantom row is inserted.
+    - 'I': the source row is appended when its key is absent; an 'I'
+      on an existing key leaves the target row unchanged (WHEN NOT
+      MATCHED only fires for absent keys).
     - target rows with no source match pass through unchanged.
 
     Deterministic given unique keys per side (enforce upstream; this
@@ -51,7 +54,17 @@ def merge_upsert(
     t, s = target.alias("__t"), source.alias("__s")
     j = t.join(s, F.col(f"__t.{key}") == F.col(f"__s.{key}"), "full_outer")
     op = F.col(f"__s.{op_col}")
-    keep = op.isNull() | (op != F.lit(OP_DELETE))
+    matched = F.col(f"__t.{key}").isNotNull()
+    keep = (
+        (op.isNull() | (op != F.lit(OP_DELETE)))
+        # WHEN MATCHED clauses never fire for absent keys: an
+        # unmatched 'U' (or 'D') is a no-op, not a phantom insert
+        & ~((op == F.lit(OP_UPDATE)) & ~matched)
+    )
+    # clause applicability, per MERGE semantics
+    applies = ((op == F.lit(OP_UPDATE)) & matched) | (
+        (op == F.lit(OP_INSERT)) & ~matched
+    )
 
     out: list[Column] = []
     source_cols = set(source.columns)
@@ -62,11 +75,7 @@ def merge_upsert(
         elif c in source_cols and c in set(update_cols):
             sc = F.col(f"__s.{c}")
             out.append(
-                F.when(
-                    op.isin(OP_UPDATE, OP_INSERT), F.coalesce(sc, tc)
-                )
-                .otherwise(tc)
-                .alias(c)
+                F.when(applies, F.coalesce(sc, tc)).otherwise(tc).alias(c)
             )
         elif c in source_cols:
             # not updatable: target value wins, source fills inserts

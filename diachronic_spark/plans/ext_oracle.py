@@ -1395,7 +1395,7 @@ WITH sess AS (
   FROM (
     SELECT user_id, ts,
            sum(CASE WHEN prev_ts IS NULL
-                    OR epoch(ts) - epoch(prev_ts) > 21600
+                    OR date_diff('microsecond', prev_ts, ts) > 21600000000
                     THEN 1 ELSE 0 END)
              OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_idx

@@ -1273,8 +1273,9 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 # full-outer shuffle join), then re-aggregated by segment. The oracle
 # is the textbook FULL OUTER JOIN + CASE rewrite, pinning the operator
 # to MERGE INTO semantics without a table format.
-def q77(spark: SparkSession, sf: str) -> DataFrame:
-    c = load(spark, sf, "customer")
+def _customer_changeset(c: DataFrame) -> DataFrame:
+    """The deterministic U/D/I change-set shared by q77 (merge) and
+    q87 (diff round-trip) — ONE definition so the two can't drift."""
     key = F.col("c_custkey")
     upd = c.filter(key % 10 == 0).select(
         "c_custkey",
@@ -1294,7 +1295,12 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0).alias("c_acctbal"),
         F.col("c_mktsegment"),
     )
-    src = upd.unionByName(dele).unionByName(ins)
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    c = load(spark, sf, "customer")
+    src = _customer_changeset(c)
     merged = merge_upsert(c, src, "c_custkey", ["c_acctbal"])
     return (
         merged.groupBy("c_mktsegment")
@@ -1313,13 +1319,18 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
 def q78(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     s = SA.weighted_sample_k(o, "o_orderkey", "o_totalprice", k=20)
-    return s.select(
-        "o_orderkey",
-        _r2(F.col("o_totalprice")).alias("o_totalprice"),
-        (F.round(F.col("sample_score"), 4) + F.lit(0.0)).alias(
-            "sample_score"
-        ),
-    ).orderBy(F.desc("sample_score"), "o_orderkey")
+    # order on the RAW score (as the oracle does) BEFORE projecting the
+    # rounded payload: 4dp ties must not reorder rows across engines
+    return (
+        s.orderBy(F.desc("sample_score"), "o_orderkey")
+        .select(
+            "o_orderkey",
+            _r2(F.col("o_totalprice")).alias("o_totalprice"),
+            (F.round(F.col("sample_score"), 4) + F.lit(0.0)).alias(
+                "sample_score"
+            ),
+        )
+    )
 
 
 # --- q79: exact rolling median over daily revenue --------------------------
@@ -1590,26 +1601,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
 # merge/diff pair against each other.
 def q87(spark: SparkSession, sf: str) -> DataFrame:
     c = load(spark, sf, "customer")
-    key = F.col("c_custkey")
-    upd = c.filter(key % 10 == 0).select(
-        "c_custkey",
-        F.lit("U").alias("op"),
-        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
-        F.lit(None).cast("string").alias("c_mktsegment"),
-    )
-    dele = c.filter(key % 10 == 1).select(
-        "c_custkey",
-        F.lit("D").alias("op"),
-        F.lit(None).cast("double").alias("c_acctbal"),
-        F.lit(None).cast("string").alias("c_mktsegment"),
-    )
-    ins = c.filter(key % 97 == 0).select(
-        (key + 1_000_000).alias("c_custkey"),
-        F.lit("I").alias("op"),
-        F.lit(0.0).alias("c_acctbal"),
-        F.col("c_mktsegment"),
-    )
-    src = upd.unionByName(dele).unionByName(ins)
+    src = _customer_changeset(c)
     merged = merge_upsert(c, src, "c_custkey", ["c_acctbal"])
     d = snapshot_diff(c, merged, "c_custkey", ["c_acctbal"])
     return (
@@ -1727,7 +1719,8 @@ TPCH_SQL: dict[str, str] = {
           WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
              OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         SELECT supp_nation, cust_nation, yr,
-               round(sum(rev_e4) / 10000e0, 2) + 0.0 AS revenue
+               CAST(floor((sum(rev_e4) + 50) / 100e0) AS BIGINT) / 100e0
+                 AS revenue
         FROM e4 GROUP BY supp_nation, cust_nation, yr
         ORDER BY supp_nation, cust_nation, yr
     """,
@@ -1761,7 +1754,7 @@ TPCH_SQL: dict[str, str] = {
           WHERE l.l_returnflag = 'R'
           GROUP BY c.c_custkey, c.c_name, n.n_name)
         SELECT c_custkey, c_name, n_name,
-               round(rev_e4 / 10000e0, 2) + 0.0 AS revenue
+               CAST(floor((rev_e4 + 50) / 100e0) AS BIGINT) / 100e0 AS revenue
         FROM r ORDER BY rev_e4 DESC, c_custkey LIMIT 20
     """,
     "q95": """
@@ -1788,7 +1781,8 @@ TPCH_SQL: dict[str, str] = {
         FROM e GROUP BY mo ORDER BY mo
     """,
     "q97": f"""
-        SELECT round(sum({_REV_E4}) / 10000e0, 2) + 0.0 AS revenue
+        SELECT CAST(floor((sum({_REV_E4}) + 50) / 100e0) AS BIGINT)
+                 / 100e0 AS revenue
         FROM lineitem{{v}} l
         JOIN part{{v}} p ON p.p_partkey = l.l_partkey
         WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -1799,12 +1793,15 @@ TPCH_SQL: dict[str, str] = {
                AND l.l_quantity BETWEEN 20 AND 30)
     """,
     "q98": """
-        WITH pos AS (SELECT avg(c_acctbal) AS a
+        WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS s_cents,
+                            count(*) AS n
                      FROM customer{v} WHERE c_acctbal > 0.0)
         SELECT c.c_custkey % 10 AS bucket, count(*) AS n_cust,
                round(sum(c.c_acctbal), 2) + 0.0 AS total_bal
         FROM customer{v} c CROSS JOIN pos
-        WHERE c.c_acctbal > pos.a
+        WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n
+              > pos.s_cents
           AND NOT EXISTS (SELECT 1 FROM orders{v} o
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >=

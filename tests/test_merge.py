@@ -38,6 +38,23 @@ def test_merge_update_insert_delete(spark):
     }  # 3 deleted
 
 
+def test_merge_unmatched_update_is_noop_and_matched_insert_keeps_target(spark):
+    src = spark.createDataFrame(
+        [
+            (5, "U", 99.0, None),   # no key 5 in target: WHEN MATCHED
+            (1, "I", 77.0, "zz"),   # key 1 exists: WHEN NOT MATCHED
+        ],
+        "k int, op string, v double, name string",
+    )
+    out = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_upsert(_target(spark), src, "k", ["v"]).collect()
+    }
+    assert 5 not in out            # unmatched 'U' must not insert
+    assert out[1] == ("a", 10.0)   # matched 'I' leaves the row alone
+    assert len(out) == 3
+
+
 def test_merge_null_update_value_keeps_target(spark):
     # op='U' with a null value in an updatable column = leave it alone
     src = spark.createDataFrame(

@@ -481,7 +481,7 @@ c AS (
   FROM d)
 SELECT source,
        count(DISTINCT ((cum_toks - 1) // 2048)) AS n_bins,
-       sum(n_toks) AS total_toks,
+       CAST(sum(n_toks) AS BIGINT) AS total_toks,
        round(sum(n_toks) / (count(DISTINCT ((cum_toks - 1) // 2048)) * 2048.0), 2)
          + 0.0 AS fill_ratio
 FROM c GROUP BY source
@@ -555,10 +555,10 @@ WITH p AS (
           FROM unnest(json_keys(props)) t(key)) AS vals_sum
   FROM events)
 SELECT event_type,
-       sum(n_keys) AS total_keys,
+       CAST(sum(n_keys) AS BIGINT) AS total_keys,
        count(k_val) AS n_with_k,
-       sum(k_val) AS sum_k,
-       sum(vals_sum) AS sum_all_vals
+       CAST(sum(k_val) AS BIGINT) AS sum_k,
+       CAST(sum(vals_sum) AS BIGINT) AS sum_all_vals
 FROM p GROUP BY event_type
 ORDER BY event_type
 """
@@ -677,7 +677,7 @@ s AS (
   SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
   FROM o)
-SELECT user_id, session_idx,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        count(*) AS n_events,
        date_diff('microsecond', min(ts), max(ts)) AS duration_us,
@@ -763,9 +763,9 @@ d AS (
          count(DISTINCT user_id) AS dau,
          sum(is_new) AS new_users
   FROM f GROUP BY 1)
-SELECT day, n_events, dau, new_users,
-       sum(new_users) OVER (ORDER BY day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+SELECT day, n_events, dau, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
 FROM d ORDER BY day
 """
 
@@ -813,7 +813,7 @@ WITH k AS (
   FROM events)
 SELECT event_type,
        count(k) AS n,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        ((200 * sum(k) + count(k)) // (2 * count(k))) / 100.0 AS avg_k
 FROM k GROUP BY event_type
 ORDER BY event_type
@@ -989,10 +989,10 @@ red AS (
                         '__PHONE__', '[PHONE]', 'g') AS redacted
   FROM inj)
 SELECT lang, count(*) AS n_docs,
-       sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS docs_with_pii,
-       sum(n_emails) AS total_emails,
-       sum(n_phones) AS total_phones,
-       sum(length(text) - length(redacted)) AS chars_removed
+       CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_emails) AS BIGINT) AS total_emails,
+       CAST(sum(n_phones) AS BIGINT) AS total_phones,
+       CAST(sum(length(text) - length(redacted)) AS BIGINT) AS chars_removed
 FROM red GROUP BY lang ORDER BY lang
 """.replace("__EMAIL__", _EMAIL).replace("__PHONE__", _PHONE)
 
@@ -1084,8 +1084,8 @@ WITH toks AS (
          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+') AS t
   FROM documents)
 SELECT lang,
-       sum(len(t)) AS n_tokens,
-       sum(len(list_distinct(t))) AS sum_doc_vocab,
+       CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+       CAST(sum(len(list_distinct(t))) AS BIGINT) AS sum_doc_vocab,
        round(avg(len(t)), 2) + 0.0 AS avg_tokens_per_doc
 FROM toks GROUP BY lang ORDER BY lang
 """
@@ -1148,7 +1148,7 @@ FROM s ORDER BY score DESC, o_orderkey LIMIT 20
 EXT_ORACLE["q79"] = """
 WITH daily AS (
   SELECT o_orderdate AS d,
-         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
   FROM orders GROUP BY o_orderdate)
 SELECT strftime(d, '%Y-%m-%d') AS d,
        rev_cents,
@@ -1315,7 +1315,7 @@ GROUP BY brand ORDER BY brand
 EXT_ORACLE["q85"] = """
 SELECT o_orderpriority,
        count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
        max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority

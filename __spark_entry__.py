@@ -29,6 +29,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (q21 omitted: engine-internal
-    fixture input → rows-only check; see diachronic_spark/plans/oracle.py)."""
+    """DuckDB-equivalent SQL per query (q21 reads the committed
+    fixtures/wiki_revisions.parquet on both engines)."""
     return dict(ORACLE)

@@ -1,10 +1,11 @@
 """DuckDB oracle SQL for every SQL-expressible query in ``queries.py``.
 
 Aliases, rounding, and string-rendered timestamps match the Spark side
-exactly (FIXTURES.md §4). q21 is intentionally absent: its input is an
-engine-internal synthetic fixture, so the driver records the weaker
-rows-only check; the declarative-vs-sequential equivalence is pinned by
-tests/test_snapshot.py instead.
+exactly (FIXTURES.md §4). q21 reads the materialized wiki fixture
+parquet (fixtures/wiki_revisions.parquet) — the same file the Spark
+query reads — so even the engine-internal pipeline query is fully
+oracle-checked; the declarative-vs-sequential equivalence is pinned by
+tests/test_snapshot.py on top.
 
 DuckDB dialect notes:
 - ``epoch_us(ts)/1000000.0`` mirrors Spark's ``cast(ts as double)``.
@@ -17,6 +18,8 @@ DuckDB dialect notes:
 """
 
 from __future__ import annotations
+
+from ..sources.wiki_fixture import FIXTURE_PATH as _WIKI_FIXTURE
 
 ORACLE: dict[str, str] = {}
 
@@ -252,6 +255,28 @@ FROM (
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 20
+"""
+
+# q21: daily-snapshot dedup over the materialized wiki fixture
+# (fixtures/wiki_revisions.parquet, tools/make_wiki_fixture.py). Same
+# parquet both engines; reference semantics per SURVEY §1.2 /
+# main.py:151-161: ns-0, day >= epoch, first revision per (page, day),
+# rev_seq (document order) breaking exact-timestamp ties, null text -> ''.
+ORACLE["q21"] = f"""
+WITH f AS (
+  SELECT * FROM read_parquet('{_WIKI_FIXTURE}')
+  WHERE namespace = '0' AND timestamp >= TIMESTAMP '2001-01-15 00:00:00'
+),
+w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY page_id, CAST(timestamp AS DATE)
+      ORDER BY timestamp, rev_seq) AS rn
+  FROM f)
+SELECT namespace, title,
+       strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       coalesce(text, '') AS text
+FROM w WHERE rn = 1
+ORDER BY title, ts_s
 """
 
 ORACLE["q22"] = """

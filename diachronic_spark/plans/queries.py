@@ -19,10 +19,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import ensure_confs, load
 from ..functions import cosine_similarity, date_str, ts_str, whitespace_tokens
 from ..operators.snapshot import daily_snapshot
-from ..sources.wiki_fixture import wiki_revisions_df
+from ..schemas import WIKI_REVISIONS
+from ..sources.wiki_fixture import FIXTURE_PATH
 
 
 def _r2(c) -> F.Column:
@@ -401,12 +402,15 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- Q21: wiki pipeline end-to-end ----------------------------------------
-# Deterministic synthetic revisions (seed=42, sorted-within-page form) ->
-# daily-snapshot dedup (W1) -> canonical output. No SQL oracle: the
-# fixture is engine-internal; correctness is pinned by tests comparing
-# this declarative form against the sequential replay spec (SURVEY §1.2).
+# Deterministic synthetic revisions (seed=42, sorted-within-page form,
+# materialized to fixtures/wiki_revisions.parquet by
+# tools/make_wiki_fixture.py) -> daily-snapshot dedup (W1) -> canonical
+# output. The DuckDB oracle reads the identical parquet, so the driver
+# gets a full rows/schema/hash check; the declarative-vs-sequential
+# equivalence remains pinned by tests (SURVEY §1.2).
 def q21(spark: SparkSession, sf: str) -> DataFrame:
-    revs = wiki_revisions_df(spark, include_out_of_order=False)
+    ensure_confs(spark)
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
     snap = daily_snapshot(revs)
     return snap.select(
         "namespace",

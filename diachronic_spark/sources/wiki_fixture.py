@@ -15,6 +15,7 @@ collisions, and empty pages (skipped page_ids).
 from __future__ import annotations
 
 import datetime as dt
+import os
 import random
 
 from pyspark.sql import DataFrame, SparkSession
@@ -22,6 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 from ..schemas import WIKI_REVISIONS
 
 EPOCH = dt.datetime(2001, 1, 15)
+
+# Materialized copy of the in-order fixture (tools/make_wiki_fixture.py),
+# committed so the q21 DuckDB oracle can read the identical input via
+# read_parquet — making q21 fully oracle-checkable instead of rows-only.
+FIXTURE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "wiki_revisions.parquet",
+)
 
 
 def generate_rows(

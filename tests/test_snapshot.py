@@ -143,3 +143,27 @@ def test_cross_page_same_title_no_interference(spark):
     df = spark.createDataFrame(rows, WIKI_REVISIONS)
     assert daily_snapshot(df).count() == 2
     assert daily_snapshot_sequential(df).count() == 2
+
+
+def test_materialized_fixture_matches_generator():
+    """fixtures/wiki_revisions.parquet is the committed form of
+    generate_rows(include_out_of_order=False); q21 and its DuckDB oracle
+    both read it, so drift between file and generator must fail loudly
+    (regenerate with tools/make_wiki_fixture.py)."""
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    table = pq.read_table(FIXTURE_PATH)
+    got = [
+        (
+            r["page_id"],
+            r["rev_seq"],
+            r["namespace"],
+            r["title"],
+            r["timestamp"],
+            r["text"],
+        )
+        for r in table.to_pylist()
+    ]
+    assert got == generate_rows(include_out_of_order=False)

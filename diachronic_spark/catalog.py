@@ -51,17 +51,28 @@ def _events_ts_unit(path: str) -> str:
     The driver has shipped this fixture as both ``timestamp[ns]`` and
     ``timestamp[us]`` across rounds, so detect instead of assume. A footer
     read is a driver-side metadata fetch (no data pages), cheap at any SF.
-    Falls back to "ns" (the historical format) if pyarrow can't read it.
+
+    Only pyarrow being absent falls back to "ns" (the historical format,
+    with a loud warning — a wrong guess misreads µs data 1000x off).
+    Any other failure (missing/corrupt file, missing ``ts`` field)
+    propagates: a broken footer must surface as an error at plan time,
+    not as silently wrong timestamps.
     """
     try:
         import pyarrow.parquet as pq
+    except ImportError:
+        import warnings
 
-        t = pq.read_schema(path).field("ts").type
-        # plain INT64 (no timestamp logical type) has no .unit: treat as
-        # the historical ns-since-epoch long format
-        return getattr(t, "unit", "ns")
-    except Exception:
+        warnings.warn(
+            f"pyarrow unavailable; assuming events ts unit 'ns' for {path}"
+            " — if the fixture is timestamp[us] this misreads it 1000x off",
+            stacklevel=2,
+        )
         return "ns"
+    t = pq.read_schema(path).field("ts").type
+    # plain INT64 (no timestamp logical type) has no .unit: treat as
+    # the historical ns-since-epoch long format
+    return getattr(t, "unit", "ns")
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -234,27 +234,33 @@ def interval_overlap_join(
             "interval_overlap_join requires disjoint column names; "
             f"shared: {sorted(shared)} — rename one side first"
         )
-    b = F.lit(bucket_seconds)
+    # Bucket math in integer microseconds: double epoch-seconds has a
+    # ~0.24 µs ulp at 2024-era epochs, so a float epsilon for the
+    # half-open end would depend on rounding luck near boundaries.
+    # floor-div via pmod (a - pmod(a, b) is an exact multiple of b, and
+    # |µs| < 2^53 keeps the final division exact) is correct for any
+    # epoch including pre-1970 negatives, where SQL `div` truncates
+    # toward zero instead of flooring.
+    b_us = F.lit(bucket_seconds * 1_000_000)
+
+    def _floordiv(x):
+        return ((x - F.pmod(x, b_us)) / b_us).cast("long")
 
     def buckets(s: str, e: str):
-        lo = F.floor(F.col(s).cast("double") / b)
+        lo = _floordiv(F.unix_micros(F.col(s)))
         # half-open end: an interval ending exactly on a bucket edge
-        # does not occupy that bucket
-        hi = F.floor((F.col(e).cast("double") - F.lit(1e-6)) / b)
+        # does not occupy that bucket -> floor((e_us - 1) / b_us)
+        hi = _floordiv(F.unix_micros(F.col(e)) - F.lit(1))
         seq = F.when(
             F.col(e) > F.col(s),  # empty/degenerate intervals emit no
-            F.sequence(lo.cast("long"), hi.cast("long")),  # buckets
+            F.sequence(lo, hi),  # buckets
         ).otherwise(F.array().cast("array<long>"))
         return lo, seq
 
     llo, lseq = buckets(l_start, l_end)
     rlo, rseq = buckets(r_start, r_end)
-    lb = left.withColumn("__l_b0", llo.cast("long")).withColumn(
-        "__bucket", F.explode(lseq)
-    )
-    rb = right.withColumn("__r_b0", rlo.cast("long")).withColumn(
-        "__bucket", F.explode(rseq)
-    )
+    lb = left.withColumn("__l_b0", llo).withColumn("__bucket", F.explode(lseq))
+    rb = right.withColumn("__r_b0", rlo).withColumn("__bucket", F.explode(rseq))
     j = lb.join(rb, "__bucket")
     exact = (F.col(l_start) < F.col(r_end)) & (
         F.col(r_start) < F.col(l_end)

@@ -8,6 +8,13 @@ MERGE; this operator supplies the general form every warehouse-style
 pipeline needs (Delta/Iceberg MERGE INTO semantics, expressed with
 vanilla DataFrame ops so it works on plain parquet).
 
+Documented divergence from SQL MERGE: a null source value in an
+updatable column means "leave the target column alone" (COALESCE),
+whereas ``MERGE ... WHEN MATCHED THEN UPDATE SET c = s.c`` overwrites
+with NULL. Callers cannot null-out a column through this operator; a
+change-set that needs explicit null-outs must model them as a sentinel
+in the payload (or extend the op vocabulary), not as NULL.
+
 Scale: one full-outer shuffle join on the key — both sides hash-
 partition once, no driver-side state. A full outer join can't
 broadcast even a tiny change-set (unmatched target rows must

@@ -1107,7 +1107,8 @@ WITH src AS (
   SELECT c_custkey, 'D', NULL, NULL
   FROM customer WHERE c_custkey % 10 = 1
   UNION ALL
-  SELECT c_custkey + 1000000, 'I', 0.0, c_mktsegment
+  SELECT c_custkey + 1 + (SELECT max(c_custkey) FROM customer), 'I', 0.0,
+         c_mktsegment
   FROM customer WHERE c_custkey % 97 = 0),
 merged AS (
   SELECT COALESCE(c.c_custkey, s.k) AS c_custkey,
@@ -1292,7 +1293,7 @@ frac AS (SELECT e.u, e.v, e.w * 1.0 / o.wout AS frac
          FROM e JOIN outw o ON e.u = o.node),
 r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
 {_PR_CHAIN}
-SELECT node AS n_name, round(pr, 6) + 0.0 AS pagerank
+SELECT node AS n_name, floor(pr * 1000000 + 0.5) / 1000000 + 0.0 AS pagerank
 FROM r{_PR_ITERS} ORDER BY n_name
 """
 

@@ -1275,7 +1275,12 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
 # to MERGE INTO semantics without a table format.
 def _customer_changeset(c: DataFrame) -> DataFrame:
     """The deterministic U/D/I change-set shared by q77 (merge) and
-    q87 (diff round-trip) — ONE definition so the two can't drift."""
+    q87 (diff round-trip) — ONE definition so the two can't drift.
+
+    Insert keys are offset by the table max (broadcast one-row agg, no
+    driver action) rather than a fixed constant, so they cannot collide
+    with existing keys at ANY scale factor — a fixed +1M offset would
+    collide once customer grows past 1M rows (sf ≳ 7)."""
     key = F.col("c_custkey")
     upd = c.filter(key % 10 == 0).select(
         "c_custkey",
@@ -1289,11 +1294,18 @@ def _customer_changeset(c: DataFrame) -> DataFrame:
         F.lit(None).cast("double").alias("c_acctbal"),
         F.lit(None).cast("string").alias("c_mktsegment"),
     )
-    ins = c.filter(key % 97 == 0).select(
-        (key + 1_000_000).alias("c_custkey"),
-        F.lit("I").alias("op"),
-        F.lit(0.0).alias("c_acctbal"),
-        F.col("c_mktsegment"),
+    maxk = F.broadcast(c.agg(F.max("c_custkey").alias("__maxk")))
+    ins = (
+        c.filter(key % 97 == 0)
+        .crossJoin(maxk)
+        .select(
+            # +1: keys are 0-based, so offsetting by max alone would map
+            # key 0 onto the existing max key
+            (key + F.col("__maxk") + F.lit(1)).alias("c_custkey"),
+            F.lit("I").alias("op"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.col("c_mktsegment"),
+        )
     )
     return upd.unionByName(dele).unionByName(ins)
 
@@ -1478,9 +1490,15 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     pr = G.pagerank(edges, damping=0.85, iterations=5, precision=10)
+    # final 6dp projection uses the same multiplicative HALF_UP form as
+    # the per-iteration rounding (and the oracle) — F.round would go
+    # through the shortest-decimal repr and disagree at half boundaries
     return pr.select(
         F.col("node").alias("n_name"),
-        (F.round(F.col("pr"), 6) + F.lit(0.0)).alias("pagerank"),
+        (
+            F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            + F.lit(0.0)
+        ).alias("pagerank"),
     ).orderBy("n_name")
 
 

@@ -376,24 +376,12 @@ def connected_components(
     return labels
 
 
-def connected_components_local(
-    edges: DataFrame,
-    nodes: DataFrame,
-) -> DataFrame:
-    """Same contract as :func:`connected_components` (component = min
-    reachable doc_id), different execution shape: union-find over the
-    COLLECTED pair list.
-
-    Driver state is O(edges) — near-dup pair sets are churn-sized, not
-    corpus-sized (LSH emits a few pairs per duplicate cluster), so
-    even a billion-doc corpus with millions of dup pairs fits. The
-    corpus-sized part stays distributed: singleton nodes (no pairs)
-    are label==self via a left-anti join against the KB-scale endpoint
-    mapping — never collected. The kmeans/pagerank driver-state dual,
-    applied to closure; the distributed min-label loop remains for
-    edge sets beyond driver memory.
+def _components_from_pairs(pairs, nodes: DataFrame) -> DataFrame:
+    """Union-find over an in-driver (a, b) pair list, then rejoin the
+    distributed node set for singletons. Shared tail of
+    :func:`connected_components_local` and :func:`connected_components_auto`.
     """
-    spark = edges.sparkSession
+    spark = nodes.sparkSession
     parent: dict = {}
 
     def find(x):
@@ -404,7 +392,7 @@ def connected_components_local(
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in edges.select("doc_a", "doc_b").collect():
+    for a, b in pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -422,3 +410,63 @@ def connected_components_local(
         "doc_id", F.col("doc_id").alias("component")
     )
     return endpoint_df.unionByName(singles)
+
+
+def connected_components_local(
+    edges: DataFrame,
+    nodes: DataFrame,
+) -> DataFrame:
+    """Same contract as :func:`connected_components` (component = min
+    reachable doc_id), different execution shape: union-find over the
+    COLLECTED pair list.
+
+    Driver state is O(edges) — near-dup pair sets are churn-sized, not
+    corpus-sized (LSH emits a few pairs per duplicate cluster), so
+    even a billion-doc corpus with millions of dup pairs fits. The
+    corpus-sized part stays distributed: singleton nodes (no pairs)
+    are label==self via a left-anti join against the KB-scale endpoint
+    mapping — never collected. The kmeans/pagerank driver-state dual,
+    applied to closure; the distributed min-label loop remains for
+    edge sets beyond driver memory. Prefer
+    :func:`connected_components_auto`, which picks between the two by
+    measuring the edge count instead of trusting the caller.
+    """
+    return _components_from_pairs(
+        ((r[0], r[1]) for r in edges.select("doc_a", "doc_b").collect()),
+        nodes,
+    )
+
+
+# Above this many candidate pairs the union-find dual stops being a
+# clear win (driver heap + single-core closure); the min-label loop's
+# per-iteration join+min is the safe shape. LSH pair sets on real
+# corpora sit orders of magnitude below this.
+LOCAL_EDGE_THRESHOLD = 2_000_000
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    nodes: DataFrame,
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Edge-count-dispatched closure: union-find on the driver when the
+    pair set is small, distributed min-label propagation otherwise —
+    so the 100 TB path can't be accidentally driver-bound by a caller
+    picking the wrong dual.
+
+    The probe IS the local collect: ``limit(threshold+1).collect()``
+    short-circuits the scan once threshold+1 pairs are produced, so the
+    oversized case pays for threshold+1 rows of the pair pipeline, not
+    a full count; the small case reuses the collected rows directly
+    (no second job). Callers that feed an expensive LSH pair pipeline
+    should persist ``edges`` first if they also use it elsewhere.
+    """
+    probe = (
+        edges.select("doc_a", "doc_b")
+        .limit(local_edge_threshold + 1)
+        .collect()
+    )
+    if len(probe) <= local_edge_threshold:
+        return _components_from_pairs(((r[0], r[1]) for r in probe), nodes)
+    return connected_components(edges, nodes, max_iter=max_iter)

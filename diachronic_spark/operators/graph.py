@@ -60,7 +60,8 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 5,
     precision: int = 10,
-    mode: str = "local",
+    mode: str = "auto",
+    local_edge_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution.
 
@@ -71,7 +72,26 @@ def pagerank(
     fractions (driver-side state: O(E) for the fractions, O(V) for the
     ranks) and iterates without Spark jobs; ``mode='distributed'``
     keeps everything as DataFrames with a persist per iteration.
+    ``mode='auto'`` (default) measures instead of trusting the caller:
+    it collects at most threshold+1 edges (``limit`` short-circuits
+    the scan, so the oversized case doesn't pay for a full count); a
+    small edge set reuses those rows driver-side, a large one routes
+    to the distributed loop.
     """
+    if mode == "auto":
+        probe = (
+            edges.select(src, dst, weight)
+            .limit(local_edge_threshold + 1)
+            .collect()
+        )
+        if len(probe) <= local_edge_threshold:
+            return _pagerank_local(
+                edges, src, dst, weight, damping, iterations, precision,
+                rows=[(r[0], r[1], r[2]) for r in probe],
+            )
+        return _pagerank_distributed(
+            edges, src, dst, weight, damping, iterations, precision
+        )
     if mode == "local":
         return _pagerank_local(
             edges, src, dst, weight, damping, iterations, precision
@@ -81,17 +101,20 @@ def pagerank(
     )
 
 
-def _pagerank_local(edges, src, dst, weight, damping, iterations, precision):
+def _pagerank_local(
+    edges, src, dst, weight, damping, iterations, precision, rows=None
+):
     spark = edges.sparkSession
     # ONE Spark job: collect the (already aggregated) edge table; node
     # set, out-degrees, fractions, and dangling set are O(E) driver
     # arithmetic — by this mode's precondition that's KB-to-MB scale.
     # (Deriving them as DataFrames would re-run the upstream edge
     # build once per collect unless the caller persisted it.)
-    rows = [
-        (r[0], r[1], r[2])
-        for r in edges.select(src, dst, weight).collect()
-    ]
+    if rows is None:
+        rows = [
+            (r[0], r[1], r[2])
+            for r in edges.select(src, dst, weight).collect()
+        ]
     nodes = sorted({u for u, _, _ in rows} | {v for _, v, _ in rows})
     wout: dict = {}
     for u, _, w in rows:

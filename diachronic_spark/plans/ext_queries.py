@@ -633,10 +633,11 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
 # The oracle computes the same closure with a recursive CTE.
 def q52(spark: SparkSession, sf: str) -> DataFrame:
     corpus, jac = _rare_shingle_jaccard(spark, sf)
-    # Pair graphs are churn-sized (edges << corpus): the union-find
-    # driver shape wins; the distributed min-label loop stays
-    # available and equivalence-pinned for beyond-driver edge sets.
-    comp = D.connected_components_local(
+    # Edge-count-dispatched: pair graphs are churn-sized here, so the
+    # probe collects them and runs driver union-find; an edge set past
+    # the threshold routes to the distributed min-label loop instead
+    # of silently driver-binding the 100 TB path.
+    comp = D.connected_components_auto(
         jac.select("doc_a", "doc_b"), corpus.select("doc_id")
     )
     return (

@@ -197,3 +197,51 @@ def test_connected_components_local_equals_distributed(spark):
     comp = dict(loc)
     assert comp[3] == 1 and comp[12] == 10 and comp[21] == 20
     assert comp[30] == 30 and comp[31] == 31
+
+
+def test_connected_components_auto_dispatch(spark, monkeypatch):
+    """Small edge sets run union-find on the probe rows; an edge set
+    past the threshold must route to the distributed min-label loop."""
+    import diachronic_spark.operators.dedup as dedup_mod
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (21, 20)],
+        "doc_a long, doc_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 30]], "doc_id long"
+    )
+    expected = sorted(
+        map(tuple, dedup_mod.connected_components(edges, nodes).collect())
+    )
+
+    calls = []
+    real_distributed = dedup_mod.connected_components
+
+    def spy(e, n, max_iter=20):
+        calls.append("distributed")
+        return real_distributed(e, n, max_iter=max_iter)
+
+    monkeypatch.setattr(dedup_mod, "connected_components", spy)
+
+    # under threshold -> local union-find, distributed never invoked
+    got = sorted(
+        map(
+            tuple,
+            dedup_mod.connected_components_auto(
+                edges, nodes, local_edge_threshold=100
+            ).collect(),
+        )
+    )
+    assert got == expected and calls == []
+
+    # over threshold (6 edges > 3) -> must take the distributed loop
+    got = sorted(
+        map(
+            tuple,
+            dedup_mod.connected_components_auto(
+                edges, nodes, local_edge_threshold=3
+            ).collect(),
+        )
+    )
+    assert got == expected and calls == ["distributed"]

@@ -85,3 +85,47 @@ def test_merge_states_rejects_non_algebraic_columns(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "non-algebraic" in str(e)
+
+
+def test_pagerank_auto_dispatch(spark, monkeypatch):
+    """mode='auto' measures the edge count: small graphs reuse the probe
+    rows driver-side; past the threshold the distributed loop runs."""
+    import diachronic_spark.operators.graph as graph_mod
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0),
+         ("a", "c", 2.0), ("c", "b", 1.0)],
+        "src string, dst string, w double",
+    )
+    expected = sorted(
+        map(tuple, graph_mod.pagerank(e, mode="local", iterations=3).collect())
+    )
+
+    calls = []
+    real_distributed = graph_mod._pagerank_distributed
+
+    def spy(*args, **kw):
+        calls.append("distributed")
+        return real_distributed(*args, **kw)
+
+    monkeypatch.setattr(graph_mod, "_pagerank_distributed", spy)
+
+    got = sorted(
+        map(
+            tuple,
+            graph_mod.pagerank(
+                e, mode="auto", iterations=3, local_edge_threshold=100
+            ).collect(),
+        )
+    )
+    assert got == expected and calls == []
+
+    got = sorted(
+        map(
+            tuple,
+            graph_mod.pagerank(
+                e, mode="auto", iterations=3, local_edge_threshold=2
+            ).collect(),
+        )
+    )
+    assert got == expected and calls == ["distributed"]

@@ -22,6 +22,7 @@ Scale design:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
@@ -455,18 +456,22 @@ def connected_components_auto(
     so the 100 TB path can't be accidentally driver-bound by a caller
     picking the wrong dual.
 
-    The probe IS the local collect: ``limit(threshold+1).collect()``
-    short-circuits the scan once threshold+1 pairs are produced, so the
-    oversized case pays for threshold+1 rows of the pair pipeline, not
-    a full count; the small case reuses the collected rows directly
-    (no second job). Callers that feed an expensive LSH pair pipeline
-    should persist ``edges`` first if they also use it elsewhere.
+    The probe persists the pair set and counts it in ONE parallel pass
+    (not ``limit(n).collect()`` — CollectLimit's incremental 1→4→16…
+    partition waves would re-run an expensive LSH pair pipeline several
+    times). Either branch then reads pairs from the cache, so the
+    upstream pipeline executes exactly once; the cache is dropped
+    before returning (the distributed loop materializes its own
+    symmetrized copy, the local one has collected).
     """
-    probe = (
-        edges.select("doc_a", "doc_b")
-        .limit(local_edge_threshold + 1)
-        .collect()
+    pairs = edges.select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    if len(probe) <= local_edge_threshold:
-        return _components_from_pairs(((r[0], r[1]) for r in probe), nodes)
-    return connected_components(edges, nodes, max_iter=max_iter)
+    try:
+        if pairs.count() <= local_edge_threshold:
+            return _components_from_pairs(
+                ((r[0], r[1]) for r in pairs.collect()), nodes
+            )
+        return connected_components(pairs, nodes, max_iter=max_iter)
+    finally:
+        pairs.unpersist()

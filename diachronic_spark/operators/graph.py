@@ -28,6 +28,7 @@ scale.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
@@ -73,25 +74,26 @@ def pagerank(
     ranks) and iterates without Spark jobs; ``mode='distributed'``
     keeps everything as DataFrames with a persist per iteration.
     ``mode='auto'`` (default) measures instead of trusting the caller:
-    it collects at most threshold+1 edges (``limit`` short-circuits
-    the scan, so the oversized case doesn't pay for a full count); a
-    small edge set reuses those rows driver-side, a large one routes
-    to the distributed loop.
+    the edge set is persisted and counted in one parallel pass (not
+    ``limit(n).collect()``, whose incremental partition waves re-run
+    an expensive upstream pipeline), then either branch reads edges
+    from the cache — the upstream pipeline executes exactly once.
     """
     if mode == "auto":
-        probe = (
-            edges.select(src, dst, weight)
-            .limit(local_edge_threshold + 1)
-            .collect()
+        cached = edges.select(src, dst, weight).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        if len(probe) <= local_edge_threshold:
-            return _pagerank_local(
-                edges, src, dst, weight, damping, iterations, precision,
-                rows=[(r[0], r[1], r[2]) for r in probe],
+        try:
+            if cached.count() <= local_edge_threshold:
+                return _pagerank_local(
+                    edges, src, dst, weight, damping, iterations, precision,
+                    rows=[(r[0], r[1], r[2]) for r in cached.collect()],
+                )
+            return _pagerank_distributed(
+                cached, src, dst, weight, damping, iterations, precision
             )
-        return _pagerank_distributed(
-            edges, src, dst, weight, damping, iterations, precision
-        )
+        finally:
+            cached.unpersist()
     if mode == "local":
         return _pagerank_local(
             edges, src, dst, weight, damping, iterations, precision

@@ -107,35 +107,66 @@ def _assigned(v: DataFrame, cents: DataFrame) -> DataFrame:
     """One assignment pass: (vec_id, cell, v) with cell = argmax-cosine
     centroid, ties -> lowest cell.
 
-    crossJoin against the broadcast k-row centroid table fans each
-    vector to k sim rows INSIDE the scan stage; max_by aggregates them
-    back down with map-side combine, so only k-row partials per
-    partition reach the one shuffle (on vec_id). ``v`` rides along via
-    first() (identical across a vector's fan-out rows) — downstream
-    centroid recomputation needs no second join.
+    The k centroids collapse to ONE (cell-sorted) array row that
+    broadcast-crossJoins onto the vectors; per row, argmax is
+    array_max over (sim, -cell) structs. Assignment is therefore a
+    pure map over the vectors — no fan-out to k rows and no vec_id
+    exchange hauling the vector arrays back together (the previous
+    crossJoin+max_by shape shuffled every vector once per Lloyd pass;
+    at corpus scale that exchange dwarfs the arithmetic). Struct
+    ordering (sim desc via max, then -cell) keeps the exact tie-break,
+    and the cosine fold is the same sequential HOF — bit-identical
+    results, pinned by the eager/lazy/python-replay tests.
     """
-    sims = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", "v", cosine_similarity("v", "c").alias("sim")
+    cs = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("c")))
+        ).alias("cs")
     )
-    return sims.groupBy("vec_id").agg(
-        F.max_by(
-            "cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))
-        ).alias("cell"),
-        F.first("v").alias("v"),
+    sims = F.transform(
+        "cs",
+        lambda e: F.struct(
+            cosine_similarity(F.col("v"), e["c"]).alias("sim"),
+            (-e["cell"]).alias("nc"),
+        ),
+    )
+    return (
+        v.crossJoin(F.broadcast(cs))
+        .select(
+            "vec_id",
+            (-F.array_max(sims)["nc"]).cast("int").alias("cell"),
+            "v",
+        )
     )
 
 
 def _mean_cents(assigned: DataFrame, dim: int, round_to: int) -> DataFrame:
-    """Element-wise per-cell means as ``dim`` parallel avg() aggregates
-    in ONE map-side-combining hash agg — k x (dim+1) partial sums per
-    partition cross the wire, nothing explodes."""
-    return assigned.groupBy("cell").agg(
-        *[
-            F.round(F.avg(F.col("v")[i]), round_to).alias(f"m{i}")
-            for i in range(dim)
-        ]
-    ).select(
-        "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("c")
+    """Element-wise per-cell means: posexplode → avg over (cell, pos)
+    → re-assemble ordered (the centroids_by_cell shape).
+
+    Why not ``dim`` parallel avg(v[i]) aggregates in one hash agg?
+    Same execution shape, but each Lloyd iteration would contribute a
+    64-wide aggregate expression tree and Catalyst ANALYSIS of the
+    chained-iteration plan dominated wall time (measured 2.6s → 1.0s
+    at sf0.1 for the full 3-iteration fit with this constant-size
+    tree). Still the 100 TB shape: avg partials are constant-state and
+    map-side-combined, the exchanges carry only k x dim keys, and
+    per-iteration 6dp rounding absorbs partial-merge-order float drift
+    exactly as it does between Spark, DuckDB, and the Python replay.
+
+    ``dim`` is unused (posexplode derives positions) but kept so the
+    eager/lazy drivers share one signature.
+    """
+    ex = assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+    means = ex.groupBy("cell", "pos").agg(
+        F.round(F.avg("x"), round_to).alias("m")
+    )
+    return (
+        means.groupBy("cell")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+        )
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("c"))
     )
 
 

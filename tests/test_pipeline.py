@@ -6,6 +6,7 @@ checked against the pure-Python replay spec; manifest anti-join.
 from __future__ import annotations
 
 import bz2
+import os
 
 import pytest
 
@@ -180,3 +181,21 @@ def test_pipeline_config_from_yaml(tmp_path):
     assert cfg.epoch == dt.datetime(2001, 1, 15)
     assert cfg.dump_url("enwiki") == "http://dumps.example.org/enwiki/20180101/"
     assert cfg.output_prefix("enwiki") == "enwiki/20180101/"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_OBJECT_STORE_URI"),
+    reason="set SPARK_GRAFT_OBJECT_STORE_URI=gs://bucket/prefix (or s3a://) "
+    "and provide connector jars + credentials to run the cloud-sink test",
+)
+def test_write_snapshots_object_store(spark, xml_paths):
+    """S8 integration: write_snapshots straight to a cloud URI and read
+    it back — same direct-URI sink the local roundtrip exercises, but
+    through the real Hadoop connector (jar coordinates in README)."""
+    rows, pa, pb = xml_paths
+    base = os.environ["SPARK_GRAFT_OBJECT_STORE_URI"].rstrip("/")
+    out = f"{base}/diachronic_spark_it/snapshots"
+    snap = snapshot_from_dumps(spark, [pa, pb])
+    write_snapshots(snap, out, PipelineConfig(compression="zstd"))
+    back = spark.read.parquet(out)
+    assert _collect_sorted(back) == _replay_all(rows)

@@ -318,8 +318,8 @@ def chunk_tokens(
         .withColumn("chunk_toks", F.slice("toks", F.col("start"), size))
         .select(
             id_col,
-            "chunk_id",
-            F.size("chunk_toks").alias("chunk_tokens"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("chunk_toks").cast("long").alias("chunk_tokens"),
             F.array_join("chunk_toks", " ").alias("chunk_text"),
         )
     )

@@ -359,10 +359,10 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
             "p_brand",
             "p_partkey",
             "p_size",
-            F.rank().over(wt).alias("rnk"),
-            F.dense_rank().over(wt).alias("drnk"),
+            F.rank().over(wt).cast("long").alias("rnk"),
+            F.dense_rank().over(wt).cast("long").alias("drnk"),
             _r2(F.percent_rank().over(wd)).alias("prnk"),
-            F.ntile(4).over(wd).alias("quartile"),
+            F.ntile(4).over(wd).cast("long").alias("quartile"),
         )
         .filter(F.col("rnk") <= 5)
         .orderBy("p_brand", "p_partkey")
@@ -722,7 +722,10 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "lang")
     return (
         SA.stratified_sample_k(docs, "lang", "doc_id", k=20)
-        .select("lang", "sample_rank", "doc_id")
+        .select(
+            "lang", F.col("sample_rank").cast("long").alias("sample_rank"),
+            "doc_id",
+        )
         .orderBy("lang", "sample_rank")
     )
 
@@ -733,7 +736,8 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     return (
         T.tfidf_top_terms(docs, top_k=3)
         .select(
-            "doc_id", "term_rank", "term", _r2(F.col("score")).alias("score")
+            "doc_id", F.col("term_rank").cast("long").alias("term_rank"),
+            "term", _r2(F.col("score")).alias("score"),
         )
         .orderBy("doc_id", "term_rank")
     )
@@ -1556,7 +1560,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
         d.groupBy("brand")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.min("dist").alias("min_dist"),
+            F.min("dist").cast("long").alias("min_dist"),
             _r2(F.avg("dist")).alias("avg_dist"),
         )
         .orderBy("brand")
@@ -1653,7 +1657,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
     o = load(spark, sf, "orders").select("o_totalprice")
     h = ST.equi_width_histogram(o, "o_totalprice", bins=20)
     return h.select(
-        "bin",
+        F.col("bin").cast("long").alias("bin"),
         _r2(F.col("lo")).alias("lo"),
         _r2(F.col("hi")).alias("hi"),
         "n",
@@ -1709,7 +1713,9 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select("ts", "user_id")
     r = TS.sliding_distinct(ev, "ts", "user_id", days=7)
     return r.select(
-        fn.date_str(F.col("d")).alias("d"), "n_1d", "n_window"
+        fn.date_str(F.col("d")).alias("d"),
+        F.col("n_1d").cast("long").alias("n_1d"),
+        F.col("n_window").cast("long").alias("n_window"),
     ).orderBy("d")
 
 
@@ -1744,7 +1750,7 @@ TPCH_SQL: dict[str, str] = {
     "q92": f"""
         WITH e4 AS (
           SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-                 year(l.l_shipdate) AS yr, {_REV_E4} AS rev_e4
+                 CAST(year(l.l_shipdate) AS BIGINT) AS yr, {_REV_E4} AS rev_e4
           FROM lineitem{{v}} l
           JOIN orders{{v}} o ON l.l_orderkey = o.o_orderkey
           JOIN customer{{v}} c ON o.o_custkey = c.c_custkey
@@ -1761,7 +1767,7 @@ TPCH_SQL: dict[str, str] = {
     """,
     "q93": f"""
         WITH rev AS (
-          SELECT year(o.o_orderdate) AS yr, n1.n_name AS supp_nation,
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, n1.n_name AS supp_nation,
                  {_REV_E4} AS rev_e4
           FROM part{{v}} p
           JOIN lineitem{{v}} l ON p.p_partkey = l.l_partkey
@@ -1804,7 +1810,7 @@ TPCH_SQL: dict[str, str] = {
     """,
     "q96": f"""
         WITH e AS (
-          SELECT month(l.l_shipdate) AS mo,
+          SELECT CAST(month(l.l_shipdate) AS BIGINT) AS mo,
                  p.p_type = 'PROMO' AS is_promo, {_REV_E4} AS rev_e4
           FROM lineitem{{v}} l
           JOIN part{{v}} p ON l.l_partkey = p.p_partkey

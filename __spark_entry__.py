@@ -43,4 +43,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (q21 reads the committed
     fixtures/wiki_revisions.parquet on both engines)."""
-    return {k: ORACLE[k] for k in _priority_order(list(ORACLE)) if k in ORACLE}
+    return {k: ORACLE[k] for k in _priority_order(list(ORACLE))}

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
+from .dedup import LOCAL_EDGE_THRESHOLD
+
 
 def _prep(edges: DataFrame, src: str, dst: str, weight: str):
     """(nodes, frac, dangling) — one distributed pass over edges."""
@@ -62,7 +64,7 @@ def pagerank(
     iterations: int = 5,
     precision: int = 10,
     mode: str = "auto",
-    local_edge_threshold: int = 2_000_000,
+    local_edge_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """Weighted PageRank with dangling-mass redistribution.
 

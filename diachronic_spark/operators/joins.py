@@ -246,11 +246,21 @@ def interval_overlap_join(
     def _floordiv(x):
         return ((x - F.pmod(x, b_us)) / b_us).cast("long")
 
+    types = dict(left.dtypes) | dict(right.dtypes)
+
+    def _to_us(c: str):
+        # timestamps via unix_micros (exact); numeric epoch-second
+        # columns (the pre-µs contract) scale to µs — exact for
+        # integer seconds, truncating sub-µs noise for doubles.
+        if types.get(c, "").startswith("timestamp"):
+            return F.unix_micros(F.col(c))
+        return (F.col(c).cast("double") * 1_000_000).cast("long")
+
     def buckets(s: str, e: str):
-        lo = _floordiv(F.unix_micros(F.col(s)))
+        lo = _floordiv(_to_us(s))
         # half-open end: an interval ending exactly on a bucket edge
         # does not occupy that bucket -> floor((e_us - 1) / b_us)
-        hi = _floordiv(F.unix_micros(F.col(e)) - F.lit(1))
+        hi = _floordiv(_to_us(e) - F.lit(1))
         seq = F.when(
             F.col(e) > F.col(s),  # empty/degenerate intervals emit no
             F.sequence(lo, hi),  # buckets

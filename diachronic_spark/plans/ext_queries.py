@@ -987,34 +987,34 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 # traversal must be acyclic; a DAG descent terminates naturally,
 # which is why this exercises a hierarchy rather than the near-dup
 # graph closure (that stays DataFrame-iterative in q52).
-# Node ids are BIGINT (type_tag*1e9 + key), not 'r'||key strings: the
+# Node ids are BIGINT (type_tag*1e12 + key), not 'r'||key strings: the
 # recursion shuffles (root, node) every iteration, and 8-byte fixed-width
 # join keys hash and compare in codegen without allocating — measured
 # ~20% faster than string concat keys at sf0.1, and the gap widens with
-# the per-level row count. Tags 3e9/4e9 exceed int32 so both engines
-# promote the arithmetic to BIGINT; keys never overflow at any SF.
+# the per-level row count. 1e12 spacing keeps the type spaces disjoint
+# up to sf~1.6e5 (o_orderkey <= 6e6*sf is the widest key space); the
+# tags exceed int32 so both engines promote the arithmetic to BIGINT.
 Q65_SQL = """
 WITH RECURSIVE edges AS (
-  SELECT CAST(1000000000 + r_regionkey AS BIGINT) AS src,
-         CAST(2000000000 + n_nationkey AS BIGINT) AS dst
+  SELECT 1000000000000 + r_regionkey AS src,
+         2000000000000 + n_nationkey AS dst
   FROM region JOIN nation ON n_regionkey = r_regionkey
   UNION ALL
-  SELECT CAST(2000000000 + n_nationkey AS BIGINT),
-         3000000000 + c_custkey
+  SELECT 2000000000000 + n_nationkey, 3000000000000 + c_custkey
   FROM nation JOIN customer ON c_nationkey = n_nationkey
   UNION ALL
-  SELECT 3000000000 + c_custkey, 4000000000 + o_orderkey
+  SELECT 3000000000000 + c_custkey, 4000000000000 + o_orderkey
   FROM customer JOIN orders ON o_custkey = c_custkey
 ),
 reach(root, node, depth) AS (
-  SELECT CAST(1000000000 + r_regionkey AS BIGINT),
-         CAST(1000000000 + r_regionkey AS BIGINT), 0 FROM region
+  SELECT 1000000000000 + r_regionkey, 1000000000000 + r_regionkey, 0
+  FROM region
   UNION ALL
   SELECT r.root, e.dst, r.depth + 1
   FROM reach r JOIN edges e ON r.node = e.src
 )
 SELECT r_name, depth, count(*) AS n_nodes
-FROM reach JOIN region ON root = CAST(1000000000 + r_regionkey AS BIGINT)
+FROM reach JOIN region ON root = 1000000000000 + r_regionkey
 GROUP BY r_name, depth
 ORDER BY r_name, depth
 """
@@ -1091,17 +1091,31 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         f"stack({len(PROFILE_COLS)}, {stack_args}) AS (col_name, v)"
     )
     g = pairs.groupBy("col_name", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    prof = g.groupBy("col_name").agg(
+        F.sum(
+            F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))
+        ).alias("n_nulls"),
+        F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias(
+            "n_distinct"
+        ),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.max("v"), 2).alias("max_v"),
+    )
+    # Anchor on the literal column list (broadcast 4-row left join):
+    # an empty/fully-filtered table must still profile every column
+    # (n_nulls=0, n_distinct=0, null min/max) — the oracle's UNION ALL
+    # of GROUP-BY-less aggregates always emits one row per column.
+    spine = spark.createDataFrame(
+        [(c,) for c in PROFILE_COLS], "col_name string"
+    )
     return (
-        g.groupBy("col_name")
-        .agg(
-            F.sum(
-                F.when(F.col("v").isNull(), F.col("cnt")).otherwise(F.lit(0))
-            ).alias("n_nulls"),
-            F.count(F.when(F.col("v").isNotNull(), F.lit(1))).alias(
-                "n_distinct"
-            ),
-            F.round(F.min("v"), 2).alias("min_v"),
-            F.round(F.max("v"), 2).alias("max_v"),
+        spine.join(F.broadcast(prof), "col_name", "left")
+        .select(
+            "col_name",
+            F.coalesce("n_nulls", F.lit(0)).alias("n_nulls"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            "min_v",
+            "max_v",
         )
         .orderBy("col_name")
     )

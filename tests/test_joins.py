@@ -347,3 +347,26 @@ def test_interval_overlap_join_property(spark, l_ivls, r_ivls, bucket):
     )
     assert got == want
     assert len(got) == len(set(got))  # exactly one row per pair
+
+
+def test_interval_overlap_join_numeric_epoch_columns(spark):
+    """The pre-µs contract: plain numeric epoch-second interval bounds
+    keep working alongside timestamps (scaled to µs internally)."""
+    from diachronic_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 200, 300), (3, 300, 300)],
+        "lid int, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(10, 50, 150), (20, 299, 400), (30, 150, 200)],
+        "rid int, rs long, re long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "s", "e", "rs", "re", bucket_seconds=60
+        ).collect()
+    )
+    # (3, *) empty interval matches nothing; (2,20) overlap [299,300)
+    assert got == [(1, 10), (2, 20)]

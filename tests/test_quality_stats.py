@@ -66,3 +66,27 @@ def test_histogram_bins_and_degenerate(spark):
     one = spark.createDataFrame([(5.0,), (5.0,)], "x double")
     rows = equi_width_histogram(one, "x", bins=4).collect()
     assert len(rows) == 1 and rows[0]["bin"] == 0 and rows[0]["n"] == 2
+
+
+def test_q69_profiles_every_column_on_empty_input(spark):
+    """The profile is anchored on the literal column list: an empty
+    (or fully filtered) table still yields one row per profiled column
+    with zero counts and null bounds, matching the oracle's UNION ALL
+    of GROUP-BY-less aggregates."""
+    import diachronic_spark.plans.ext_queries as X
+    from diachronic_spark.catalog import load as real_load
+    from pyspark.sql import functions as F
+
+    empty_li = real_load(spark, "/root/testdata/sf0.001", "lineitem").filter(
+        F.lit(False)
+    )
+    orig = X.load
+    X.load = lambda s, sf, t: empty_li if t == "lineitem" else orig(s, sf, t)
+    try:
+        rows = X.q69(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        X.load = orig
+    assert [(r.col_name, r.n_nulls, r.n_distinct, r.min_v, r.max_v)
+            for r in rows] == [
+        (c, 0, 0, None, None) for c in X.PROFILE_COLS
+    ]

@@ -8,7 +8,7 @@ the archive is written directly from the public 7z format spec
 (7-Zip's DOC/7zFormat.txt): signature header, packed stream, then an
 end header (PackInfo / UnpackInfo with a single Copy coder / FilesInfo
 with one UTF-16LE name), all integrity-protected by the format's three
-CRC32s. ``tests/test_file_sources.py`` validates those CRCs on every
+CRC32s. ``tests/test_7z_fixture.py`` validates those CRCs on every
 run and extracts with the real ``7z e -so`` when the binary is present.
 
 Usage: python tools/make_7z_fixture.py  (rewrites fixtures/wiki_tiny.*)

@@ -24,15 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _priority_order(keys: list[str]) -> list[str]:
-    """q51-q100 first: the round-1 driver adjudicated q1-q50 (all green),
-    so if the per-round check caps the query count, the not-yet-oracled
-    back half should be first in registry order this round."""
+    """Never-driver-adjudicated queries first: the round-1 driver
+    checked q1-q50 (all green), so if the per-round check caps the
+    query count, the new streaming queries (q101+) and the q51-q100
+    back half should lead the registry order this round."""
     def qnum(k: str) -> int:
         try:
             return int(k.lstrip("q"))
         except ValueError:
             return 0
-    return sorted(keys, key=lambda k: (qnum(k) <= 50, qnum(k)))
+    return sorted(keys, key=lambda k: (qnum(k) <= 50, qnum(k) <= 100, qnum(k)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -158,7 +158,34 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-STREAM_QUERIES = {"q101": q101, "q102": q102, "q103": q103}
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7/U6: the reference's monotone daily threshold scan (SURVEY
+    §1.2, main.py:151-161) as a custom stateful operator
+    (applyInPandasWithState), driver-oracled. Emission is per-key
+    sequential — emit iff ts >= threshold, advance threshold to the
+    next midnight — which over a ts-ordered arrival collapses to
+    first-event-per-(user, day): the window-dedup SQL dual. The
+    in-batch scan sorts (ts, event_id), so the emitted ROWS (not just
+    their count) are deterministic and hash-comparable.
+    """
+    import datetime as dt
+
+    from ..streaming.events import threshold_scan_stream
+
+    src = _stage_events(spark, sf)
+    scan = threshold_scan_stream(
+        read_event_stream(spark, src), epoch=dt.datetime(1970, 1, 1)
+    )
+    sink = _drain_to_table(scan, "append")
+    return sink.select(
+        "user_id",
+        "event_id",
+        fn.ts_str(F.col("ts")).alias("ts"),
+        "value",
+    ).orderBy("user_id", "ts")
+
+
+STREAM_QUERIES = {"q101": q101, "q102": q102, "q103": q103, "q104": q104}
 
 STREAM_ORACLE = {
     # q101: complete mode == the batch tumbling aggregation (q16 shape).
@@ -198,5 +225,20 @@ WITH g AS (
 )
 SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions
 FROM g GROUP BY user_id ORDER BY user_id
+""",
+    # q104: sequential threshold scan over ts-ordered arrival ==
+    # first event per (user, day) under the (ts, event_id) total order.
+    "q104": """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, value
+FROM (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (
+           PARTITION BY user_id, date_trunc('day', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, ts
 """,
 }

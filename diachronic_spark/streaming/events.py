@@ -162,7 +162,9 @@ def threshold_scan_stream(
             cur = pd.Timestamp(epoch)
         out = []
         for pdf in pdfs:
-            for row in pdf.sort_values("ts").itertuples(index=False):
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples(
+                    index=False
+                ):
                 if pd.Timestamp(row.ts) >= cur:
                     out.append(
                         (key[0], row.event_id, row.ts, row.value)
@@ -269,7 +271,9 @@ def threshold_scan_tws(
             cur = pd.Timestamp(got[0]) if got is not None else pd.Timestamp(epoch)
             out = []
             for pdf in rows:
-                for row in pdf.sort_values("ts").itertuples(index=False):
+                for row in pdf.sort_values(["ts", "event_id"]).itertuples(
+                    index=False
+                ):
                     if pd.Timestamp(row.ts) >= cur:
                         out.append((key[0], row.event_id, row.ts, row.value))
                         cur = (

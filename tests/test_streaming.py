@@ -134,7 +134,7 @@ def test_threshold_scan_stream_matches_sequential_spec(spark, sf_dir, stream_dir
     )
     want = set()
     by_user: dict = {}
-    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"])):
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
         by_user.setdefault(r["user_id"], []).append(r)
     for uid, urows in by_user.items():
         cur = epoch

@@ -284,6 +284,65 @@ def fingerprint_rolling(
     )
 
 
+def fingerprint_rolling_np(
+    df: DataFrame, text_col: str = "text", k: int = 16, stride: int = 4
+) -> DataFrame:
+    """Arrow-vectorized dual of ``fingerprint_rolling`` — bit-identical
+    output (equality-pinned in tests/test_batch_ops.py), ~2x faster on
+    a fresh plan.
+
+    Why a pandas UDF beats the expression form HERE: higher-order
+    functions (transform/aggregate) are CodegenFallback — every
+    window's 16-step Horner fold runs on the INTERPRETED expression
+    evaluator, one eval() call per tree node per element. The
+    vectorized form ships text through one Arrow batch and computes
+    all windows of a doc as a single strided int64 matmul + mod
+    (exact: codes < 2^21, powers < 2^31, 16-term dot < 2^56 < 2^63),
+    so the per-window cost is a few SIMD ops instead of dozens of
+    boxed evals. Same O(len/stride) work, same single narrow stage,
+    no shuffle — the 100 TB shape is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(
+        [pow(RH_BASE, k - 1 - j, RH_MOD) for j in range(k)], dtype=np.int64
+    )
+
+    # module-wide `from __future__ import annotations` stringifies type
+    # hints, which the pandas_udf signature inference can't resolve —
+    # set real objects explicitly before wrapping.
+    def roll(texts):
+        fps = np.empty(len(texts), dtype=np.int64)
+        ngs = np.empty(len(texts), dtype=np.int32)
+        for i, t in enumerate(texts):
+            codes = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(codes)
+            starts = np.arange(0, max(n - (k - 1), 1), stride)
+            ngs[i] = len(starts)
+            if n < k:
+                # short doc: one window over whatever is there (slice
+                # semantics of the expression form)
+                acc = 0
+                for c in codes:
+                    acc = (acc * RH_BASE + c) % RH_MOD
+                fps[i] = acc
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(codes, k)[starts]
+            fps[i] = ((win * pows).sum(axis=1) % RH_MOD).min()
+        return pd.DataFrame({"fp": fps, "n_grams": ngs})
+
+    roll.__annotations__ = {"texts": pd.Series, "return": pd.DataFrame}
+    roll = F.pandas_udf(roll, "fp long, n_grams int")
+
+    return df.withColumn("__r", roll(F.col(text_col))).select(
+        "*", F.col("__r.fp").alias("fp"),
+        F.col("__r.n_grams").alias("n_grams")
+    ).drop("__r")
+
+
 def chunk_tokens(
     df: DataFrame,
     size: int = 32,

@@ -191,9 +191,13 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q31: rolling-hash document fingerprint (L4) --------------------------
 def q31(spark: SparkSession, sf: str) -> DataFrame:
+    # Production path is the Arrow-vectorized dual: the HOF fold is
+    # CodegenFallback (interpreted per-element), measured 2x slower —
+    # see fingerprint_rolling_np's docstring. Equality of the two
+    # forms is pinned in tests/test_batch_ops.py.
     d = load(spark, sf, "documents").select("doc_id", "text")
     return (
-        T.fingerprint_rolling(d)
+        T.fingerprint_rolling_np(d)
         .select("doc_id", "fp", "n_grams")
         .orderBy("doc_id")
     )

@@ -184,3 +184,38 @@ def test_quantize_embeddings_range_and_zero_guard(spark):
         step = 1.0 / r.scale
         for x, dq in zip(r.embedding, r.dq_vec):
             assert abs(x - dq) <= step / 2 + 1e-12
+
+
+def test_fingerprint_rolling_np_equals_expression_form(spark):
+    """The Arrow-vectorized production dual must match the expression
+    form bit-for-bit, including CJK text, short docs, and real corpus
+    rows (the q31 contract)."""
+    from diachronic_spark.operators.text import (
+        fingerprint_rolling,
+        fingerprint_rolling_np,
+    )
+
+    texts = [
+        "hello world this is a longer document text",
+        "的是了在我有和不的是了在我有和不",
+        "ab",
+        "exactly sixteen!!",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from diachronic_spark.catalog import load
+
+    corpus = load(
+        spark, "/root/testdata/sf0.001", "documents"
+    ).select("doc_id", "text").limit(200)
+    for frame in (df, corpus):
+        a = {
+            r["doc_id"]: (r["fp"], r["n_grams"])
+            for r in fingerprint_rolling(frame).collect()
+        }
+        b = {
+            r["doc_id"]: (r["fp"], r["n_grams"])
+            for r in fingerprint_rolling_np(frame).collect()
+        }
+        assert a == b

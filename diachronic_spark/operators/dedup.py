@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
 from ..functions import whitespace_tokens, word_shingles
+from ._cache import managed_persist
 
 N_MINHASH = 8          # signature length
 BAND_ROWS = 2          # rows per LSH band -> 4 bands
@@ -152,7 +153,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     # The self-join would otherwise evaluate the whole signature subtree
     # twice (once per side) — cache the tiny (n_docs x n_bands) band
     # table so hashing happens exactly once.
-    bands = bands.persist()
+    bands = managed_persist(bands, "lsh.bands")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -278,7 +279,7 @@ def simhash_pairs(
     ).select("doc_id", "simhash", "nb.ni", "nb.nv")
     # Same double-evaluation guard as lsh_candidate_pairs: the upstream
     # simhash agg would run once per join side without the cache.
-    nib = nib.persist()
+    nib = managed_persist(nib, "simhash.nib")
     a, b = nib.alias("a"), nib.alias("b")
     cand = (
         a.join(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import cosine_similarity
+from ._cache import managed_persist
 
 
 def brute_force_topk(
@@ -216,7 +217,8 @@ def kmeans(
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).persist()  # the loop's working set: one scan per iteration
+    )
+    v = managed_persist(v, "kmeans.v")  # loop working set: one scan/iter
     spark = emb.sparkSession
 
     def _to_literal(rows) -> DataFrame:
@@ -250,14 +252,15 @@ def kmeans_lazy(
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    ).persist()
+    )
+    v = managed_persist(v, "kmeans_lazy.v")
     cents = _init_cents(v, k, round_to)
     for _ in range(n_iter):
         cents = _mean_cents(_assigned(v, cents), dim, round_to)
     # Both returned frames — and an IVF probe built on them — embed
     # this same iteration subtree. Caching the k-row result makes every
     # consumer after the first a cache hit instead of a full re-fit.
-    cents = cents.persist()
+    cents = managed_persist(cents, "kmeans_lazy.cents")
     return _assigned(v, cents).select("vec_id", "cell"), cents
 
 

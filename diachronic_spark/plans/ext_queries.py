@@ -32,6 +32,7 @@ from ..operators.joins import asof_join, interval_overlap_join
 from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
 from ..operators import graph as G
+from ..operators._cache import managed_persist
 from ..operators import incremental as INC
 from ..operators import quality as Q
 from ..operators import stats as ST
@@ -54,7 +55,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     # verification join: persist it (MEMORY_AND_DISK) so the tokenize+
     # hash work runs once — the same pattern Spark ML's MinHashLSH uses
     # for approxSimilarityJoin.
-    arrs = D.shingle_arrays(corpus).persist()
+    arrs = managed_persist(D.shingle_arrays(corpus), "q23.arrs")
     pairs = D.lsh_candidate_pairs(D.minhash_signature(arrs))
     jac = D.jaccard_for_pairs(pairs, arrs)
     return (
@@ -92,7 +93,9 @@ def _rare_shingle_jaccard(
     q52 component clustering."""
     max_df = 5
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
-    arrs = D.shingle_arrays(corpus).persist()  # shared by 2 plan branches
+    arrs = managed_persist(  # shared by 2 plan branches
+        D.shingle_arrays(corpus), "rare_shingle.arrs"
+    )
     # Shuffle key is xxhash64(shingle), not the shingle string: 8-byte
     # keys keep the exchange small. A hash collision can only merge two
     # posting lists (false candidates are removed by the exact-jaccard
@@ -498,7 +501,9 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 def q46(spark: SparkSession, sf: str) -> DataFrame:
     # cached: the bench-probe branch and the train branch both read the
     # substrate — without the cache the tokenize+hash map runs twice.
-    arrs = D.shingle_arrays(load(spark, sf, "documents")).persist()
+    arrs = managed_persist(
+        D.shingle_arrays(load(spark, sf, "documents")), "q46.arrs"
+    )
     bench = arrs.filter(F.col("doc_id") < 10).select(
         F.explode("hset").alias("h")
     ).distinct()

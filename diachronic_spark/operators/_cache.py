@@ -34,9 +34,28 @@ def managed_persist(
     level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
 ) -> DataFrame:
     """Persist ``df`` under a call-site key, unpersisting the previous
-    relation cached for that key."""
-    prev = _LIVE.pop(key, None)
+    relation cached for that key.
+
+    If the new plan IS the previous plan (sameResult on the analyzed
+    plans — e.g. the same query re-run at the same SF), the existing
+    cached relation is returned instead: repeated runs hit the warm
+    cache exactly as CacheManager's plan matching would have served
+    them, while a genuinely different plan (new SF, new params) evicts
+    the stale entry.
+    """
+    prev = _LIVE.get(key)
     if prev is not None:
+        try:
+            same = (
+                prev._jdf.queryExecution()
+                .analyzed()
+                .sameResult(df._jdf.queryExecution().analyzed())
+            )
+        except Exception:
+            same = False
+        if same:
+            return prev
+        _LIVE.pop(key, None)
         try:
             prev.unpersist()
         except Exception:

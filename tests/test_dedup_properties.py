@@ -245,3 +245,22 @@ def test_connected_components_auto_dispatch(spark, monkeypatch):
         )
     )
     assert got == expected and calls == ["distributed"]
+
+
+def test_managed_persist_bounds_and_reuses(spark):
+    """One live cache entry per site key: identical plans reuse the
+    cached relation, different plans evict the stale one."""
+    from diachronic_spark.operators._cache import _LIVE, managed_persist, release
+
+    release()  # isolate from other tests
+    a1 = managed_persist(spark.range(10).selectExpr("id * 2 AS v"), "t.x")
+    a2 = managed_persist(spark.range(10).selectExpr("id * 2 AS v"), "t.x")
+    assert a1 is a2  # same plan -> reused, not re-persisted
+    b = managed_persist(spark.range(10).selectExpr("id * 3 AS v"), "t.x")
+    assert b is not a1
+    assert a1.storageLevel.useMemory is False  # evicted
+    assert b.storageLevel.useMemory is True
+    assert list(_LIVE) == ["t.x"]
+    assert [r.v for r in b.orderBy("v").collect()] == [i * 3 for i in range(10)]
+    release("t.x")
+    assert not _LIVE

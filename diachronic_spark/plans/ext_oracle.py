@@ -1438,3 +1438,33 @@ from .ext_queries import TPCH_SQL  # noqa: E402
 
 for _qid, _tpl in TPCH_SQL.items():
     EXT_ORACLE[_qid] = _tpl.format(v="")
+
+# q105: the XML-pipeline end-to-end check — same snapshot SQL shape as
+# q21, computed over the raw revision rows of fixtures/wiki_tiny.xml
+# (fixtures/wiki_tiny_raw.parquet, tools/make_wiki_tiny_raw.py). The
+# Spark side parses the XML itself, so parity here adjudicates the
+# Spark-XML scan + document-order explode, not just the dedup.
+import os as _os
+
+_TINY_RAW = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "fixtures", "wiki_tiny_raw.parquet",
+)
+
+EXT_ORACLE["q105"] = f"""
+WITH f AS (
+  SELECT * FROM read_parquet('{_TINY_RAW}')
+  WHERE namespace = '0' AND timestamp >= TIMESTAMP '2001-01-15 00:00:00'
+),
+w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY page_id, CAST(timestamp AS DATE)
+      ORDER BY timestamp, rev_seq) AS rn
+  FROM f)
+SELECT namespace, title,
+       strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       coalesce(text, '') AS text
+FROM w WHERE rn = 1
+ORDER BY title, ts_s
+"""

@@ -1929,6 +1929,36 @@ q99 = _tpch_sql_query("q99")
 q100 = _tpch_sql_query("q100")
 
 
+# --- q105: XML pipeline end-to-end (S5+W1), driver-oracled -----------------
+# Spark PARSES the committed fixtures/wiki_tiny.xml (the real Spark-XML
+# scan + posexplode document-order path, sources/wiki_xml.py:55) and
+# runs the snapshot pipeline; the oracle computes the same snapshot by
+# SQL over fixtures/wiki_tiny_raw.parquet — the XML's raw revision rows
+# materialized by tools/make_wiki_tiny_raw.py (mechanically derived
+# from the same XML; 6 rows, auditable by eye). q21 pins snapshot
+# semantics on a 1k-row fixture; q105 pins the XML PARSE itself —
+# together the reference's whole main.py:111-164 path is adjudicated.
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    import os
+
+    from ..catalog import ensure_confs
+    from ..pipeline import snapshot_from_xml
+
+    ensure_confs(spark)
+    xml = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "fixtures", "wiki_tiny.xml",
+    )
+    snap = snapshot_from_xml(spark, xml)
+    return snap.select(
+        "namespace",
+        "title",
+        fn.ts_str(F.col("timestamp")).alias("ts_s"),
+        "text",
+    ).orderBy("title", "ts_s")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -1945,4 +1975,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87": q87, "q88": q88, "q89": q89, "q90": q90, "q91": q91,
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
+    "q105": q105,
 }

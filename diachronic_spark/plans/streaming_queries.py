@@ -1,4 +1,4 @@
-"""Driver-verifiable Structured Streaming queries (q101-q103).
+"""Driver-verifiable Structured Streaming queries (q101-q104).
 
 The ST1-ST9 streaming operators (streaming/events.py) were previously
 pinned only by the repo's own stream==batch tests: a streaming job has
@@ -23,6 +23,9 @@ DataFrame whose content is deterministic and therefore oracle-able:
   to per-user session counts — equals the batch gaps-and-islands
   rewrite (the q17 oracle), pinning session_window's half-open merge
   semantics against an independent SQL formulation.
+- q104 (ST7/U6): the stateful daily threshold scan
+  (applyInPandasWithState) vs its first-per-(user, day) window dual —
+  see the function docstring.
 
 Staging: the events table is re-written through catalog.load (which
 normalizes the ns-vs-µs parquet ts encodings) into a 4-file local dir
@@ -68,14 +71,20 @@ def _stage_events(spark: SparkSession, sf: str) -> str:
     return _STAGE_CACHE[sf]
 
 
-def _drain_to_table(stream: DataFrame, mode: str) -> DataFrame:
+def _drain_to_table(
+    stream: DataFrame, mode: str, await_no_data_batch: bool = False
+) -> DataFrame:
     """Drain a stream into a memory sink and return the sink table.
 
     processAllAvailable blocks until all SOURCE data is committed, but
-    append-mode windows finalized by the trailing no-data micro-batch
-    (watermark advancement with no new rows) can land just after it
-    returns — so poll until the sink row count is stable across two
-    consecutive checks before stopping.
+    append-mode windows finalized by the trailing NO-DATA micro-batch
+    (watermark advancement with no new rows) can land after it returns.
+    A row-count-stability poll alone can race that batch (two equal
+    counts read before it commits), so when the query's result depends
+    on watermark finalization (``await_no_data_batch``) we first wait
+    until lastProgress shows a zero-input batch — proof the
+    finalization trigger ran — and only then confirm via the stability
+    poll.
     """
     import time
 
@@ -89,6 +98,14 @@ def _drain_to_table(stream: DataFrame, mode: str) -> DataFrame:
     )
     try:
         q.processAllAvailable()
+        if await_no_data_batch:
+            deadline = time.time() + 15
+            while time.time() < deadline:
+                lp = q.lastProgress
+                if lp is not None and lp.get("numInputRows") == 0:
+                    break
+                time.sleep(0.1)
+            q.processAllAvailable()
         prev = -1
         for _ in range(50):
             cur = spark.table(name).count()
@@ -120,7 +137,7 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     agg = tumbling_counts(
         read_event_stream(spark, src), width="1 hour", watermark=WATERMARK
     )
-    sink = _drain_to_table(agg, "append")
+    sink = _drain_to_table(agg, "append", await_no_data_batch=True)
     # Spark tracks event-time watermarks in MILLISECONDS: the final
     # watermark is ms-floor(max ts) - delay. Keep windows whose END is
     # strictly below it — provably emitted whether the engine's own

@@ -29,6 +29,7 @@ from pyspark.sql.types import StructField, StructType
 
 from ..functions import whitespace_tokens, word_shingles
 from ._cache import managed_persist
+from ._config import LOCAL_EDGE_THRESHOLD  # noqa: F401  (shared dispatch bound)
 
 N_MINHASH = 8          # signature length
 BAND_ROWS = 2          # rows per LSH band -> 4 bands
@@ -439,11 +440,8 @@ def connected_components_local(
     )
 
 
-# Above this many candidate pairs the union-find dual stops being a
-# clear win (driver heap + single-core closure); the min-label loop's
-# per-iteration join+min is the safe shape. LSH pair sets on real
-# corpora sit orders of magnitude below this.
-LOCAL_EDGE_THRESHOLD = 2_000_000
+# Auto-dispatch bound, shared with graph.py — see _config.py for the
+# sizing rationale (re-exported here for existing importers).
 
 
 def connected_components_auto(

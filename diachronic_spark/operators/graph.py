@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
-from .dedup import LOCAL_EDGE_THRESHOLD
+from ._config import LOCAL_EDGE_THRESHOLD
 
 
 def _prep(edges: DataFrame, src: str, dst: str, weight: str):

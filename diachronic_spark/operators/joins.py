@@ -250,10 +250,16 @@ def interval_overlap_join(
 
     def _to_us(c: str):
         # timestamps via unix_micros (exact); numeric epoch-second
-        # columns (the pre-µs contract) scale to µs — exact for
-        # integer seconds, truncating sub-µs noise for doubles.
-        if types.get(c, "").startswith("timestamp"):
+        # columns (the pre-µs contract) scale to µs. Integer types
+        # multiply in LONG arithmetic — a double intermediate would
+        # round seconds above ~2^53/1e6 to 1024 µs multiples and shift
+        # bucket indices near edges. Fractional types take the double
+        # path, truncating sub-µs noise.
+        t = types.get(c, "")
+        if t.startswith("timestamp"):
             return F.unix_micros(F.col(c))
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            return F.col(c).cast("long") * 1_000_000
         return (F.col(c).cast("double") * 1_000_000).cast("long")
 
     def buckets(s: str, e: str):

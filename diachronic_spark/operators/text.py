@@ -313,9 +313,17 @@ def fingerprint_rolling_np(
     # hints, which the pandas_udf signature inference can't resolve —
     # set real objects explicitly before wrapping.
     def roll(texts):
-        fps = np.empty(len(texts), dtype=np.int64)
-        ngs = np.empty(len(texts), dtype=np.int32)
+        # object arrays so NULL text matches the expression form on
+        # nullable documents.text: fp null-propagates through the fold,
+        # while n_grams is 1 (greatest() skips the NULL length, so the
+        # expression's starts sequence is [1])
+        fps = np.empty(len(texts), dtype=object)
+        ngs = np.empty(len(texts), dtype=object)
         for i, t in enumerate(texts):
+            if t is None:
+                fps[i] = None
+                ngs[i] = 1
+                continue
             codes = np.frombuffer(
                 t.encode("utf-32-le"), dtype=np.uint32
             ).astype(np.int64)

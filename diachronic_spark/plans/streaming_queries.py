@@ -53,6 +53,10 @@ from ..streaming.events import (
 )
 
 WATERMARK = "1 day"
+# ms form of WATERMARK, interpolated into BOTH the Spark-side cutoff
+# and the q102 oracle SQL so the three can never drift apart.
+WATERMARK_MS = 86_400_000
+assert WATERMARK == "1 day" and WATERMARK_MS == 24 * 3600 * 1000
 
 
 _STAGE_CACHE: dict[str, str] = {}
@@ -64,9 +68,13 @@ def _stage_events(spark: SparkSession, sf: str) -> str:
     so re-staging per query would only re-pay the write)."""
     if sf not in _STAGE_CACHE:
         out = tempfile.mkdtemp(prefix="diachronic_stream_src_")
-        load(spark, sf, "events").orderBy("ts").repartitionByRange(
+        # range-partition + in-partition sort actually establishes the
+        # per-file ts order (a global orderBy before repartitionByRange
+        # would be re-shuffled in nondeterministic fetch order), with
+        # ONE exchange instead of two
+        load(spark, sf, "events").repartitionByRange(
             4, "ts"
-        ).write.mode("overwrite").parquet(out)
+        ).sortWithinPartitions("ts").write.mode("overwrite").parquet(out)
         _STAGE_CACHE[sf] = out
     return _STAGE_CACHE[sf]
 
@@ -102,7 +110,10 @@ def _drain_to_table(
             deadline = time.time() + 15
             while time.time() < deadline:
                 lp = q.lastProgress
-                if lp is not None and lp.get("numInputRows") == 0:
+                if lp is None:
+                    break  # no batch ever ran: empty source, nothing
+                    # to finalize
+                if lp.get("numInputRows") == 0:
                     break
                 time.sleep(0.1)
             q.processAllAvailable()
@@ -145,7 +156,9 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     cutoff_ms = (
         load(spark, sf, "events")
         .agg(F.max("ts").alias("mx"))
-        .select((F.unix_millis(F.col("mx")) - 86_400_000).alias("wm"))
+        .select(
+            (F.unix_millis(F.col("mx")) - WATERMARK_MS).alias("wm")
+        )
         .first()["wm"]
     )
     return (
@@ -217,8 +230,8 @@ ORDER BY 1, 2
     # q102: only windows strictly below the final ms-precision
     # watermark survive (epoch_ms truncates µs exactly like Spark's
     # event-time stats collection).
-    "q102": """
-WITH m AS (SELECT epoch_ms(max(ts)) - 86400000 AS wm_ms FROM events),
+    "q102": f"""
+WITH m AS (SELECT epoch_ms(max(ts)) - {WATERMARK_MS} AS wm_ms FROM events),
 w AS (SELECT date_trunc('hour', ts) AS ws, event_type FROM events)
 SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
        event_type,

@@ -161,17 +161,25 @@ def threshold_scan_stream(
         else:
             cur = pd.Timestamp(epoch)
         out = []
-        for pdf in pdfs:
-            for row in pdf.sort_values(["ts", "event_id"]).itertuples(
-                    index=False
-                ):
-                if pd.Timestamp(row.ts) >= cur:
-                    out.append(
-                        (key[0], row.event_id, row.ts, row.value)
-                    )
-                    cur = (
-                        pd.Timestamp(row.ts).normalize() + pd.Timedelta(days=1)
-                    )
+        # concat BEFORE sorting: chunks arrive in nondeterministic
+        # shuffle order and a per-chunk sort would let a later-day
+        # chunk advance the threshold past earlier days' events —
+        # the whole batch must be one (ts, event_id)-ordered scan.
+        chunks = list(pdfs)
+        if not chunks:  # NoTimeout means this never fires, but be safe
+            state.update((cur.to_pydatetime(),))
+            return
+        batch = pd.concat(chunks, ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples(
+                index=False
+            ):
+            if pd.Timestamp(row.ts) >= cur:
+                out.append(
+                    (key[0], row.event_id, row.ts, row.value)
+                )
+                cur = (
+                    pd.Timestamp(row.ts).normalize() + pd.Timedelta(days=1)
+                )
         state.update((cur.to_pydatetime(),))
         if out:
             yield pd.DataFrame(
@@ -270,16 +278,20 @@ def threshold_scan_tws(
             got = self._cur.get()
             cur = pd.Timestamp(got[0]) if got is not None else pd.Timestamp(epoch)
             out = []
-            for pdf in rows:
-                for row in pdf.sort_values(["ts", "event_id"]).itertuples(
-                    index=False
-                ):
-                    if pd.Timestamp(row.ts) >= cur:
-                        out.append((key[0], row.event_id, row.ts, row.value))
-                        cur = (
-                            pd.Timestamp(row.ts).normalize()
-                            + pd.Timedelta(days=1)
-                        )
+            chunks = list(rows)
+            if not chunks:
+                self._cur.update((cur.to_pydatetime(),))
+                return
+            batch = pd.concat(chunks, ignore_index=True)
+            for row in batch.sort_values(["ts", "event_id"]).itertuples(
+                index=False
+            ):
+                if pd.Timestamp(row.ts) >= cur:
+                    out.append((key[0], row.event_id, row.ts, row.value))
+                    cur = (
+                        pd.Timestamp(row.ts).normalize()
+                        + pd.Timedelta(days=1)
+                    )
             self._cur.update((cur.to_pydatetime(),))
             if out:
                 yield pd.DataFrame(

@@ -200,6 +200,7 @@ def test_fingerprint_rolling_np_equals_expression_form(spark):
         "的是了在我有和不的是了在我有和不",
         "ab",
         "exactly sixteen!!",
+        None,  # NULL text must null-propagate in BOTH forms
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

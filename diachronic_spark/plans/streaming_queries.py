@@ -107,6 +107,10 @@ def _drain_to_table(
     try:
         q.processAllAvailable()
         if await_no_data_batch:
+            # complete-mode and stateful-append results are fully
+            # committed once processAllAvailable returns; only
+            # watermark-finalized append output needs the extra wait,
+            # so the cost is paid exactly where the dependency exists.
             deadline = time.time() + 15
             while time.time() < deadline:
                 lp = q.lastProgress
@@ -117,13 +121,13 @@ def _drain_to_table(
                     break
                 time.sleep(0.1)
             q.processAllAvailable()
-        prev = -1
-        for _ in range(50):
-            cur = spark.table(name).count()
-            if cur == prev:
-                break
-            prev = cur
-            time.sleep(0.1)
+            prev = -1
+            for _ in range(50):
+                cur = spark.table(name).count()
+                if cur == prev:
+                    break
+                prev = cur
+                time.sleep(0.1)
     finally:
         q.stop()
     return spark.table(name)

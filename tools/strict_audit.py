@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Full-precision cross-engine audit: every oracled query, Spark vs
+DuckDB, compared at FULL float precision (repr, no rounding) and exact
+string forms — stricter than tests/test_oracle_parity.py's 6dp
+canonicalization, so it catches divergence the rounded parity suite
+would hide (it is how the round-2 HUGEINT/int-width alignment was
+validated at all three SFs).
+
+Usage:
+  python tools/strict_audit.py [sf_dir]     (default /root/testdata/sf0.01)
+
+At sf0.1 pass --skip-q22: the DuckDB oracle's nested-loop theta join
+alone takes ~316s there (the Spark side runs the banded plan in ~0.5s);
+q22 stays covered at the smaller SFs.
+
+Exit code 0 iff every checked query matches exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def c(v):
+        if v is None:
+            return "<N>"
+        if isinstance(v, bool):
+            return "b:" + str(v)
+        if isinstance(v, float):
+            return "f:" + repr(v)
+        if isinstance(v, int):
+            return "i:" + str(v)
+        return "s:" + str(v)
+
+    return sorted(tuple(c(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    skip = {"q22"} if "--skip-q22" in sys.argv else set()
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("strict-audit")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name in sorted(qs, key=lambda k: int(k.lstrip("q"))):
+        if name not in osql or name in skip:
+            continue
+        df = qs[name](spark, sf_dir)
+        s = canon(df.columns, [tuple(r) for r in df.collect()])
+        rel = con.sql(osql[name])
+        d = canon(rel.columns, rel.fetchall())
+        if s != d:
+            ex = next(((a, b) for a, b in zip(s, d) if a != b), None)
+            bad.append((name, ex))
+            print(f"MISMATCH {name}: {ex}")
+    print("STRICT_MISMATCHES:", [b[0] for b in bad])
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

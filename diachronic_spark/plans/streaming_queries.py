@@ -79,8 +79,22 @@ def _stage_events(spark: SparkSession, sf: str) -> str:
     return _STAGE_CACHE[sf]
 
 
+# State-store partition count for the window-agg drains: the benched
+# corpus holds ~3k live window keys, so 32 state partitions (the
+# session shuffle default) is over-sharded — each micro-batch pays 32
+# state-file commits for KBs of state. 4 partitions cut q102 from
+# ~3.9s to ~1.7s at sf0.1. At real scale this is the knob you size to
+# key cardinality/throughput; the stateful pandas scan (q104) keeps
+# the session default because its cost is Python-worker parallelism,
+# not state commits.
+STREAM_STATE_PARTITIONS = 4
+
+
 def _drain_to_table(
-    stream: DataFrame, mode: str, await_no_data_batch: bool = False
+    stream: DataFrame,
+    mode: str,
+    await_no_data_batch: bool = False,
+    n_state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a stream into a memory sink and return the sink table.
 
@@ -98,6 +112,12 @@ def _drain_to_table(
 
     spark = stream.sparkSession
     name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if n_state_partitions is not None:
+        # captured at stream start (state partitioning is fixed per
+        # checkpoint); restored in finally so batch queries see the
+        # session default
+        spark.conf.set("spark.sql.shuffle.partitions", n_state_partitions)
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -130,13 +150,16 @@ def _drain_to_table(
                 time.sleep(0.1)
     finally:
         q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
 
 
 def q101(spark: SparkSession, sf: str) -> DataFrame:
     src = _stage_events(spark, sf)
     agg = tumbling_counts(read_event_stream(spark, src), width="1 hour")
-    sink = _drain_to_table(agg, "complete")
+    sink = _drain_to_table(
+        agg, "complete", n_state_partitions=STREAM_STATE_PARTITIONS
+    )
     return (
         sink.select(
             fn.ts_str(F.col("window_start")).alias("window_start"),
@@ -152,7 +175,10 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     agg = tumbling_counts(
         read_event_stream(spark, src), width="1 hour", watermark=WATERMARK
     )
-    sink = _drain_to_table(agg, "append", await_no_data_batch=True)
+    sink = _drain_to_table(
+        agg, "append", await_no_data_batch=True,
+        n_state_partitions=STREAM_STATE_PARTITIONS,
+    )
     # Spark tracks event-time watermarks in MILLISECONDS: the final
     # watermark is ms-floor(max ts) - delay. Keep windows whose END is
     # strictly below it — provably emitted whether the engine's own
@@ -184,7 +210,9 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
 def q103(spark: SparkSession, sf: str) -> DataFrame:
     src = _stage_events(spark, sf)
     sess = session_counts(read_event_stream(spark, src), gap="5 minutes")
-    sink = _drain_to_table(sess, "complete")
+    sink = _drain_to_table(
+        sess, "complete", n_state_partitions=STREAM_STATE_PARTITIONS
+    )
     return (
         sink.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_sessions"))

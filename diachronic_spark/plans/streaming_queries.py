@@ -115,16 +115,17 @@ def _drain_to_table(
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if n_state_partitions is not None:
         # captured at stream start (state partitioning is fixed per
-        # checkpoint); restored in finally so batch queries see the
-        # session default
+        # checkpoint); restored in the outer finally so batch queries
+        # see the session default even if start() itself fails
         spark.conf.set("spark.sql.shuffle.partitions", n_state_partitions)
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .start()
-    )
+    q = None
     try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
         q.processAllAvailable()
         if await_no_data_batch:
             # complete-mode and stateful-append results are fully
@@ -149,7 +150,8 @@ def _drain_to_table(
                 prev = cur
                 time.sleep(0.1)
     finally:
-        q.stop()
+        if q is not None:
+            q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     return spark.table(name)
 

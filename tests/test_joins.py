@@ -370,3 +370,44 @@ def test_interval_overlap_join_numeric_epoch_columns(spark):
     )
     # (3, *) empty interval matches nothing; (2,20) overlap [299,300)
     assert got == [(1, 10), (2, 20)]
+
+
+def test_interval_overlap_join_numeric_randomized(spark):
+    """Seeded random numeric intervals vs the quadratic spec — covers
+    bucket-edge and long-interval shapes the fixed case misses."""
+    import random
+
+    from diachronic_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    bucket = 60
+    l_ivls = [
+        (rng.randrange(0, 3000), rng.randrange(0, 200))
+        for _ in range(40)
+    ]
+    r_ivls = [
+        (rng.randrange(0, 3000), rng.choice([0, 1, 59, 60, 61, 600]))
+        for _ in range(40)
+    ]
+    left = spark.createDataFrame(
+        [(i, s, s + d) for i, (s, d) in enumerate(l_ivls)],
+        "lid int, s long, e long",
+    )
+    right = spark.createDataFrame(
+        [(j, s, s + d) for j, (s, d) in enumerate(r_ivls)],
+        "rid int, rs long, re long",
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "s", "e", "rs", "re", bucket_seconds=bucket
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (ls, ld) in enumerate(l_ivls)
+        for j, (rs, rd) in enumerate(r_ivls)
+        if ld > 0 and rd > 0 and ls < rs + rd and rs < ls + ld
+    )
+    assert got == want
+    assert len(got) == len(set(got))

@@ -23,17 +23,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q3"](spark, "/root/testdata/sf0.001")
 
 
+# Driver-adjudication ledger (ADVICE r2: explicit sets, not numeric
+# tiers). The per-round correctness check caps at ~50 queries taken in
+# registry order, so ordering IS the verification scheduler:
+#   1. never checked by any round's driver;
+#   2. changed since their last green row (stale evidence);
+#   3. previously-passed queries, least-recently-adjudicated first —
+#      so regressions in old greens rotate back through the cap.
+# Update these sets each round from CORRECTNESS_r{N}.json.
+_ADJUDICATED_ROUND: dict[str, int] = {
+    # round 1 checked q1-q50 (all green)
+    **{f"q{i}": 1 for i in range(1, 51)},
+    # round 2 checked q51-q95 and q101-q105 (all green)
+    **{f"q{i}": 2 for i in range(51, 96)},
+    **{f"q{i}": 2 for i in range(101, 106)},
+}
+# Changed since their last driver row (r1): q21 oracle added, q45/q50
+# BIGINT casts — re-adjudicate ahead of the rotation tail.
+_STALE = ("q21", "q45", "q50")
+
+
 def _priority_order(keys: list[str]) -> list[str]:
-    """Never-driver-adjudicated queries first: the round-1 driver
-    checked q1-q50 (all green), so if the per-round check caps the
-    query count, the new streaming queries (q101+) and the q51-q100
-    back half should lead the registry order this round."""
     def qnum(k: str) -> int:
         try:
             return int(k.lstrip("q"))
         except ValueError:
             return 0
-    return sorted(keys, key=lambda k: (qnum(k) <= 50, qnum(k) <= 100, qnum(k)))
+
+    def rank(k: str) -> tuple:
+        never = k not in _ADJUDICATED_ROUND
+        stale = k in _STALE
+        last_round = _ADJUDICATED_ROUND.get(k, 0)
+        # never-checked (0) < stale (1) < oldest-green-first (2+round)
+        tier = 0 if never else (1 if stale else 2 + last_round)
+        return (tier, qnum(k))
+
+    return sorted(keys, key=rank)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

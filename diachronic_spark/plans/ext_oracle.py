@@ -1468,3 +1468,29 @@ SELECT namespace, title,
 FROM w WHERE rn = 1
 ORDER BY title, ts_s
 """
+
+# q109: the imperative 7z → iterparse → snapshot path computes the
+# same snapshot as q105's declarative path; same raw-parquet dual.
+EXT_ORACLE["q109"] = EXT_ORACLE["q105"]
+
+# q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
+# pre-dedup of equal-timestamp clicks as the Spark side).
+EXT_ORACLE["q108"] = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, ts AS c_ts, event_id AS click_id FROM (
+    SELECT user_id, ts, event_id,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click')
+  WHERE rn = 1)
+SELECT p.user_id, p.purchase_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       c.click_id,
+       strftime(c.c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.c_ts
+ORDER BY p.user_id, p.purchase_id
+"""

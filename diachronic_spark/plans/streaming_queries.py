@@ -38,8 +38,9 @@ log source (Kafka/files) instead of the staged copy.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,8 +48,10 @@ from pyspark.sql import functions as F
 from .. import functions as fn
 from ..catalog import load
 from ..streaming.events import (
+    dedup_within_watermark,
     read_event_stream,
     session_counts,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -62,21 +65,48 @@ assert WATERMARK == "1 day" and WATERMARK_MS == 24 * 3600 * 1000
 _STAGE_CACHE: dict[str, str] = {}
 
 
-def _stage_events(spark: SparkSession, sf: str) -> str:
-    """Stage the events table as a 4-file stream source dir (cached per
-    sf for the process lifetime — the staged copy is immutable input,
-    so re-staging per query would only re-pay the write)."""
-    if sf not in _STAGE_CACHE:
+@atexit.register
+def _cleanup_stage_dirs() -> None:
+    """Staged copies are process-scoped scratch; without this, every
+    bench/scaling run leaks a full copy of the events table per sf
+    (ADVICE r2)."""
+    for path in _STAGE_CACHE.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
+def _stage(spark: SparkSession, key: str, df_factory) -> str:
+    """Write a DataFrame as a 4-file ts-ordered stream source dir,
+    cached per key for the process lifetime (the staged copy is
+    immutable input, so re-staging per query would only re-pay the
+    write; atexit removes it)."""
+    if key not in _STAGE_CACHE:
         out = tempfile.mkdtemp(prefix="diachronic_stream_src_")
         # range-partition + in-partition sort actually establishes the
         # per-file ts order (a global orderBy before repartitionByRange
         # would be re-shuffled in nondeterministic fetch order), with
         # ONE exchange instead of two
-        load(spark, sf, "events").repartitionByRange(
+        df_factory().repartitionByRange(
             4, "ts"
         ).sortWithinPartitions("ts").write.mode("overwrite").parquet(out)
-        _STAGE_CACHE[sf] = out
-    return _STAGE_CACHE[sf]
+        _STAGE_CACHE[key] = out
+    return _STAGE_CACHE[key]
+
+
+def _stage_events(spark: SparkSession, sf: str) -> str:
+    return _stage(spark, sf, lambda: load(spark, sf, "events"))
+
+
+def _stage_events_doubled(spark: SparkSession, sf: str) -> str:
+    """Every event row exactly twice — the at-least-once-upstream shape
+    the watermark dedup operator (ST6) exists for. Duplicates are
+    bit-identical rows, so whichever arrival the dedup keeps, the kept
+    ROW is deterministic and the result hash-comparable."""
+    def doubled():
+        ev = load(spark, sf, "events")
+        return ev.union(ev)
+
+    return _stage(spark, f"{sf}:doubled", doubled)
 
 
 # State-store partition count for the window-agg drains: the benched
@@ -95,6 +125,8 @@ def _drain_to_table(
     mode: str,
     await_no_data_batch: bool = False,
     n_state_partitions: int | None = None,
+    sink_key: str = "q",
+    require_single_batch: bool = False,
 ) -> DataFrame:
     """Drain a stream into a memory sink and return the sink table.
 
@@ -107,17 +139,34 @@ def _drain_to_table(
     until lastProgress shows a zero-input batch — proof the
     finalization trigger ran — and only then confirm via the stability
     poll.
+
+    The sink is a PER-QUERY named table (``sink_key``), re-registered
+    on reuse — uuid-per-run names would accumulate a full result copy
+    in driver memory for every drain in the process (bench best-of-N,
+    scaling curves; ADVICE r2).
+
+    ``require_single_batch``: queries whose parity depends on all
+    staged files landing in one micro-batch (watermark cutoffs, state
+    expiry) assert that fact from the progress log instead of silently
+    assuming it (ADVICE r2) — the file source has no maxFilesPerTrigger
+    here, so all available files form batch 0; this check turns that
+    invariant into a loud failure if the staging shape ever changes.
     """
     import time
 
     spark = stream.sparkSession
-    name = f"stream_sink_{uuid.uuid4().hex[:12]}"
+    name = f"stream_sink_{sink_key}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if n_state_partitions is not None:
         # captured at stream start (state partitioning is fixed per
         # checkpoint); restored in the outer finally so batch queries
         # see the session default even if start() itself fails
         spark.conf.set("spark.sql.shuffle.partitions", n_state_partitions)
+    try:
+        # release the previous drain's result before re-registering
+        spark.catalog.dropTempView(name)
+    except Exception:
+        pass
     q = None
     try:
         q = (
@@ -127,6 +176,16 @@ def _drain_to_table(
             .start()
         )
         q.processAllAvailable()
+        if require_single_batch:
+            data_batches = sum(
+                1 for p in q.recentProgress if p["numInputRows"] > 0
+            )
+            if data_batches != 1:
+                raise RuntimeError(
+                    f"{sink_key}: staged source split across "
+                    f"{data_batches} micro-batches; watermark/state "
+                    "parity assumes single-batch ingestion"
+                )
         if await_no_data_batch:
             # complete-mode and stateful-append results are fully
             # committed once processAllAvailable returns; only
@@ -160,7 +219,8 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
     src = _stage_events(spark, sf)
     agg = tumbling_counts(read_event_stream(spark, src), width="1 hour")
     sink = _drain_to_table(
-        agg, "complete", n_state_partitions=STREAM_STATE_PARTITIONS
+        agg, "complete", n_state_partitions=STREAM_STATE_PARTITIONS,
+        sink_key="q101",
     )
     return (
         sink.select(
@@ -180,6 +240,7 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     sink = _drain_to_table(
         agg, "append", await_no_data_batch=True,
         n_state_partitions=STREAM_STATE_PARTITIONS,
+        sink_key="q102", require_single_batch=True,
     )
     # Spark tracks event-time watermarks in MILLISECONDS: the final
     # watermark is ms-floor(max ts) - delay. Keep windows whose END is
@@ -213,7 +274,8 @@ def q103(spark: SparkSession, sf: str) -> DataFrame:
     src = _stage_events(spark, sf)
     sess = session_counts(read_event_stream(spark, src), gap="5 minutes")
     sink = _drain_to_table(
-        sess, "complete", n_state_partitions=STREAM_STATE_PARTITIONS
+        sess, "complete", n_state_partitions=STREAM_STATE_PARTITIONS,
+        sink_key="q103",
     )
     return (
         sink.groupBy("user_id")
@@ -240,7 +302,7 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     scan = threshold_scan_stream(
         read_event_stream(spark, src), epoch=dt.datetime(1970, 1, 1)
     )
-    sink = _drain_to_table(scan, "append")
+    sink = _drain_to_table(scan, "append", sink_key="q104")
     return sink.select(
         "user_id",
         "event_id",
@@ -249,7 +311,62 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "ts")
 
 
-STREAM_QUERIES = {"q101": q101, "q102": q102, "q103": q103, "q104": q104}
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """ST4: sliding-window counts (10-minute windows every 5 minutes),
+    complete-mode drain. width/slide = 2 means every event belongs to
+    exactly two windows — {floor5(ts), floor5(ts) - 5min} — which is
+    the oracle's UNION ALL dual over explicit epoch-µs bucket math (no
+    reliance on either engine's bucket-origin convention)."""
+    src = _stage_events(spark, sf)
+    agg = sliding_counts(
+        read_event_stream(spark, src), width="10 minutes", slide="5 minutes"
+    )
+    sink = _drain_to_table(
+        agg, "complete", n_state_partitions=STREAM_STATE_PARTITIONS,
+        sink_key="q106",
+    )
+    return (
+        sink.select(
+            fn.ts_str(F.col("window_start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """ST6: watermark-bounded streaming dedup
+    (dropDuplicatesWithinWatermark) over an at-least-once source — the
+    staged copy carries every event row exactly TWICE. Duplicates are
+    bit-identical, so the kept row per event_id is deterministic
+    whichever arrival wins, and the drained sink equals the original
+    events table row-for-row. Single-batch ingestion is asserted (state
+    never expires mid-drain), making the oracle exact rather than
+    arrival-order-lucky."""
+    src = _stage_events_doubled(spark, sf)
+    deduped = dedup_within_watermark(
+        read_event_stream(spark, src), keys=["event_id"], watermark="2 days"
+    )
+    sink = _drain_to_table(
+        deduped, "append", sink_key="q107", require_single_batch=True
+    )
+    return (
+        sink.select(
+            "user_id",
+            "event_id",
+            fn.ts_str(F.col("ts")).alias("ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+
+
+STREAM_QUERIES = {
+    "q101": q101, "q102": q102, "q103": q103, "q104": q104,
+    "q106": q106, "q107": q107,
+}
 
 STREAM_ORACLE = {
     # q101: complete mode == the batch tumbling aggregation (q16 shape).
@@ -304,5 +421,31 @@ FROM (
 )
 WHERE rn = 1
 ORDER BY user_id, ts
+""",
+    # q106: width/slide = 2 sliding windows per event; explicit epoch-µs
+    # bucket math on both conceptual sides (Spark's window() aligns
+    # slide buckets to the epoch, as does floor-division of epoch_us).
+    "q106": """
+WITH b AS (
+  SELECT make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS b0,
+         event_type
+  FROM events),
+w AS (
+  SELECT b0 AS ws, event_type FROM b
+  UNION ALL
+  SELECT b0 - INTERVAL 5 MINUTE, event_type FROM b)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start,
+       event_type,
+       count(*) AS n_events
+FROM w GROUP BY ws, event_type
+ORDER BY 1, 2
+""",
+    # q107: the doubled source deduped on event_id == the original
+    # events table (event_id is unique there; FIXTURES.md).
+    "q107": """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value
+FROM events
+ORDER BY event_id
 """,
 }

@@ -90,15 +90,17 @@ def read_pages_xml(spark: SparkSession, path: str) -> DataFrame:
 def _open_stream(path: str):
     """Decompressed byte stream for one dump file.
 
-    7z: external binary piped exactly like the reference (main.py:173);
+    7z: external binary piped exactly like the reference (main.py:173)
+    when installed (the fast C path); otherwise the pure-stdlib
+    container reader (sources/sevenzip.py — lzma/bz2 codecs, streaming,
+    CRC-verified), so the path is executable on binary-less executors.
     bz2/gz: Python codecs; anything else: raw bytes.
     """
     if path.endswith(".7z"):
         if shutil.which("7z") is None:
-            raise RuntimeError(
-                "7z binary not available; re-compress dumps to bz2/zstd "
-                "or install p7zip on executors"
-            )
+            from .sevenzip import open_7z_stream
+
+            return open_7z_stream(path)
         proc = subprocess.Popen(["7z", "e", "-so", path], stdout=subprocess.PIPE)
         return proc.stdout
     if path.endswith(".bz2"):

@@ -216,3 +216,28 @@ def test_q91_exists_decorrelates_to_semi_join(spark, sf_dir):
 def test_q98_not_exists_decorrelates_to_anti_join(spark, sf_dir):
     p = plan_str(QUERIES["q98"](spark, sf_dir))
     assert "LeftAnti" in p, "NOT EXISTS must decorrelate to an anti join"
+
+
+def test_q95_correlated_scalar_subquery_decorrelates(spark, sf_dir):
+    """The per-partkey avg subquery must rewrite to a grouped aggregate
+    joined on l_partkey — one extra lineitem pass — never a per-row
+    nested-loop re-execution (PLANS.md q95)."""
+    p = plan_str(QUERIES["q95"](spark, sf_dir))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "partial_avg(l_quantity" in p, (
+        "decorrelated form computes avg(l_quantity) as a map-side "
+        "partial aggregate"
+    )
+
+
+def test_q97_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
+    """The three-brand OR mixes part and lineitem columns, but each
+    side's disjunct-local projection must still reach its parquet scan:
+    the l_quantity range union on lineitem, the brand/size union on
+    part (PLANS.md q97)."""
+    p = plan_str(QUERIES["q97"](spark, sf_dir))
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)", p)
+    assert any("Or(" in s and "l_quantity" in s for s in pushed), pushed
+    assert any("Or(" in s and "p_brand" in s for s in pushed), pushed

@@ -15,9 +15,13 @@ and persisting a new relation under a key unpersists the previous
 holder. Steady-state cache footprint is one live relation per site
 regardless of how many times queries run. Dropping a cache is never a
 correctness event in Spark — lineage recomputes on demand — so the
-only effect of the swap is bounded memory. (Concurrent sessions
-sharing a site key would steal each other's cache: perf, not
-correctness; the engine's query surface is sequential.)
+only effect of the swap is bounded memory.
+
+Entries are keyed by (application id, site): a replaced SparkSession
+can't be pinned indefinitely by a site key that outlives it, and any
+entry whose application is no longer the caller's is purged on the
+next managed_persist call (ADVICE r2 — previously fixed site keys were
+cross-session global and test isolation required manual release()).
 """
 
 from __future__ import annotations
@@ -25,7 +29,14 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_LIVE: dict[str, DataFrame] = {}
+_LIVE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _app_id(df: DataFrame) -> str:
+    try:
+        return df.sparkSession.sparkContext.applicationId
+    except Exception:
+        return "<dead>"
 
 
 def managed_persist(
@@ -43,7 +54,19 @@ def managed_persist(
     them, while a genuinely different plan (new SF, new params) evicts
     the stale entry.
     """
-    prev = _LIVE.get(key)
+    app = _app_id(df)
+    # purge entries left behind by stopped/replaced sessions — their
+    # JVM-side relations are gone; holding the python refs only pins
+    # dead plans and confuses test isolation
+    for k in [k for k in _LIVE if k[0] != app]:
+        prev = _LIVE.pop(k, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:
+                pass
+    full_key = (app, key)
+    prev = _LIVE.get(full_key)
     if prev is not None:
         try:
             same = (
@@ -55,19 +78,20 @@ def managed_persist(
             same = False
         if same:
             return prev
-        _LIVE.pop(key, None)
+        _LIVE.pop(full_key, None)
         try:
             prev.unpersist()
         except Exception:
             pass  # session gone / already unpersisted — nothing to free
     out = df.persist(level)
-    _LIVE[key] = out
+    _LIVE[full_key] = out
     return out
 
 
 def release(key: str | None = None) -> None:
-    """Drop one managed cache entry (or all of them)."""
-    keys = [key] if key is not None else list(_LIVE)
+    """Drop managed cache entries for a site key across all apps (or
+    every entry when key is None)."""
+    keys = [k for k in _LIVE if key is None or k[1] == key]
     for k in keys:
         prev = _LIVE.pop(k, None)
         if prev is not None:

@@ -126,6 +126,7 @@ def asof_join_merge(
     right_ts: str,
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Cogrouped merge-asof variant of ``asof_join`` — identical
     semantics (latest right row with ``right_ts <= left_ts`` per key,
@@ -134,12 +135,22 @@ def asof_join_merge(
     ``asof_join`` unions both sides into ONE shuffle, so every left row
     carries null slots for every right column through the exchange —
     wasteful when the right schema is wide. Here each side shuffles
-    only its own columns (cogroup on the key), and a per-key
-    ``pandas.merge_asof`` — a linear two-pointer merge over the sorted
-    groups — fills the match inside an Arrow-batched worker. The trade
-    is one Python boundary for a narrower exchange; prefer it when
-    right-side width dominates the shuffle, the union form when
-    avoiding Python matters more (SCALE.md "Known trade-offs").
+    only its own columns, and a ``pandas.merge_asof`` — a linear
+    two-pointer merge over the sorted groups — fills the match inside
+    an Arrow-batched worker. The trade is one Python boundary for a
+    narrower exchange; prefer it when right-side width dominates the
+    shuffle, the union form when avoiding Python matters more
+    (SCALE.md "Known trade-offs").
+
+    The cogroup key is a HASH BUCKET of the join key, not the key
+    itself: cogroup dispatches one Python call per group, so keying on
+    the raw key costs O(distinct keys) worker invocations — measured
+    at ~2ms each, that alone was ~4s for 2k keys (BENCH r3 q108).
+    Bucketing to ``n_buckets`` (default: session shuffle partitions)
+    bounds the invocation count at the partition count regardless of
+    key cardinality, and ``merge_asof(by=key)`` restores exact per-key
+    semantics inside each bucket. Keys never straddle buckets, so the
+    result is identical (equivalence with ``asof_join`` is test-pinned).
     """
     import pandas as pd
 
@@ -155,6 +166,10 @@ def asof_join_merge(
         )
     )
     l_names = [f.name for f in l_fields]
+    if n_buckets is None:
+        n_buckets = int(
+            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
 
     def _ns_key(s: pd.Series) -> pd.Series:
         # one int64-ns key dtype on both sides: Arrow may hand either
@@ -163,19 +178,25 @@ def asof_join_merge(
         return pd.to_datetime(s).astype("datetime64[ns]").astype("int64")
 
     def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        lpdf = lpdf.assign(__lk=_ns_key(lpdf[left_ts])).sort_values(
-            "__lk", kind="mergesort"
-        )
+        lpdf = lpdf.drop(columns="__bkt").assign(
+            __lk=_ns_key(lpdf[left_ts])
+        ).sort_values("__lk", kind="mergesort")
         out_r = [f"{c}{suffix}" for c in right_cols]
         if rpdf.empty:
             res = lpdf.copy()
             for c in out_r:
                 res[c] = None
             return res[l_names + out_r]
-        keep = list(dict.fromkeys([right_ts] + right_cols))
+        keep = list(dict.fromkeys([on, right_ts] + right_cols))
+        if set(keep) - set(rpdf.columns):
+            raise KeyError(
+                f"right group missing {sorted(set(keep) - set(rpdf.columns))}; "
+                f"got columns {list(rpdf.columns)}"
+            )
+        ren = {c: f"{c}{suffix}" for c in keep if c != on}
         rsub = (
             rpdf[keep]
-            .rename(columns={c: f"{c}{suffix}" for c in keep})
+            .rename(columns=ren)
             .assign(__rk=_ns_key(rpdf[right_ts]).values)
             .sort_values("__rk", kind="mergesort")
         )
@@ -184,13 +205,29 @@ def asof_join_merge(
             rsub,
             left_on="__lk",
             right_on="__rk",
+            by=on,  # exact per-key match inside the hash bucket
             direction="backward",  # <=: exact-timestamp right rows match
         )
         return res[l_names + out_r]
 
+    def bkt(c: str) -> Column:
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))
+
+    # Re-alias every column into FRESH attributes before cogrouping:
+    # when both sides derive from the same source (self-cogroup
+    # lineage), the shared expression ids let the optimizer's
+    # deduplicate/prune pass drop the join key from one side's Python
+    # input under a downstream projection — observed as the right
+    # group arriving without `on` once a select sat on top.
+    lb = left.select(
+        *[F.col(c).alias(c) for c in left.columns], bkt(on).alias("__bkt")
+    )
+    rb = right.select(
+        *[F.col(c).alias(c) for c in right.columns], bkt(on).alias("__bkt")
+    )
     return (
-        left.groupby(on)
-        .cogroup(right.groupby(on))
+        lb.groupby("__bkt")
+        .cogroup(rb.groupby("__bkt"))
         .applyInPandas(merge, out_schema)
     )
 

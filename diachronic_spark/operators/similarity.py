@@ -428,11 +428,20 @@ def cosine_near_dup_pairs(
     pass makes the output equal to brute force up to that ~1e-7 recall
     gap, which is what justifies a brute-force SQL oracle.
     """
-    buckets = emb.select(
-        "vec_id",
-        F.posexplode(srp_band_keys(n_planes, band_size, dim)("emb")).alias(
-            "band", "bucket"
+    # persist the signature scan: the self-join references it on BOTH
+    # sides, and without a materialization each side re-runs the
+    # pandas-UDF matmul over the full corpus — measured as ~2× the
+    # query's cost at sf0.1 (the r2→r3 q37 'regression' was exactly
+    # this double scan; BENCH r3). One bounded cache entry via
+    # managed_persist, same pattern as the k-means centroid loop.
+    buckets = managed_persist(
+        emb.select(
+            "vec_id",
+            F.posexplode(srp_band_keys(n_planes, band_size, dim)("emb")).alias(
+                "band", "bucket"
+            ),
         ),
+        "srp.buckets",
     )
     pairs = (
         buckets.alias("x")

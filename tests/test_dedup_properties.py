@@ -260,7 +260,10 @@ def test_managed_persist_bounds_and_reuses(spark):
     assert b is not a1
     assert a1.storageLevel.useMemory is False  # evicted
     assert b.storageLevel.useMemory is True
-    assert list(_LIVE) == ["t.x"]
+    # keys are (application id, site) so a replaced session can't be
+    # pinned by a stale site entry (ADVICE r2)
+    assert [k[1] for k in _LIVE] == ["t.x"]
+    assert all(k[0] == spark.sparkContext.applicationId for k in _LIVE)
     assert [r.v for r in b.orderBy("v").collect()] == [i * 3 for i in range(10)]
     release("t.x")
     assert not _LIVE

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import bz2
 import os
+import pathlib
 
 import pytest
 
@@ -116,24 +117,38 @@ def test_write_snapshots_roundtrip(spark, xml_paths, tmp_path):
 
 def test_write_snapshots_brotli(spark, xml_paths, tmp_path):
     """S6 brotli path (reference main.py:182 writes brotli parquet):
-    same sink as the zstd roundtrip but with compression=brotli. The
-    stock Spark distribution has no brotli codec class, so the write
-    failing with BadConfigurationException/ClassNotFoundException is a
-    documented environment skip (add com.github.rdblue:brotli-codec or
-    run with a distro bundling it); anywhere the codec IS present this
-    verifies the config plumbs through and the data round-trips.
-    """
+    same sink as the zstd roundtrip but with compression=brotli. Stock
+    Spark has no brotli codec class, so write_snapshots probes the JVM
+    BEFORE the job and falls back to zstd with a loud warning naming
+    the jar (com.github.rdblue:brotli-codec) — this runs everywhere,
+    asserting either the real brotli write (jar present) or the
+    documented fallback, never a mid-job crash (VERDICT r2 item 5)."""
+    import warnings
+
     rows, pa, pb = xml_paths
     snap = snapshot_from_dumps(spark, [pa, pb])
     out = str(tmp_path / "out_br")
     try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.hadoop.io.compress.BrotliCodec"
+        )
+        have_brotli = True
+    except Exception:
+        have_brotli = False
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
         write_snapshots(snap, out, PipelineConfig(compression="brotli"))
-    except Exception as ex:  # noqa: BLE001 — Py4J wraps the real cause
-        msg = str(ex)
-        if "BadConfigurationException" in msg or "ClassNotFound" in msg:
-            pytest.skip("brotli codec classes not on the classpath "
-                        "(com.github.rdblue:brotli-codec)")
-        raise
+    fallback_warns = [w for w in caught if "brotli" in str(w.message)]
+    if have_brotli:
+        assert not fallback_warns
+        codecs = {
+            f.name.split(".")[-2]
+            for f in pathlib.Path(out).glob("*.parquet")
+        }
+        assert codecs == {"brotli"}, codecs
+    else:
+        assert fallback_warns, "missing codec must warn loudly"
+        assert "brotli-codec" in str(fallback_warns[0].message)
     back = spark.read.parquet(out)
     assert _collect_sorted(back) == _replay_all(rows)
 

@@ -1,4 +1,4 @@
-"""Driver-verifiable Structured Streaming queries (q101-q104, q106-q107).
+"""Driver-verifiable Structured Streaming queries (q101-q104, q106-q107, q110-q111).
 
 The ST1-ST9 streaming operators (streaming/events.py) were previously
 pinned only by the repo's own stream==batch tests: a streaming job has
@@ -31,6 +31,10 @@ DataFrame whose content is deterministic and therefore oracle-able:
 - q107 (ST6): dropDuplicatesWithinWatermark over a doubled (exactly
   twice) staged copy — the at-least-once upstream shape; collapses to
   the original events table.
+- q110: stream-stream interval join (both sides live, symmetric hash
+  state) vs the batch interval-join SQL.
+- q111 (ST8): checkpointed PARQUET sink via availableNow — the output
+  FILES are read back as the adjudicated result.
 
 Staging: the events table is re-written through catalog.load (which
 normalizes the ns-vs-µs parquet ts encodings) into a 4-file local dir
@@ -386,9 +390,95 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join (the StreamingSymmetricHashJoin
+    shape): each purchase matched to the same user's clicks in the
+    preceding 4 hours, BOTH sides live streams over the staged
+    events. The time-range condition + watermarks are what let the
+    join evict state (see purchase_attribution_join); with the staged
+    corpus arriving in one asserted micro-batch nothing is evicted
+    before matching, so the drained output equals the batch interval
+    join exactly — the oracle."""
+    from ..streaming.events import purchase_attribution_join
+
+    src = _stage_events(spark, sf)
+    ev = read_event_stream(spark, src)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = purchase_attribution_join(
+        clicks, purchases, attribution_window="4 hours", watermark="1 hour"
+    )
+    sink = _drain_to_table(
+        joined, "append", sink_key="q110", require_single_batch=True,
+        no_data_batches=False, n_state_partitions=8,
+    )
+    return (
+        sink.select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            fn.ts_str(F.col("c_ts")).alias("c_ts"),
+            fn.ts_str(F.col("p_ts")).alias("p_ts"),
+            "purchase_value",
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """ST8: the checkpointed PARQUET sink (exactly-once file output —
+    the incremental form of the reference's write-upload-skip loop,
+    main.py:177-191), driver-oracled. A stateless projection stream is
+    written with write_parquet_stream (availableNow trigger +
+    checkpoint), the query awaited to termination, and the OUTPUT
+    FILES read back as the result — what's adjudicated is the sink's
+    end-to-end content, not a memory table."""
+    import tempfile
+
+    from ..streaming.events import write_parquet_stream
+
+    src = _stage_events(spark, sf)
+    proj = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "value",
+        )
+    )
+    out = tempfile.mkdtemp(prefix="diachronic_stream_out_q111_")
+    ckpt = tempfile.mkdtemp(prefix="diachronic_stream_ckpt_q111_")
+    _EPHEMERAL_DIRS.extend([out, ckpt])
+    q = write_parquet_stream(proj, out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.select(
+        "event_id",
+        "user_id",
+        fn.date_str(F.col("d")).alias("d"),
+        "value",
+    ).orderBy("event_id")
+
+
+# temp dirs created per query run (unlike the cached stage dirs, these
+# are written fresh each call); removed with the same atexit hook
+_EPHEMERAL_DIRS: list[str] = []
+
+
+@atexit.register
+def _cleanup_ephemeral_dirs() -> None:
+    for path in _EPHEMERAL_DIRS:
+        shutil.rmtree(path, ignore_errors=True)
+    _EPHEMERAL_DIRS.clear()
+
+
 STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
-    "q106": q106, "q107": q107,
+    "q106": q106, "q107": q107, "q110": q110, "q111": q111,
 }
 
 STREAM_ORACLE = {
@@ -469,6 +559,28 @@ ORDER BY 1, 2
 SELECT user_id, event_id,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_type, value
 FROM events
+ORDER BY event_id
+""",
+    # q110: stream-stream interval join == the batch interval join
+    # (single asserted micro-batch -> no watermark eviction can drop a
+    # match).
+    "q110": """
+SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+       strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+       p.value AS purchase_value
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 4 HOUR
+ORDER BY purchase_id, click_id
+""",
+    # q111: checkpointed parquet sink content == the batch projection.
+    "q111": """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d, value
+FROM events WHERE event_type = 'purchase'
 ORDER BY event_id
 """,
 }

@@ -241,3 +241,28 @@ def test_q97_disjunctive_predicates_push_to_both_scans(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[([^\]]*)", p)
     assert any("Or(" in s and "l_quantity" in s for s in pushed), pushed
     assert any("Or(" in s and "p_brand" in s for s in pushed), pushed
+
+
+def test_adjudication_ledger_consistent_with_registry():
+    """The driver's 50-query cap makes registry order the verification
+    scheduler — keep the ledger honest: every ledger/stale id must be a
+    real query, stale ids must sit ahead of the rotation tail, and
+    never-checked queries must lead."""
+    import __spark_entry__ as E
+    from diachronic_spark.plans import ORACLE, QUERIES
+
+    assert set(E._ADJUDICATED_ROUND) <= set(QUERIES), (
+        "ledger references unknown queries"
+    )
+    assert set(E._STALE) <= set(E._ADJUDICATED_ROUND), (
+        "stale queries must have a prior driver row"
+    )
+    order = list(E.queries())
+    never = [k for k in order if k not in E._ADJUDICATED_ROUND]
+    n_never = len(never)
+    assert order[:n_never] == never, "never-checked queries must lead"
+    assert order[n_never:n_never + len(E._STALE)] == sorted(
+        E._STALE, key=lambda k: int(k.lstrip("q"))
+    ), "stale queries come right after never-checked"
+    # the two registries expose the same ordering and key sets
+    assert list(E.oracle_sql()) == [k for k in order if k in ORACLE]

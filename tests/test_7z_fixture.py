@@ -171,3 +171,29 @@ def test_7z_streaming_chunked_reads():
             break
         acc += c
     assert acc == (FIXTURES / "wiki_tiny.xml").read_bytes()
+
+
+def test_7z_roundtrip_property_random_payloads(tmp_path):
+    """Property: write_7z → SevenZipReader is identity for arbitrary
+    byte payloads (incl. empty-ish, binary, repetitive) across every
+    codec × header-encoding combination."""
+    from hypothesis import given, settings, strategies as st
+
+    codecs = ["copy", "lzma1", "lzma2", "bzip2"]
+    counter = [0]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        payload=st.binary(min_size=1, max_size=50_000),
+        codec=st.sampled_from(codecs),
+        enc=st.booleans(),
+    )
+    def prop(payload, codec, enc):
+        counter[0] += 1
+        p = tmp_path / f"prop_{counter[0]}.7z"
+        write_7z(str(p), "f.bin", payload, codec=codec, encode_header=enc)
+        r = SevenZipReader(str(p))
+        assert r.read_all() == payload
+        assert r.names == ["f.bin"]
+
+    prop()

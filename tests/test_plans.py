@@ -266,3 +266,25 @@ def test_adjudication_ledger_consistent_with_registry():
     ), "stale queries come right after never-checked"
     # the two registries expose the same ordering and key sets
     assert list(E.oracle_sql()) == [k for k in order if k in ORACLE]
+
+
+def test_q108_merge_asof_cogroups_on_bucket_not_key(spark, sf_dir):
+    """The cogrouped merge-asof must shuffle each side once on the HASH
+    BUCKET (bounded Python invocations), never nested-loop, and never
+    cogroup on the raw key (PLANS.md q108 / SCALE.md r3 findings)."""
+    p = plan_str(QUERIES["q108"](spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas [__bkt" in p, (
+        "cogroup key must be the hash bucket"
+    )
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert p.count("Exchange hashpartitioning(__bkt") == 2, (
+        "each side shuffles exactly once, on the bucket"
+    )
+
+
+def test_q109_dump_parse_is_one_task_per_file(spark, sf_dir):
+    """The imperative 7z path fans files out via MapInPandas over a
+    path work-queue; the snapshot dedup is the only hash shuffle."""
+    p = plan_str(QUERIES["q109"](spark, sf_dir))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p

@@ -130,11 +130,12 @@ def minhash_signature(arrs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Band signatures and self-join on (band, band_hash): docs agreeing
-    on any band become a candidate pair (doc_a < doc_b)."""
+def band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bh): the LSH banding of a signature frame — the
+    join key space for candidate generation, and the unit the at-rest
+    index stores."""
     n_bands = N_MINHASH // BAND_ROWS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -151,6 +152,12 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band signatures and self-join on (band, band_hash): docs agreeing
+    on any band become a candidate pair (doc_a < doc_b)."""
+    bands = band_table(sig)
     # The self-join would otherwise evaluate the whole signature subtree
     # twice (once per side) — cache the tiny (n_docs x n_bands) band
     # table so hashing happens exactly once.
@@ -474,3 +481,96 @@ def connected_components_auto(
         return connected_components(pairs, nodes, max_iter=max_iter)
     finally:
         pairs.unpersist()
+
+
+# --- Incremental dedup against an index at rest (L2, ingest shape) --------
+# Batch-vs-corpus is the shape a 100 TB ingestion pipeline actually
+# runs: yesterday's corpus is indexed ONCE; each new batch probes the
+# index and appends its survivors — the corpus text is never rescanned.
+# The reference's analog is its upload-then-skip list (main.py:60-71):
+# membership state at rest deciding what new work to admit.
+
+
+def write_minhash_index(corpus: DataFrame, path: str) -> None:
+    """Materialize the LSH index at rest: the band table partitioned by
+    ``band`` (a probe's equi-join prunes to the band directories it
+    touches — PartitionFilters, the layout.py IVF-store pattern) plus
+    per-doc hashed shingle sets + sizes for the exact-verify pass.
+    Index size is O(n_docs * (n_bands + shingles)), independent of text
+    length; building it is the same map-only signature pass as q23."""
+    arrs = shingle_arrays(corpus)
+    band_table(minhash_signature(arrs)).write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    arrs.select("doc_id", "hset", "sz").write.mode("overwrite").parquet(
+        f"{path}/shingles"
+    )
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Annotate a new batch against the at-rest index: for each new doc
+    (doc_id, text), the number of LSH candidates the index produced and
+    the max exact jaccard among them. ``survived`` (no candidate at or
+    above ``threshold``) marks docs safe to admit; appending their
+    bands/shingles to the index is what makes ingestion incremental.
+
+    Shape: the probe shuffles on (band, bh) against the stored band
+    table, verification joins hashed shingle sets for CANDIDATES only
+    (never all pairs), and the corpus text is never read. doc_id spaces
+    must be disjoint between batch and index (document contract).
+    ``max_jaccard`` is -1.0 for docs with zero candidates.
+    """
+    arrs_new = shingle_arrays(new_docs)
+    bands_new = band_table(minhash_signature(arrs_new))
+    idx_b = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("doc_id").alias("idx_id"), "band", "bh"
+    )
+    cand = (
+        bands_new.withColumnRenamed("doc_id", "new_id")
+        .join(idx_b, ["band", "bh"])
+        .select("new_id", "idx_id")
+        .distinct()
+    )
+    a = arrs_new.select(
+        F.col("doc_id").alias("new_id"),
+        F.col("hset").alias("ha"),
+        F.col("sz").alias("za"),
+    )
+    b = spark.read.parquet(f"{index_path}/shingles").select(
+        F.col("doc_id").alias("idx_id"),
+        F.col("hset").alias("hb"),
+        F.col("sz").alias("zb"),
+    )
+    icnt = F.size(F.array_intersect("ha", "hb"))
+    scored = (
+        cand.join(a, "new_id")
+        .join(b, "idx_id")
+        .select(
+            "new_id",
+            (
+                icnt.cast("double")
+                / (F.col("za") + F.col("zb") - icnt)
+            ).alias("j"),
+        )
+    )
+    agg = scored.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.max("j").alias("max_j")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(agg, new_docs.doc_id == agg.new_id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            F.coalesce("max_j", F.lit(-1.0)).alias("max_jaccard"),
+            (
+                F.col("max_j").isNull()
+                | (F.col("max_j") < F.lit(threshold))
+            ).alias("survived"),
+        )
+    )

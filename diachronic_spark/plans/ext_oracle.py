@@ -1473,6 +1473,76 @@ ORDER BY title, ts_s
 # same snapshot as q105's declarative path; same raw-parquet dual.
 EXT_ORACLE["q109"] = EXT_ORACLE["q105"]
 
+# q112: incremental dedup against the at-rest index — full md5-minhash
+# banding replay for BOTH corpora (old = documents, new = 50 near-dups
+# + 50 reversed-novel docs), banded candidates, exact shingle jaccard,
+# -1 sentinel for candidate-free docs.
+def _mh_cte(suffix: str, corpus: str) -> str:
+    """tk/sh/sig/bnd CTE chain for one corpus (same shingle + minhash
+    + banding replay as q23's fragments, suffix-parameterized)."""
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat(h{2*b}, '_', h{2*b+1}) AS bh"
+        f" FROM sig{suffix}"
+        for b in range(4)
+    )
+    return f"""
+tk{suffix} AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       FROM {corpus}),
+sh{suffix} AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+  FROM tk{suffix}),
+sig{suffix} AS (SELECT doc_id, {_MINHASH_COLS} FROM sh{suffix} GROUP BY doc_id),
+bnd{suffix} AS ({bands})"""
+
+
+EXT_ORACLE["q112"] = f"""
+WITH old_c AS (SELECT doc_id, text FROM documents),
+new_c AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id < 50)
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_reverse(words), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id >= 50 AND doc_id < 100)
+),{_mh_cte('o', 'old_c')},{_mh_cte('n', 'new_c')},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
+  FROM bndn n JOIN bndo o ON n.band = o.band AND n.bh = o.bh),
+szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+inter AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN sho sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand c
+  LEFT JOIN inter i ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN szn za ON za.doc_id = c.new_id
+  JOIN szo zb ON zb.doc_id = c.idx_id),
+agg AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j GROUP BY new_id)
+SELECT n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM new_c n LEFT JOIN agg a ON a.new_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

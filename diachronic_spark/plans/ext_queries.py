@@ -1988,6 +1988,56 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("title", "ts_s")
 
 
+# --- q112: incremental dedup against an LSH index at rest (L2) -------------
+# The 100 TB ingest shape: the corpus is indexed ONCE (band table
+# partitioned by band + hashed shingle sets); each new batch probes the
+# index and appends survivors — corpus text never rescanned. The new
+# batch here is 50 true near-dups (drop-last-word copies of doc_id<50,
+# +100000) and 50 novel docs (reversed word order of 50<=doc_id<100,
+# +200000): the first set must be caught, the second must survive. The
+# oracle replays the full md5-minhash banding + exact shingle jaccard
+# for both corpora in SQL.
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+def _minhash_index(spark: SparkSession, sf: str) -> str:
+    if sf not in _MINHASH_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="diachronic_minhash_idx_")
+        D.write_minhash_index(
+            load(spark, sf, "documents").select("doc_id", "text"), path
+        )
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _MINHASH_INDEX_CACHE[sf] = path
+    return _MINHASH_INDEX_CACHE[sf]
+
+
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    idx = _minhash_index(spark, sf)
+    dups = D.with_near_duplicates(docs).filter(F.col("doc_id") >= 100000)
+    novel = (
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat_ws(
+                " ", F.reverse(fn.whitespace_tokens(F.col("text")))
+            ).alias("text"),
+        )
+    )
+    batch = dups.unionByName(novel)
+    ann = D.dedup_against_index(spark, batch, idx, threshold=0.5)
+    return ann.select(
+        "doc_id",
+        "n_cand",
+        _r2(F.col("max_jaccard")).alias("max_jaccard"),
+        "survived",
+    ).orderBy("doc_id")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2042,5 +2092,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87": q87, "q88": q88, "q89": q89, "q90": q90, "q91": q91,
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
-    "q105": q105, "q108": q108, "q109": q109,
+    "q105": q105, "q108": q108, "q109": q109, "q112": q112,
 }

@@ -37,10 +37,19 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     # round 2 checked q51-q95 and q101-q105 (all green)
     **{f"q{i}": 2 for i in range(51, 96)},
     **{f"q{i}": 2 for i in range(101, 106)},
+    # round 3 re-checked q1-q36, the stale q21/q45/q50, q96-q100, and
+    # the new q106-q112 (all green; CORRECTNESS_r03.json)
+    **{f"q{i}": 3 for i in range(1, 37)},
+    **{"q45": 3, "q50": 3},
+    **{f"q{i}": 3 for i in range(96, 101)},
+    **{f"q{i}": 3 for i in range(106, 113)},
 }
-# Changed since their last driver row (r1): q21 oracle added, q45/q50
-# BIGINT casts — re-adjudicate ahead of the rotation tail.
-_STALE = ("q21", "q45", "q50")
+# Changed since their last driver row: q37 (similarity.py SRP signature
+# persist landed after its r1 row) and q51 (_cache.py managed_persist
+# rekeyed by application id after its r2 row) — re-adjudicate ahead of
+# the rotation tail (VERDICT r3 item 2). The r3-era stale set
+# (q21/q45/q50) got green rows in r3 and is retired.
+_STALE = ("q37", "q51")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -55,10 +55,20 @@ def managed_persist(
     the stale entry.
     """
     app = _app_id(df)
-    # purge entries left behind by stopped/replaced sessions — their
-    # JVM-side relations are gone; holding the python refs only pins
-    # dead plans and confuses test isolation
+    # purge entries left behind by STOPPED sessions — their JVM-side
+    # relations are gone; holding the python refs only pins dead plans
+    # and confuses test isolation. Entries owned by a different but
+    # still-live application (two concurrent SparkSessions in one
+    # process) are left alone: evicting a live foreign cache would
+    # thrash that session's perf (ADVICE r3).
     for k in [k for k in _LIVE if k[0] != app]:
+        owner = _LIVE[k]
+        try:
+            stopped = owner.sparkSession.sparkContext._jsc is None
+        except Exception:
+            stopped = True
+        if not stopped:
+            continue
         prev = _LIVE.pop(k, None)
         if prev is not None:
             try:

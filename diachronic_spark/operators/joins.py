@@ -167,9 +167,13 @@ def asof_join_merge(
     )
     l_names = [f.name for f in l_fields]
     if n_buckets is None:
-        n_buckets = int(
-            left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
+        # the conf can be the non-numeric 'auto' on AQE-managed
+        # platforms (ADVICE r3) — fall back to defaultParallelism
+        raw = left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        try:
+            n_buckets = int(raw)
+        except (TypeError, ValueError):
+            n_buckets = left.sparkSession.sparkContext.defaultParallelism
 
     def _ns_key(s: pd.Series) -> pd.Series:
         # one int64-ns key dtype on both sides: Arrow may hand either

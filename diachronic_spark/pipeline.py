@@ -109,7 +109,14 @@ def _codec_or_fallback(spark: SparkSession, codec: str) -> str:
     mid-job, after the upstream stages already ran. Falls back to zstd
     with a LOUD warning rather than aborting — the output stays
     readable everywhere, and the log says exactly which jar restores
-    reference parity (VERDICT r2 item 5)."""
+    reference parity (VERDICT r2 item 5).
+
+    Limitation (ADVICE r3): the probe runs on the DRIVER JVM only. In
+    local mode (this repo's test envelope) driver == executor so the
+    probe is exact; on a real cluster a jar present on the driver but
+    missing from executors would pass the probe and still fail mid-job.
+    Deploy the codec jar via ``--packages`` (which ships it to
+    executors) rather than driver-only ``--jars`` paths."""
     probe = _CODEC_EXTRAS.get(codec.lower())
     if probe is None:
         return codec

@@ -392,10 +392,26 @@ class SevenZipReader:
                 if block.byte() != 0:
                     raise SevenZipError("external file names unsupported")
                 raw = block.buf[block.pos :]
-                names = raw.decode("utf-16-le").split("\x00")
+                try:
+                    names = raw.decode("utf-16-le").split("\x00")
+                except UnicodeDecodeError as exc:
+                    raise SevenZipError(
+                        f"{self.path}: corrupt file-name block ({exc})"
+                    ) from exc
                 self.names = [n for n in names if n][:n_files]
-            # other property blocks (times, attributes, empty-stream
-            # vectors) are skipped: the pipeline needs payload + names
+            elif prop == K_EMPTY_STREAM:
+                # empty files / directories have names but no payload
+                # substream, so `names` would misalign with substreams.
+                # Out of documented scope (single-payload archives) —
+                # refuse loudly instead of yielding shifted content.
+                if any(block.buf[block.pos :]):
+                    raise SevenZipError(
+                        f"{self.path}: archive contains empty files or "
+                        "directories (kEmptyStream); only all-payload "
+                        "archives are supported"
+                    )
+            # other property blocks (times, attributes) are skipped:
+            # the pipeline needs payload + names
 
     def _decode_folders(
         self, si: _StreamsInfo, verify: bool = False
@@ -505,6 +521,9 @@ def _compress_payload(payload: bytes, codec: str) -> tuple[bytes, bytes, bytes]:
         for code in range(41):
             if _lzma2_dict_size(bytes([code])) >= dict_size:
                 return packed, CODER_LZMA2, bytes([code])
+        raise SevenZipError(
+            f"no LZMA2 dict-size code for dict_size={dict_size}"
+        )
     if codec == "lzma1":
         filt = {"id": lzma.FILTER_LZMA1, "lc": 3, "lp": 0, "pb": 2,
                 "dict_size": 1 << 24}

@@ -507,6 +507,29 @@ def write_minhash_index(corpus: DataFrame, path: str) -> None:
     )
 
 
+def append_to_minhash_index(survivors: DataFrame, path: str) -> None:
+    """Append admitted docs' bands + hashed shingle sets to the at-rest
+    index — the step that makes ingestion incremental: once a batch's
+    survivors are appended, a re-submitted copy of the batch probes the
+    index, matches itself at jaccard 1.0, and produces ZERO survivors
+    (idempotent admission; test-pinned). Same map-only signature pass
+    and band-partitioned layout as ``write_minhash_index``, written in
+    append mode — at 100 TB this is a per-batch incremental write, the
+    reference's upload-then-skip membership update (main.py:60-71)
+    without ever rescanning the corpus.
+
+    ``survivors`` must carry (doc_id, text) with doc_ids disjoint from
+    everything already in the index (document contract).
+    """
+    arrs = shingle_arrays(survivors)
+    band_table(minhash_signature(arrs)).write.mode("append").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
+    arrs.select("doc_id", "hset", "sz").write.mode("append").parquet(
+        f"{path}/shingles"
+    )
+
+
 def dedup_against_index(
     spark: SparkSession,
     new_docs: DataFrame,

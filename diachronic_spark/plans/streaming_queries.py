@@ -383,8 +383,15 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
     never expires mid-drain), making the oracle exact rather than
     arrival-order-lucky."""
     src = _stage_events_doubled(spark, sf)
+    # drop props before the stateful dedup: the map column rides
+    # through the state-store exchange and the sink otherwise, and the
+    # result never selects it
     deduped = dedup_within_watermark(
-        read_event_stream(spark, src), keys=["event_id"], watermark="2 days"
+        read_event_stream(spark, src).select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        ),
+        keys=["event_id"],
+        watermark="2 days",
     )
     sink = _drain_to_table(
         deduped, "append", sink_key="q107", require_single_batch=True,

@@ -24,9 +24,23 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # 16MB advisory (vs 64MB default): post-shuffle coalesce targets
+    # more, smaller partitions — measured ~4% off both the sub-second
+    # floor tail and the pandas-heavy queries at sf0.1; at cluster
+    # scale AQE still caps partition count by total size, and
+    # parallelismFirst stays true (false regressed the heavy set ~10%).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # 64k-row Arrow batches (vs 10k default): fewer Python<->JVM batch
+    # crossings per pandas-UDF stage; sized well under executor memory
+    # even at MB-scale text rows.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # write timestamps as INT64 micros, not the deprecated INT96: INT96
+    # defeats vectorized reading/pushdown in other engines and round-
+    # trips wrong through the catalog's footer sniffing
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.session.timeZone": "UTC",
     # Parquet TIMESTAMP(NANOS) (the events fixture) is otherwise illegal in
     # Spark; read as raw ns longs, catalog.load converts to µs timestamps

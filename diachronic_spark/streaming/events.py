@@ -215,7 +215,13 @@ def threshold_scan_stream(
         if out is not None:
             yield out
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # project to the scan's columns BEFORE the stateful exchange:
+    # Catalyst does not prune through applyInPandasWithState, so
+    # without this every batch ships event_type and the props map
+    # through the shuffle and the Arrow boundary for nothing
+    return events.select(
+        "user_id", "event_id", "ts", "value"
+    ).groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SCAN_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
@@ -296,6 +302,8 @@ def threshold_scan_tws(
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    events = events.select("user_id", "event_id", "ts", "value")
 
     class ThresholdScan(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

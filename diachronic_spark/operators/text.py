@@ -139,6 +139,123 @@ def hash_split(
     )
 
 
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition quality signals — the Gopher-style
+    repeated-content filters adapted to newline-free corpora:
+
+    - ``dup_trigram_frac``: 1 - distinct/total word trigrams. Entirely
+      row-local (HOF + array_distinct inside codegen, no shuffle): a
+      doc that loops the same phrase scores near 1.
+    - ``top_bigram_frac``: occurrences of the single most frequent
+      bigram / total bigrams. Needs a per-(doc, bigram) count, done as
+      explode -> two-level aggregation; the first groupBy's map-side
+      partial collapse means the exchange carries the DISTINCT
+      (doc, bigram) pairs, not every token — the same shape as q69's
+      profiling and safe at any corpus size.
+
+    Docs with too few words for an n-gram score 0.0 for that signal.
+    """
+    toks = whitespace_tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def grams(width: int) -> Column:
+        idx = F.sequence(F.lit(1), n - (width - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(width)]
+            ),
+        )
+        # NB: F.sequence counts DOWN when n < width (bidirectional),
+        # hence the explicit short-doc guard (same as bigram_pairs)
+        return F.when(n >= width, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    base = df.select(
+        F.col(id_col), grams(3).alias("tg"), grams(2).alias("bg")
+    ).select(
+        id_col,
+        F.when(
+            F.size("tg") > 0,
+            1 - F.size(F.array_distinct("tg"))
+            / F.size("tg").cast("double"),
+        ).otherwise(F.lit(0.0)).alias("dup_trigram_frac"),
+        "bg",
+    )
+    # explode_outer keeps zero-bigram docs (null bigram row) so the
+    # final frame still carries every input doc
+    per = (
+        base.select(id_col, "dup_trigram_frac", F.explode_outer("bg").alias("b"))
+        .groupBy(id_col, "b")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.first("dup_trigram_frac").alias("dtf"),
+        )
+    )
+    real = F.when(F.col("b").isNotNull(), F.col("c"))
+    return per.groupBy(id_col).agg(
+        F.first("dtf").alias("dup_trigram_frac"),
+        F.coalesce(
+            F.max(real).cast("double") / F.sum(real), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+    )
+
+
+def mixture_sample_tokens(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    bucket_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic mixture sampling to a token budget — the data-mix
+    step of a training corpus build: each bucket (language/domain/
+    source) gets ``floor(budget * w / sum(w))`` tokens; docs are
+    admitted in content-independent hash-of-id order until the bucket
+    budget is exhausted (the doc that would cross the line is
+    excluded). Buckets absent from ``weights`` contribute nothing.
+
+    Determinism is the contract: membership depends only on
+    (id, weights, budget), so re-runs, backfills, and different
+    cluster layouts produce the same corpus — the same md5-derived
+    hash as ``hash_split``. Shape: one narrow projection, a broadcast
+    join of the k-row target table, and ONE window cumsum per bucket
+    (a single shuffle on the bucket key; at skewed bucket sizes the
+    cumsum is still a linear per-partition scan).
+    """
+    total_w = float(sum(weights.values()))
+    spark = df.sparkSession
+    targets = spark.createDataFrame(
+        [(b, int(budget_tokens * w / total_w)) for b, w in sorted(weights.items())],
+        f"{bucket_col} string, target_tokens bigint",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(bucket_col)
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        df.select(
+            F.col(id_col),
+            F.col(bucket_col),
+            F.size(whitespace_tokens(F.col(text_col))).alias("n_tokens"),
+            h.alias("h"),
+        )
+        .join(F.broadcast(targets), bucket_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    )
+    return ranked.filter(
+        F.col("cum_tokens") <= F.col("target_tokens")
+    ).select(id_col, bucket_col, "n_tokens", "cum_tokens")
+
+
 def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical text form: lowercase, strip non-alphanumerics,
     collapse whitespace. Expression-only; the first step of most

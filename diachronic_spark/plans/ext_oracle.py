@@ -1625,6 +1625,74 @@ FROM new_c n LEFT JOIN agg2 a ON a.new_id = n.doc_id
 ORDER BY n.doc_id
 """
 
+# q114: repetition signals — duplicate-trigram fraction + top-bigram
+# fraction, replayed with list comprehensions and an unnest + two-level
+# aggregation. Both engines round to 4dp after identical int/int
+# double divisions.
+EXT_ORACLE["q114"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN [array_to_string(list_slice(w, i, i + 2), ' ')
+                    FOR i IN generate_series(1, len(w) - 2)]
+              ELSE [] END AS tg,
+         CASE WHEN len(w) >= 2
+              THEN [array_to_string(list_slice(w, i, i + 1), ' ')
+                    FOR i IN generate_series(1, len(w) - 1)]
+              ELSE [] END AS bg
+  FROM t),
+d AS (
+  SELECT doc_id,
+         CASE WHEN len(tg) > 0
+              THEN 1.0 - len(list_distinct(tg)) / CAST(len(tg) AS DOUBLE)
+              ELSE 0.0 END AS dtf,
+         bg
+  FROM g),
+e AS (SELECT doc_id, unnest(bg) AS b FROM d),
+pc AS (SELECT doc_id, b, count(*) AS c FROM e GROUP BY doc_id, b),
+tf AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS tbf
+       FROM pc GROUP BY doc_id)
+SELECT d.doc_id,
+       round(d.dtf, 4) AS dup_trigram_frac,
+       round(coalesce(tf.tbf, 0.0), 4) AS top_bigram_frac
+FROM d LEFT JOIN tf ON tf.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+# q115: mixture sampling to a token budget — the same md5-derived hash
+# order as q43's split, a VALUES target table from the module
+# constants, and a per-bucket ROWS cumsum cut at the target.
+from .ext_queries import Q115_BUDGET, Q115_WEIGHTS  # noqa: E402
+
+_Q115_TOTAL_W = float(sum(Q115_WEIGHTS.values()))
+_Q115_TARGETS = ", ".join(
+    f"('{b}', {int(Q115_BUDGET * w / _Q115_TOTAL_W)})"
+    for b, w in sorted(Q115_WEIGHTS.items())
+)
+
+EXT_ORACLE["q115"] = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         ({_H32_DOCID}) AS h
+  FROM documents),
+t(lang, target_tokens) AS (VALUES {_Q115_TARGETS}),
+r AS (
+  SELECT n.doc_id, n.lang, n.n_tokens, t.target_tokens,
+         sum(n_tokens) OVER (
+           PARTITION BY n.lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM n JOIN t ON t.lang = n.lang)
+SELECT doc_id, lang, n_tokens, cum_tokens
+FROM r WHERE cum_tokens <= target_tokens
+ORDER BY doc_id
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

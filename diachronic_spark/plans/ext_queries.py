@@ -2093,6 +2093,40 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- q114: within-document repetition signals (L4/L6) ----------------------
+# The Gopher-style repeated-content quality filters: duplicate-trigram
+# fraction (row-local HOF) and top-bigram fraction (explode + two-level
+# agg, exchange carries distinct (doc, bigram) pairs only).
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    sig = T.repetition_signals(docs)
+    return sig.select(
+        "doc_id",
+        F.round("dup_trigram_frac", 4).alias("dup_trigram_frac"),
+        F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+# --- q115: deterministic mixture sampling to a token budget (L4) -----------
+# The data-mix step of a corpus build: per-language token targets
+# (en:6 de:2 fr:1 es:1 of a 12k-token budget; zh carries no weight and
+# is dropped), docs admitted in md5-hash order until each bucket's
+# budget is exhausted. Constants are module-level so the oracle SQL
+# interpolates the SAME targets.
+Q115_WEIGHTS = {"en": 6, "de": 2, "fr": 1, "es": 1}
+Q115_BUDGET = 12_000
+
+
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    picked = T.mixture_sample_tokens(
+        docs, Q115_WEIGHTS, Q115_BUDGET, bucket_col="lang"
+    )
+    return picked.select(
+        "doc_id", "lang", "n_tokens", "cum_tokens"
+    ).orderBy("doc_id")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2148,4 +2182,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
+    "q114": q114, "q115": q115,
 }

@@ -90,3 +90,68 @@ def test_q69_profiles_every_column_on_empty_input(spark):
             for r in rows] == [
         (c, 0, 0, None, None) for c in X.PROFILE_COLS
     ]
+
+
+def test_repetition_signals_known_values(spark):
+    from diachronic_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens: bigrams [ab,ba,ab,ba,ab] -> top 3/5; trigrams
+            # [aba,bab,aba,bab] -> distinct 2/4 -> dup 0.5
+            (1, "a b a b a b"),
+            (2, "all distinct words here now"),  # no repeats
+            (3, "x y"),       # 1 bigram, 0 trigrams
+            (4, "solo"),      # no n-grams at all
+            (5, ""),          # empty text
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in T.repetition_signals(docs).collect()
+    }
+    assert rows[1].dup_trigram_frac == 0.5
+    assert abs(rows[1].top_bigram_frac - 0.6) < 1e-12
+    assert rows[2].dup_trigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 0.25  # 4 distinct bigrams
+    assert rows[3].dup_trigram_frac == 0.0
+    assert rows[3].top_bigram_frac == 1.0
+    assert rows[4].dup_trigram_frac == 0.0
+    assert rows[4].top_bigram_frac == 0.0
+    assert rows[5].dup_trigram_frac == 0.0
+    assert rows[5].top_bigram_frac == 0.0
+
+
+def test_mixture_sample_tokens_budget_and_determinism(spark):
+    from diachronic_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de", "tok " * 10) for i in range(40)],
+        ["doc_id", "lang", "text"],
+    )
+    # en weight 3, de weight 1; budget 80 tokens -> en target 60
+    # (6 docs of 10), de target 20 (2 docs)
+    out = T.mixture_sample_tokens(
+        docs, {"en": 3, "de": 1}, 80, bucket_col="lang"
+    )
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert sum(r.n_tokens for r in by_lang["en"]) == 60
+    assert sum(r.n_tokens for r in by_lang["de"]) == 20
+    # per-bucket cumsum never exceeds the target
+    assert max(r.cum_tokens for r in by_lang["en"]) <= 60
+    assert max(r.cum_tokens for r in by_lang["de"]) <= 20
+    # deterministic across runs
+    again = sorted(map(tuple, T.mixture_sample_tokens(
+        docs, {"en": 3, "de": 1}, 80, bucket_col="lang"
+    ).collect()))
+    assert again == sorted(map(tuple, rows))
+    # unweighted buckets are dropped entirely
+    none_fr = T.mixture_sample_tokens(
+        docs.withColumn("lang", docs.lang), {"fr": 1.0}, 100,
+        bucket_col="lang",
+    )
+    assert none_fr.count() == 0

@@ -46,3 +46,119 @@ def equi_width_histogram(
             "n",
         )
     )
+
+
+def exact_percentile_bracketed(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float,
+    accuracy: int = 10000,
+    margin: float = 0.01,
+) -> DataFrame:
+    """Exact per-group percentile without sorting whole groups —
+    approx-bracket then exact-select.
+
+    Spark's exact ``percentile`` aggregate buffers and sorts EVERY
+    group value on a single task: at 100 TB with few groups that is
+    one executor sorting billions of rows — the classic exact-quantile
+    scale-killer. This operator keeps the answer bit-exact while
+    sorting only a sliver:
+
+    1. One pass computes per-group ``n``, an approx percentile at
+       ``p`` (returned for free), and an approx LOWER BRACKET at
+       ``p - margin``. percentile_approx's rank error is bounded by
+       n/accuracy, so with margin >> 1/accuracy (0.01 vs 1e-4 at the
+       defaults) the bracket provably sits at-or-below the true
+       target rank.
+    2. A second pass counts values strictly below the bracket and
+       ranks only the kept tail (~(1-p+margin) of each group) with a
+       window; the two order statistics around rank (n-1)*p come out
+       of that tail, and linear interpolation reproduces
+       ``F.percentile`` exactly.
+
+    The bracket value itself may vary with partitioning (sketch merge
+    order); the RESULT does not — any valid bracket yields the same
+    order statistics. If the bracket ever fails (impossible within the
+    documented error bound; conceivable only if accuracy/margin are
+    misconfigured), the affected group raises rather than returning a
+    near-miss.
+
+    Returns (group_col, n, p_exact, p_approx).
+    """
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    p_lo = max(0.0, p - margin)
+    stats = df.groupBy(group_col).agg(
+        F.count(v).alias("n"),
+        F.percentile_approx(v, p, accuracy).alias("p_approx"),
+        F.percentile_approx(v, p_lo, accuracy).alias("lo_raw"),
+    ).withColumn(
+        "k", F.floor((F.col("n") - 1) * F.lit(p)).cast("bigint")
+    ).withColumn(
+        "frac", (F.col("n") - 1) * F.lit(p) - F.col("k")
+    ).withColumn(
+        # the bracket is only trusted when the margin spans the
+        # sketch's rank-error bound (n/accuracy) plus 2 ranks of
+        # rounding slack; tiny groups keep every value (they are
+        # trivial to rank anyway)
+        "lo",
+        F.when(
+            (F.col("n") - 1) * F.lit(margin)
+            >= F.lit(2.0) + F.col("n") / F.lit(float(accuracy)),
+            F.col("lo_raw"),
+        ).otherwise(F.lit(float("-inf"))),
+    ).drop("lo_raw")
+    joined = df.select(g, v.alias("__v")).join(
+        F.broadcast(stats), group_col
+    )
+    n_below = joined.filter(F.col("__v") < F.col("lo")).groupBy(
+        group_col
+    ).agg(F.count(F.lit(1)).alias("n_below"))
+    kept = (
+        joined.filter(F.col("__v") >= F.col("lo"))
+        .join(F.broadcast(n_below), group_col, "left")
+        .withColumn("n_below", F.coalesce("n_below", F.lit(0)))
+    )
+    w = Window.partitionBy(group_col).orderBy("__v")
+    ranked = kept.withColumn(
+        "grank", F.col("n_below") + F.row_number().over(w) - 1
+    )
+    cand = ranked.filter(
+        (F.col("grank") == F.col("k")) | (F.col("grank") == F.col("k") + 1)
+    )
+    out = cand.groupBy(group_col).agg(
+        F.first("n").alias("n"),
+        F.first("p_approx").alias("p_approx"),
+        F.first("frac").alias("frac"),
+        F.max(F.when(F.col("grank") == F.col("k"), F.col("__v"))).alias(
+            "xk"
+        ),
+        F.max(
+            F.when(F.col("grank") == F.col("k") + 1, F.col("__v"))
+        ).alias("xk1"),
+    )
+    # xk missing means the bracket overshot the target rank — loud
+    # failure, never a silently-wrong quantile
+    guarded = out.withColumn(
+        "p_exact",
+        F.when(
+            F.col("xk").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("exact_percentile_bracketed: bracket missed "
+                          "target rank for group "),
+                    F.col(group_col).cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(
+            # (1-frac)*lower + frac*higher — the exact FP expression
+            # Spark's Percentile (and DuckDB's quantile_cont) evaluate,
+            # so the result is bit-identical, not just within 1 ulp
+            (F.lit(1.0) - F.col("frac")) * F.col("xk")
+            + F.col("frac") * F.coalesce("xk1", "xk")
+        ),
+    )
+    return guarded.select(group_col, "n", "p_exact", "p_approx")

@@ -1693,6 +1693,18 @@ FROM r WHERE cum_tokens <= target_tokens
 ORDER BY doc_id
 """
 
+# q116: bracketed exact percentile == quantile_cont (both engines
+# evaluate the identical (1-f)*lo + f*hi interpolation, so the compare
+# is bit-level, not rounded).
+EXT_ORACLE["q116"] = """
+SELECT l_returnflag,
+       count(l_extendedprice) AS n,
+       quantile_cont(l_extendedprice, 0.9) AS p_exact
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

@@ -2127,6 +2127,23 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- q116: bracketed exact percentile (A7, the 100 TB-safe form) -----------
+# Spark's exact percentile agg sorts every group value on one task; the
+# bracketed operator (operators/stats.py) approx-brackets the target
+# rank and exact-selects from the ~11% tail, bit-identical by
+# construction (same (1-f)*lo + f*hi interpolation as quantile_cont).
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.stats import exact_percentile_bracketed
+
+    li = load(spark, sf, "lineitem")
+    out = exact_percentile_bracketed(
+        li, "l_returnflag", "l_extendedprice", 0.9
+    )
+    return out.select("l_returnflag", "n", "p_exact").orderBy(
+        "l_returnflag"
+    )
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2182,5 +2199,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
-    "q114": q114, "q115": q115,
+    "q114": q114, "q115": q115, "q116": q116,
 }

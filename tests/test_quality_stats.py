@@ -155,3 +155,35 @@ def test_mixture_sample_tokens_budget_and_determinism(spark):
         bucket_col="lang",
     )
     assert none_fr.count() == 0
+
+
+def test_exact_percentile_bracketed_bit_identical(spark):
+    """The bracketed selection must reproduce F.percentile exactly —
+    same order statistics AND the same floating-point interpolation —
+    across tie-heavy data, tiny groups, and boundary percentiles."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.stats import exact_percentile_bracketed
+
+    random.seed(11)
+    rows = (
+        [("g%d" % (i % 4), random.choice([1.0, 2.5, 2.5, 7.0,
+                                          random.random() * 100]))
+         for i in range(3000)]
+        + [("one", 42.0), ("two", 1.0), ("two", 9.0)]
+    )
+    d = spark.createDataFrame(rows, ["g", "v"])
+    for p in [0.0, 0.5, 0.9, 1.0]:
+        exact = {
+            r.g: r.p
+            for r in d.groupBy("g")
+            .agg(F.percentile(F.col("v"), p).alias("p"))
+            .collect()
+        }
+        got = {
+            r.g: r.p_exact
+            for r in exact_percentile_bracketed(d, "g", "v", p).collect()
+        }
+        assert got == exact  # bit-identical, no tolerance

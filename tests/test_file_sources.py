@@ -87,3 +87,46 @@ def test_wiki_manifest_datasource(spark, tmp_path):
     todo = {r["file_name"]
             for r in files_to_run(df, done).select("file_name").collect()}
     assert todo == {"enwiki-b.7z", "dewiki-a.7z"}
+
+
+def test_read_binary_files_multimodal_schema(spark, tmp_path):
+    """binaryFile scan lands in the multimodal storage schema and feeds
+    extract_features unchanged; the glob filter prunes at LISTING time
+    (non-matching files never contribute rows)."""
+    from diachronic_spark.operators.multimodal import extract_features
+    from diachronic_spark.sources.files import read_binary_files
+
+    payloads = {
+        "a.png": b"\x89PNG\r\n" + b"a" * 10,
+        "b.jpg": b"\xff\xd8\xff" + b"b" * 20,
+        "c.wav": b"RIFF" + b"c" * 5,
+    }
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.{png,jpg,wav}")
+    rows = {r.src_path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)
+    assert rows["a.png"].meta.mime == "image/png"
+    assert rows["b.jpg"].meta.mime == "image/jpeg"
+    assert rows["c.wav"].meta.mime == "audio/wav"
+    for name, blob in payloads.items():
+        assert bytes(rows[name].payload) == blob
+        assert rows[name].meta.n_bytes == len(blob)
+    # doc_id is stable across re-scans (path-derived, not row-order)
+    again = {r.src_path.rsplit("/", 1)[-1]: r.doc_id
+             for r in read_binary_files(
+                 spark, str(tmp_path), glob="*.{png,jpg,wav}"
+             ).collect()}
+    assert again == {n: r.doc_id for n, r in rows.items()}
+    # the downstream feature pipeline runs unchanged on file payloads
+    feats = {r.doc_id: r for r in extract_features(
+        df.select("doc_id", "payload", "meta")
+    ).collect()}
+    assert set(feats) == {r.doc_id for r in rows.values()}
+    import hashlib
+    for name, blob in payloads.items():
+        f = feats[rows[name].doc_id]
+        assert f.byte_len == len(blob)
+        assert f.sha_hex == hashlib.sha256(blob).hexdigest()

@@ -157,7 +157,11 @@ def repetition_signals(
 
     Docs with too few words for an n-gram score 0.0 for that signal.
     """
-    toks = whitespace_tokens(F.col(text_col))
+    # materialize the token array ONCE: HOF lambda bodies get no CSE,
+    # so an inlined tokenizer re-splits the text per element —
+    # O(len^2) per doc (the SCALE.md tokenization rule; measured 16s →
+    # 1s at sf0.1 for this operator)
+    toks = F.col("__toks")
     n = F.size(toks)
 
     def grams(width: int) -> Column:
@@ -175,6 +179,9 @@ def repetition_signals(
         )
 
     base = df.select(
+        F.col(id_col),
+        whitespace_tokens(F.col(text_col)).alias("__toks"),
+    ).select(
         F.col(id_col), grams(3).alias("tg"), grams(2).alias("bg")
     ).select(
         id_col,

@@ -48,10 +48,17 @@ def main() -> None:
     # path, comparable to DuckDB's native fetchall. Best-of-2 per query:
     # single runs showed 2-3x run-to-run jitter on HOF-heavy queries
     # (JIT recompilation, GC pauses); the min is the steady-state cost.
+    # Streaming drains get best-of-3: each run pays live micro-batch
+    # machinery (worker scheduling, state commits) whose jitter at
+    # sf0.1 is comparable to the measurement itself (VERDICT r3 item 3
+    # — measured ±0.5-1s swings on identical code).
+    jittery = {
+        "q101", "q102", "q103", "q104", "q106", "q107", "q110", "q111",
+    }
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3 if name in jittery else 2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)

@@ -54,6 +54,7 @@ def main() -> None:
     # — measured ±0.5-1s swings on identical code).
     jittery = {
         "q101", "q102", "q103", "q104", "q106", "q107", "q110", "q111",
+        "q117",
     }
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -485,6 +485,131 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def _stage_cdc(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Stage the q117 CDC fixture: a base table (each user's FIRST
+    event by (ts, event_id)) plus four sequential change files —
+    change file i holds every user's (i+1)-th event as an op row
+    ('view' → D, anything else → U). One op per user per file by
+    construction, so each micro-batch satisfies MERGE's unique-key
+    cardinality precondition; file modification times are spaced so
+    the file source's mtime ordering replays changes in rank order.
+    Cached per sf (immutable input)."""
+    key = f"{sf}:cdc"
+    if key not in _STAGE_CACHE:
+        import os
+        import time as _time
+
+        from pyspark.sql import Window
+
+        root = tempfile.mkdtemp(prefix="diachronic_cdc_")
+        ev = load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ranked = ev.select(
+            "user_id", "event_type", "value", "ts", "event_id"
+        ).withColumn("rn", F.row_number().over(w))
+        base = ranked.filter(F.col("rn") == 1).select(
+            "user_id", "event_type", "value"
+        )
+        base.write.mode("overwrite").parquet(f"{root}/base")
+        now = _time.time()
+        os.makedirs(f"{root}/changes", exist_ok=True)
+        for i in range(2, 6):
+            step = (
+                ranked.filter(F.col("rn") == i)
+                .select(
+                    "user_id",
+                    "event_type",
+                    "value",
+                    F.when(F.col("event_type") == "view", F.lit("D"))
+                    .otherwise(F.lit("U"))
+                    .alias("op"),
+                )
+            )
+            d = f"{root}/seq_{i}"
+            step.coalesce(1).write.mode("overwrite").parquet(d)
+            # flatten into ONE file per change rank directly under
+            # changes/ (the file source does not recurse into
+            # non-partition subdirs) with strictly increasing mtimes —
+            # the source's file ordering key — per rank
+            (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            dst = f"{root}/changes/chg_{i}.parquet"
+            shutil.move(os.path.join(d, part), dst)
+            shutil.rmtree(d, ignore_errors=True)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        _STAGE_CACHE[key] = root
+    root = _STAGE_CACHE[key]
+    return f"{root}/base", f"{root}/changes"
+
+
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC apply (ST8's foreachBatch form, driver-oracled):
+    an ordered change stream merged into a base table one micro-batch
+    at a time — readStream over the staged change files
+    (maxFilesPerTrigger=1 → one change rank per batch, asserted),
+    each batch applied with the batch MERGE operator
+    (operators/merge.py::merge_upsert) and written to a
+    BATCH-ID-DERIVED parquet target (Delta-style MERGE on plain
+    parquet): batch b reads version b-1 and overwrites version b, so a
+    replayed batch after a crash-restart rewrites the same version
+    from the same input — exactly-once end-to-end without a
+    transactional table format. The
+    adjudicated result is the FINAL TABLE CONTENT: ordered-apply
+    semantics (a deleted user stays deleted; later updates are no-ops)
+    are exactly what the oracle's rank-fold SQL computes — wrong batch
+    order, lost updates, or misapplied deletes all change the table.
+    """
+    base_path, chg_path = _stage_cdc(spark, sf)
+    from ..operators.merge import merge_upsert
+
+    work = tempfile.mkdtemp(prefix="diachronic_cdc_apply_")
+    _EPHEMERAL_DIRS.append(work)
+    state = {"last": -1, "n": 0}
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        prev = base_path if batch_id == 0 else f"{work}/b{batch_id - 1}"
+        merged = merge_upsert(
+            spark.read.parquet(prev),
+            batch,
+            key="user_id",
+            update_cols=["event_type", "value"],
+        )
+        merged.write.mode("overwrite").parquet(f"{work}/b{batch_id}")
+        state["last"] = max(state["last"], batch_id)
+        state["n"] += 1
+
+    ckpt = _checkpoint_dir("q117")
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_type string, value double, op string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chg_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if state["n"] != 4 or state["last"] != 3:
+        raise RuntimeError(
+            f"q117: expected change batches 0-3, applied {state['n']} "
+            f"(last id {state['last']}) — file-per-trigger staging "
+            "changed"
+        )
+    return (
+        spark.read.parquet(f"{work}/b{state['last']}")
+        .select("user_id", "event_type", "value")
+        .orderBy("user_id")
+    )
+
+
 # temp dirs created per query run (unlike the cached stage dirs, these
 # are written fresh each call); removed with the same atexit hook
 _EPHEMERAL_DIRS: list[str] = []
@@ -500,6 +625,7 @@ def _cleanup_ephemeral_dirs() -> None:
 STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
+    "q117": q117,
 }
 
 STREAM_ORACLE = {
@@ -603,5 +729,35 @@ ORDER BY purchase_id, click_id
 SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d, value
 FROM events WHERE event_type = 'purchase'
 ORDER BY event_id
+""",
+    # q117: sequential CDC apply == the rank-fold. Base = each user's
+    # first event; changes = ranks 2-5 in order ('view' deletes, else
+    # update). A delete is permanent (no 'I' ops, so later updates
+    # are MERGE no-ops on the absent key): survivors are users with no
+    # 'view' among ranks 2-5, final state = their highest-rank update
+    # (or the base row if they had no changes).
+    "q117": """
+WITH ordered AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events),
+base AS (SELECT user_id, event_type, value FROM ordered WHERE rn = 1),
+chg AS (SELECT * FROM ordered WHERE rn BETWEEN 2 AND 5),
+dead AS (SELECT DISTINCT user_id FROM chg WHERE event_type = 'view'),
+upd AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY rn DESC)
+             AS rr
+    FROM chg WHERE event_type <> 'view')
+  WHERE rr = 1)
+SELECT b.user_id,
+       coalesce(u.event_type, b.event_type) AS event_type,
+       coalesce(u.value, b.value) AS value
+FROM base b
+LEFT JOIN upd u ON u.user_id = b.user_id
+WHERE b.user_id NOT IN (SELECT user_id FROM dead)
+ORDER BY b.user_id
 """,
 }

@@ -376,3 +376,86 @@ def test_streaming_cms_equals_batch_sketch(spark, sf_dir, stream_dir, tmp_path):
         for r in count_min_state(spark, state).collect()
     }
     assert streamed2 == batch
+
+
+def test_cdc_apply_resumes_from_checkpoint(spark, tmp_path):
+    """The q117 CDC-apply shape across a RESTART: a first availableNow
+    run sees only the first two change files; new files then arrive and
+    a second run with the SAME checkpoint resumes from the committed
+    batch — the final table must equal a sequential apply of all four
+    changes, and the second run must not re-apply batches 0-1."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "signup", 1.0), (2, "signup", 2.0), (3, "signup", 3.0)],
+        ["user_id", "event_type", "value"],
+    )
+    base_path = str(tmp_path / "base")
+    base.write.parquet(base_path)
+    chg_dir = tmp_path / "changes"
+    chg_dir.mkdir()
+    work = str(tmp_path / "work")
+    ckpt = str(tmp_path / "ckpt")
+    # change ranks: u1 updated then deleted; u2 deleted then updated
+    # (the update must be a no-op); u3 updated twice (last wins)
+    ranks = [
+        [(1, "click", 10.0, "U"), (2, "view", 0.0, "D"), (3, "click", 30.0, "U")],
+        [(1, "view", 0.0, "D"), (2, "click", 20.0, "U"), (3, "click", 31.0, "U")],
+        [(3, "purchase", 32.0, "U")],
+        [(1, "click", 11.0, "U")],  # no-op: u1 already deleted
+    ]
+    now = _time.time()
+
+    def write_rank(i):
+        d = str(tmp_path / f"seq_{i}")
+        spark.createDataFrame(
+            ranks[i], ["user_id", "event_type", "value", "op"]
+        ).coalesce(1).write.mode("overwrite").parquet(d)
+        (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        dst = str(chg_dir / f"chg_{i}.parquet")
+        os.replace(os.path.join(d, part), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    applied = []
+
+    def apply_batch(batch, batch_id):
+        prev = base_path if batch_id == 0 else f"{work}/b{batch_id - 1}"
+        merge_upsert(
+            spark.read.parquet(prev), batch, key="user_id",
+            update_cols=["event_type", "value"],
+        ).write.mode("overwrite").parquet(f"{work}/b{batch_id}")
+        applied.append(batch_id)
+
+    def run():
+        q = (
+            spark.readStream.schema(
+                "user_id bigint, event_type string, value double, op string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chg_dir))
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_rank(0); write_rank(1)
+    run()
+    assert applied == [0, 1]
+    write_rank(2); write_rank(3)
+    run()  # same checkpoint: must resume at batch 2, not replay 0-1
+    assert applied == [0, 1, 2, 3]
+    final = {
+        r.user_id: (r.event_type, r.value)
+        for r in spark.read.parquet(f"{work}/b3").collect()
+    }
+    # u1: updated then deleted (later update no-op) -> absent
+    # u2: deleted first -> later update no-op -> absent
+    # u3: three updates, last wins
+    assert final == {3: ("purchase", 32.0)}

@@ -507,6 +507,76 @@ def write_minhash_index(corpus: DataFrame, path: str) -> None:
     )
 
 
+def duplicated_spans(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence-level dedup signal (the ExactSubstr complement of
+    doc-level dedup, after "Deduplicating Training Data Makes Language
+    Models Better"): per document, how many of its ``width``-token
+    windows appear verbatim in ANOTHER document. Doc-level LSH misses
+    boilerplate and quotations shared across otherwise-distinct docs;
+    this catches exactly those.
+
+    Shape: token array materialized once (the O(len^2) inlining trap);
+    window hashes are md5 over the joined span — row-local transform,
+    one hash per token position. The exchange then carries
+    (span-hash, doc) pairs; map-side partials collapse same-doc
+    repeats before the shuffle, the cross-doc hash set comes from one
+    count-distinct agg, and per-doc counts join back on the 16-byte
+    hash. At 100 TB add a stride (hash every k-th position) and a
+    df cap on pathological boilerplate hashes — both subsample the
+    same pipeline, no new shape. Within-doc-only repeats are NOT
+    counted (that is ``repetition_signals``' job).
+
+    Returns (id_col, n_windows, n_dup, dup_span_frac).
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (width - 1))
+    wins = F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, width))),
+    )
+    base = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.when(n >= width, wins)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("wins"),
+    )
+    ex = base.select(id_col, F.explode_outer("wins").alias("h"))
+    cross = (
+        ex.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = ex.groupBy(id_col).agg(F.count("h").alias("n_windows"))
+    dup = (
+        ex.join(cross, "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tot.join(dup, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.when(
+                F.col("n_windows") > 0,
+                F.coalesce("n_dup", F.lit(0))
+                / F.col("n_windows").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
 def append_to_minhash_index(survivors: DataFrame, path: str) -> None:
     """Append admitted docs' bands + hashed shingle sets to the at-rest
     index — the step that makes ingestion incremental: once a batch's

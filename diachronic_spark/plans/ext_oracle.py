@@ -1705,6 +1705,36 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
 
+# q118: cross-doc repeated spans — same md5 window hashing replayed
+# with a list comprehension; cross set = HAVING count(DISTINCT doc)>=2.
+EXT_ORACLE["q118"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+win AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 8
+                THEN [md5(array_to_string(list_slice(w, i, i + 7), ' '))
+                      FOR i IN generate_series(1, len(w) - 7)]
+                ELSE [] END) AS h
+  FROM t),
+cross_h AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+tot AS (SELECT doc_id, count(*) AS n_windows FROM win GROUP BY doc_id),
+dup AS (SELECT doc_id, count(*) AS n_dup
+        FROM win JOIN cross_h USING (h) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(t.n_windows, 0) AS n_windows,
+       coalesce(u.n_dup, 0) AS n_dup,
+       round(CASE WHEN coalesce(t.n_windows, 0) > 0
+             THEN coalesce(u.n_dup, 0) / CAST(t.n_windows AS DOUBLE)
+             ELSE 0.0 END, 4) AS dup_span_frac
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN dup u ON u.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

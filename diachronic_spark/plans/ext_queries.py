@@ -2144,6 +2144,22 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q118: cross-document repeated spans (sequence-level dedup signal) -----
+# ExactSubstr's Spark shape: md5 window hashes per token position,
+# cross-doc hash set from one count-distinct agg, per-doc dup-window
+# counts joined back. Catches shared boilerplate/quotations that
+# doc-level LSH (q23) can't see.
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    out = D.duplicated_spans(docs, width=8)
+    return out.select(
+        "doc_id",
+        "n_windows",
+        "n_dup",
+        F.round("dup_span_frac", 4).alias("dup_span_frac"),
+    ).orderBy("doc_id")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2199,5 +2215,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
-    "q114": q114, "q115": q115, "q116": q116,
+    "q114": q114, "q115": q115, "q116": q116, "q118": q118,
 }

@@ -317,3 +317,27 @@ def test_index_append_back_idempotent(spark, tmp_path):
     assert sorted(map(tuple, ann3.collect())) == sorted(
         map(tuple, ann2.collect())
     )
+
+
+def test_duplicated_spans_cross_doc_only(spark):
+    """Only spans shared ACROSS documents count; within-doc repeats and
+    short docs score zero."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail a b c"),
+            (2, f"lead x {shared} y z"),
+            (3, "totally different words in this document here now ok"),
+            # within-doc repeat of an 8-token span, no other doc has it
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+            (5, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in D.duplicated_spans(docs, width=8).collect()}
+    assert rows[1].n_dup == 1 and rows[2].n_dup == 1  # exactly the shared span
+    assert rows[3].n_dup == 0
+    assert rows[4].n_dup == 0  # within-doc repeat is not cross-doc
+    assert rows[4].n_windows == 9
+    assert rows[5].n_windows == 0 and rows[5].dup_span_frac == 0.0
+    assert abs(rows[1].dup_span_frac - 1 / rows[1].n_windows) < 1e-12

@@ -116,6 +116,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return reader.parquet(table_path(sf_dir, name))
 
 
+def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise source parallelism for CPU-bound row-local stages.
+
+    Parquet cannot split below a row group, and the benchmark tables
+    are single-row-group files — so scans (and relations cached from
+    them) run 1-3 tasks on 32 cores, and heavy per-row expressions
+    (HOF arithmetic, Arrow-batched pandas UDFs) bottleneck on one
+    core: the entropy scan measured 8.6s single-partition vs 0.6s at
+    32. A round-robin repartition costs one shuffle of the (small)
+    input and parallelizes the expensive stage.
+
+    Use ONLY above genuinely CPU-heavy row-local work — for
+    shuffle-dominated plans the extra exchange is pure loss (measured:
+    gap-fill, recursive CTE, TF-IDF all regress). At production scale
+    file/row-group counts provide the parallelism and this no-ops
+    (partitions already >= target).
+    """
+    target = (
+        min_partitions
+        or df.sparkSession.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import functions as fn
-from ..catalog import load
+from ..catalog import load, widen
 from ..operators import dedup as D
 from ..operators import lifecycle as LC
 from ..operators import multimodal as M
@@ -67,7 +67,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q24: SimHash signatures (L2) -----------------------------------------
 def q24(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    d = widen(load(spark, sf, "documents").select("doc_id", "text"))
     return D.simhash32(d).orderBy("doc_id")
 
 
@@ -149,7 +149,7 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q28: language-ID heuristic (L4) --------------------------------------
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    d = widen(load(spark, sf, "documents"))
     pred = T.predict_language(d)
     return (
         pred.groupBy("lang", "predicted_lang")
@@ -160,7 +160,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q29: quality-signal aggregation by source (L6) -----------------------
 def q29(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    d = widen(load(spark, sf, "documents"))
     q = T.quality_signals(d)
     return (
         q.groupBy("source")
@@ -177,7 +177,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- q30: token counting (L4) ---------------------------------------------
 def q30(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    d = widen(load(spark, sf, "documents"))
     t = T.token_counts(d)
     return (
         t.groupBy("lang")
@@ -198,7 +198,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     # CodegenFallback (interpreted per-element), measured 2x slower —
     # see fingerprint_rolling_np's docstring. Equality of the two
     # forms is pinned in tests/test_batch_ops.py.
-    d = load(spark, sf, "documents").select("doc_id", "text")
+    d = widen(load(spark, sf, "documents").select("doc_id", "text"))
     return (
         T.fingerprint_rolling_np(d)
         .select("doc_id", "fp", "n_grams")
@@ -1492,7 +1492,7 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
 # language — the machine-junk detector every corpus-hygiene pass
 # carries (L6 family). Pure row-local HOF arithmetic.
 def q82(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents").select("lang", "text")
+    d = widen(load(spark, sf, "documents").select("lang", "text"))
     e = T.with_char_entropy(d, out_col="h").select("lang", "h")
     return (
         e.groupBy("lang")
@@ -2098,7 +2098,7 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
 # fraction (row-local HOF) and top-bigram fraction (explode + two-level
 # agg, exchange carries distinct (doc, bigram) pairs only).
 def q114(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    docs = widen(load(spark, sf, "documents").select("doc_id", "text"))
     sig = T.repetition_signals(docs)
     return sig.select(
         "doc_id",
@@ -2150,7 +2150,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
 # counts joined back. Catches shared boilerplate/quotations that
 # doc-level LSH (q23) can't see.
 def q118(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents").select("doc_id", "text")
+    docs = widen(load(spark, sf, "documents").select("doc_id", "text"))
     out = D.duplicated_spans(docs, width=8)
     return out.select(
         "doc_id",

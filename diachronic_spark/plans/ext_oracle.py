@@ -1735,6 +1735,35 @@ LEFT JOIN dup u ON u.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# q119: semantic dedup verdicts — brute-force cosine pairs (q37's
+# oracle shape) + recursive-CTE min-label closure (q52's oracle
+# shape); kept iff the vector IS its component minimum.
+EXT_ORACLE["q119"] = """
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(64),
+             i -> embedding[i+1]::DOUBLE + ((vec_id*64 + i) % 7 - 3) * 0.005)
+  FROM embeddings WHERE vec_id < 50
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb, va FROM pairs),
+reach(a, b) AS (
+  SELECT vec_id, vec_id FROM aug
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+lab AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)
+SELECT vec_id, component, vec_id = component AS kept
+FROM lab ORDER BY vec_id
+"""
+
 # q108: cogrouped merge-asof vs DuckDB's native ASOF JOIN (same
 # pre-dedup of equal-timestamp clicks as the Spark side).
 EXT_ORACLE["q108"] = """

@@ -1087,7 +1087,12 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
 # (k+1)x the full rows through the distinct shuffle; here map-side
 # partial aggregation collapses the pairs to the DISTINCT (col, value)
 # set before any exchange, and nulls/distinct/min/max all fall out of
-# that tiny grouped relation (measured 1.6s -> 0.5s at sf0.1).
+# that grouped relation. NB: l_extendedprice is near-unique, so the
+# "distinct pair set" is still ~1.8M rows at sf0.1 and the partial agg
+# can't collapse it — the query runs ~1.6s (r4 measurement; the r2
+# note claiming 0.5s predates the near-unique column mix and is
+# retired). The shape is still right: the win over Expand grows with
+# k, and low-cardinality columns DO collapse map-side.
 PROFILE_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 
 
@@ -2160,6 +2165,29 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- q119: semantic dedup end-to-end — keep-one-per-embedding-cluster ------
+# SemDeDup's decision step composed from the engine's own pieces:
+# SRP-banded cosine pairs (q37's operator), min-label connected
+# components over the pair graph (q52's operator, measured-count
+# dispatched), keep the min vec_id per cluster. The adjudicated result
+# is the per-vector admission verdict — exactly what an ingest
+# pipeline acts on. Oracle: brute-force cosine pairs + recursive-CTE
+# closure.
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    aug = S.with_near_duplicate_vectors(load(spark, sf, "embeddings"))
+    pairs = S.cosine_near_dup_pairs(aug, threshold=0.99).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = D.connected_components_auto(
+        pairs, aug.select(F.col("vec_id").alias("doc_id"))
+    )
+    return comp.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("component"),
+        (F.col("doc_id") == F.col("component")).alias("kept"),
+    ).orderBy("vec_id")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2215,5 +2243,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92": q92, "q93": q93, "q94": q94, "q95": q95, "q96": q96,
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
-    "q114": q114, "q115": q115, "q116": q116, "q118": q118,
+    "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
 }

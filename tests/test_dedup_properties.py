@@ -341,3 +341,42 @@ def test_duplicated_spans_cross_doc_only(spark):
     assert rows[4].n_windows == 9
     assert rows[5].n_windows == 0 and rows[5].dup_span_frac == 0.0
     assert abs(rows[1].dup_span_frac - 1 / rows[1].n_windows) < 1e-12
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_duplicated_spans_matches_pure_python(spark, texts):
+    """Cross-doc span counts agree with a direct per-doc computation
+    over the same window definition (width 3 keeps the word-soup
+    corpus in collision range)."""
+    width = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), ["doc_id", "text"]
+    )
+    spans = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        spans[i] = [
+            " ".join(toks[j : j + width])
+            for j in range(len(toks) - width + 1)
+        ] if len(toks) >= width else []
+    owners = {}
+    for i, ws in spans.items():
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    expected = {
+        i: (
+            len(ws),
+            sum(1 for w in ws if len(owners[w]) >= 2),
+        )
+        for i, ws in spans.items()
+    }
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup)
+        for r in D.duplicated_spans(docs, width=width).collect()
+    }
+    assert got == expected

@@ -1735,6 +1735,32 @@ LEFT JOIN dup u ON u.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 
+# q120: manifest parse + incremental skip over the committed
+# dumpstatus fixtures — DuckDB parses the same JSON (json_keys over
+# the job's files object) and replays the suffix-match anti-join.
+import os as _os2
+
+_MANIFEST_GLOB = _os2.path.join(
+    _os2.path.dirname(_os2.path.dirname(_os2.path.dirname(
+        _os2.path.abspath(__file__)))),
+    "fixtures", "manifests", "*.json",
+)
+
+EXT_ORACLE["q120"] = f"""
+WITH cand AS (
+  SELECT regexp_extract(filename, '([a-z]+)\\.json$', 1) AS wiki,
+         unnest(json_keys(content, '$.jobs.metahistory7zdump.files'))
+           AS file_name
+  FROM read_text('{_MANIFEST_GLOB}')),
+done AS (
+  SELECT file_name || '.parquet' AS blob_name FROM cand
+  WHERE file_name LIKE '%history1%')
+SELECT wiki, file_name
+FROM cand
+WHERE file_name || '.parquet' NOT IN (SELECT blob_name FROM done)
+ORDER BY wiki, file_name
+"""
+
 # q119: semantic dedup verdicts — brute-force cosine pairs (q37's
 # oracle shape) + recursive-CTE min-label closure (q52's oracle
 # shape); kept iff the vector IS its component minimum.

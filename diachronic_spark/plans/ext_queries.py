@@ -2188,6 +2188,41 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# --- q120: dump-manifest parse + incremental skip (S1+S2+J1) ---------------
+# The reference's startup path (main.py:44-71) over COMMITTED
+# dumpstatus.json fixtures — no network: per-wiki manifests parsed into
+# a (wiki, file_name) frame, anti-joined against a deterministic
+# "already produced" listing (every *history1* output exists). The
+# oracle parses the same JSON files with DuckDB's json_keys and
+# replays the suffix-match anti-join.
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    import glob
+    import os
+
+    from ..sources import manifest as MF
+
+    mdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "fixtures", "manifests",
+    )
+    wikis = {
+        os.path.basename(p)[: -len(".json")]: open(p).read()
+        for p in sorted(glob.glob(os.path.join(mdir, "*.json")))
+    }
+    cand = MF.files_df(spark, wikis)
+    done = (
+        cand.filter(F.col("file_name").contains("history1"))
+        .select(
+            F.concat(F.col("file_name"), F.lit(".parquet")).alias(
+                "blob_name"
+            )
+        )
+    )
+    todo = MF.files_to_run(cand, done)
+    return todo.select("wiki", "file_name").orderBy("wiki", "file_name")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2244,4 +2279,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
     "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
+    "q120": q120,
 }

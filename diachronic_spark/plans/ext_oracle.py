@@ -1761,6 +1761,23 @@ WHERE file_name || '.parquet' NOT IN (SELECT blob_name FROM done)
 ORDER BY wiki, file_name
 """
 
+# q121: partitioned-sink round trip == the pre-write selection.
+EXT_ORACLE["q121"] = """
+SELECT event_id, user_id, strftime(ts, '%Y-%m-%d') AS d, value
+FROM events WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+# q122: JSONL + CSV round trips == the direct parquet selection, once
+# per format.
+EXT_ORACLE["q122"] = """
+SELECT fmt, doc_id, lang, text FROM (
+  SELECT 'jsonl' AS fmt, doc_id, lang, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'csv', doc_id, lang, text FROM documents WHERE doc_id < 200)
+ORDER BY fmt, doc_id
+"""
+
 # q119: semantic dedup verdicts — brute-force cosine pairs (q37's
 # oracle shape) + recursive-CTE min-label closure (q52's oracle
 # shape); kept iff the vector IS its component minimum.

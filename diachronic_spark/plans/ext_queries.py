@@ -2223,6 +2223,81 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     return todo.select("wiki", "file_name").orderBy("wiki", "file_name")
 
 
+# --- q121: partitioned parquet sink round-trip (S6+S7) ---------------------
+# The sink itself under the oracle (q111's precedent for the batch
+# path): purchase events written through write_snapshots with a
+# partitioned layout (partition_by=d, zstd, maxRecordsPerFile), then
+# the OUTPUT FILES read back as the adjudicated result — layout bugs
+# (partition column dropped/retyped on read, records lost at file
+# splits) all change the answer. The oracle is the pre-write
+# selection: round-trip fidelity is exactly the claim.
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..pipeline import PipelineConfig, write_snapshots
+    from .streaming_queries import _EPHEMERAL_DIRS
+
+    ev = load(spark, sf, "events")
+    out = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.to_date("ts").alias("d"),
+            "value",
+        )
+    )
+    path = tempfile.mkdtemp(prefix="diachronic_sink_q121_")
+    _EPHEMERAL_DIRS.append(path)
+    write_snapshots(
+        out,
+        path,
+        PipelineConfig(partition_by=("d",), max_records_per_file=5000),
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        "event_id",
+        "user_id",
+        fn.date_str(F.col("d").cast("date")).alias("d"),
+        "value",
+    ).orderBy("event_id")
+
+
+# --- q122: JSONL + CSV interchange scans (S11) ------------------------------
+# The generic ingest formats under the oracle: a deterministic slice of
+# documents is written as JSON-lines AND CSV, re-read with the
+# explicit-schema PERMISSIVE readers, and the two scans UNIONed — any
+# quoting/escaping/schema drift in either path (multiline text,
+# embedded quotes/commas) breaks parity with the direct SQL over the
+# parquet table.
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.files import read_csv, read_jsonl
+    from .streaming_queries import _EPHEMERAL_DIRS
+
+    d = (
+        load(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang", "text")
+    )
+    root = tempfile.mkdtemp(prefix="diachronic_interchange_q122_")
+    _EPHEMERAL_DIRS.append(root)
+    d.write.mode("overwrite").json(f"{root}/jl")
+    # escape + quote so embedded commas/quotes/newlines survive CSV
+    d.write.mode("overwrite").option("header", "true").option(
+        "quoteAll", "true"
+    ).csv(f"{root}/csv")
+    schema = "doc_id bigint, lang string, text string"
+    jl = read_jsonl(spark, f"{root}/jl", schema).select(
+        F.lit("jsonl").alias("fmt"), "doc_id", "lang", "text"
+    )
+    cs = read_csv(spark, f"{root}/csv", schema).select(
+        F.lit("csv").alias("fmt"), "doc_id", "lang", "text"
+    )
+    return jl.unionByName(cs).orderBy("fmt", "doc_id")
+
+
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------
 # asof_join_merge shares semantics with asof_join (q33) but a different
 # physical shape: per-side shuffles + per-key pandas.merge_asof. This
@@ -2279,5 +2354,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
     "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
-    "q120": q120,
+    "q120": q120, "q121": q121, "q122": q122,
 }

@@ -1768,13 +1768,15 @@ FROM events WHERE event_type = 'purchase'
 ORDER BY event_id
 """
 
-# q122: JSONL + CSV round trips == the direct parquet selection, once
-# per format.
+# q122: JSONL + CSV + ORC round trips == the direct parquet selection,
+# once per format.
 EXT_ORACLE["q122"] = """
 SELECT fmt, doc_id, lang, text FROM (
   SELECT 'jsonl' AS fmt, doc_id, lang, text FROM documents WHERE doc_id < 200
   UNION ALL
-  SELECT 'csv', doc_id, lang, text FROM documents WHERE doc_id < 200)
+  SELECT 'csv', doc_id, lang, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 'orc', doc_id, lang, text FROM documents WHERE doc_id < 200)
 ORDER BY fmt, doc_id
 """
 

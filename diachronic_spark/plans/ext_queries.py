@@ -2263,17 +2263,17 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-# --- q122: JSONL + CSV interchange scans (S11) ------------------------------
+# --- q122: JSONL + CSV + ORC interchange scans (S11) -----------------------
 # The generic ingest formats under the oracle: a deterministic slice of
-# documents is written as JSON-lines AND CSV, re-read with the
-# explicit-schema PERMISSIVE readers, and the two scans UNIONed — any
-# quoting/escaping/schema drift in either path (multiline text,
-# embedded quotes/commas) breaks parity with the direct SQL over the
-# parquet table.
+# documents is written as JSON-lines, CSV, and ORC, re-read with the
+# explicit-schema readers, and the three scans UNIONed — any
+# quoting/escaping/schema drift in any path (multiline text, embedded
+# quotes/commas, ORC type mapping) breaks parity with the direct SQL
+# over the parquet table.
 def q122(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
-    from ..sources.files import read_csv, read_jsonl
+    from ..sources.files import read_csv, read_jsonl, read_orc, write_orc
     from .streaming_queries import _EPHEMERAL_DIRS
 
     d = (
@@ -2288,6 +2288,7 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     d.write.mode("overwrite").option("header", "true").option(
         "quoteAll", "true"
     ).csv(f"{root}/csv")
+    write_orc(d, f"{root}/orc")
     schema = "doc_id bigint, lang string, text string"
     jl = read_jsonl(spark, f"{root}/jl", schema).select(
         F.lit("jsonl").alias("fmt"), "doc_id", "lang", "text"
@@ -2295,7 +2296,10 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     cs = read_csv(spark, f"{root}/csv", schema).select(
         F.lit("csv").alias("fmt"), "doc_id", "lang", "text"
     )
-    return jl.unionByName(cs).orderBy("fmt", "doc_id")
+    oc = read_orc(spark, f"{root}/orc", schema).select(
+        F.lit("orc").alias("fmt"), "doc_id", "lang", "text"
+    )
+    return jl.unionByName(cs).unionByName(oc).orderBy("fmt", "doc_id")
 
 
 # --- q108: cogrouped merge-asof join (J7, narrow-shuffle variant) ----------

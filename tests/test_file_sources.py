@@ -130,3 +130,35 @@ def test_read_binary_files_multimodal_schema(spark, tmp_path):
         f = feats[rows[name].doc_id]
         assert f.byte_len == len(blob)
         assert f.sha_hex == hashlib.sha256(blob).hexdigest()
+
+
+def test_widen_raises_only_underparallel_sources(spark):
+    """widen() repartitions an under-partitioned frame to default
+    parallelism and leaves an already-wide frame untouched."""
+    from diachronic_spark.catalog import widen
+
+    narrow = spark.range(1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    wide = widen(narrow)
+    assert wide.rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    assert wide.count() == 1000
+    already = spark.range(1000).repartition(64)
+    assert widen(already) is already  # no extra exchange
+
+
+def test_events_ts_unit_handles_directory_tables(spark, tmp_path):
+    """catalog.load sniffs the ts footer from a part file when the
+    events table is a Spark-written DIRECTORY (micros timestamps) —
+    the shape every engine-written events derivative has."""
+    from diachronic_spark.catalog import load
+
+    src = load(spark, "/root/testdata/sf0.001", "events")
+    out = str(tmp_path / "events.parquet")
+    src.write.parquet(out)
+    back = load(spark, str(tmp_path), "events")
+    assert back.schema["ts"].dataType.typeName() == "timestamp"
+    a = sorted(r.event_id for r in src.select("event_id").collect())
+    b = sorted(r.event_id for r in back.select("event_id").collect())
+    assert a == b

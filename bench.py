@@ -51,11 +51,11 @@ def main() -> None:
     # Streaming drains get best-of-3: each run pays live micro-batch
     # machinery (worker scheduling, state commits) whose jitter at
     # sf0.1 is comparable to the measurement itself (VERDICT r3 item 3
-    # — measured ±0.5-1s swings on identical code).
-    jittery = {
-        "q101", "q102", "q103", "q104", "q106", "q107", "q110", "q111",
-        "q117",
-    }
+    # — measured ±0.5-1s swings on identical code). Derived from the
+    # registry so new streaming queries can't silently miss it.
+    from diachronic_spark.plans.streaming_queries import STREAM_QUERIES
+
+    jittery = set(STREAM_QUERIES)
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best = float("inf")

@@ -31,6 +31,10 @@ _REQUIRED_SQL_CONFS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+    # correctness under an external session: INT96 output would make
+    # Spark-written events derivatives round-trip wrong through the
+    # footer sniffing below (pyarrow reports INT96 as timestamp[ns])
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 
@@ -73,13 +77,19 @@ def _events_ts_unit(path: str) -> str:
         return "ns"
     if os.path.isdir(path):
         # Spark-written table: a directory of part files with one
-        # schema; sniff the first part's footer
-        parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        )
-        if not parts:
+        # schema; sniff the first part's footer. Walk recursively —
+        # a partitionBy layout nests part files under key=value
+        # subdirectories.
+        part = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            cand = sorted(f for f in files if f.endswith(".parquet"))
+            if cand:
+                part = os.path.join(root, cand[0])
+                break
+        if part is None:
             raise FileNotFoundError(f"no parquet part files in {path}")
-        path = os.path.join(path, parts[0])
+        path = part
     t = pq.read_schema(path).field("ts").type
     # plain INT64 (no timestamp logical type) has no .unit: treat as
     # the historical ns-since-epoch long format

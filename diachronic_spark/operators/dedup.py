@@ -548,7 +548,14 @@ def duplicated_spans(
         .otherwise(F.array().cast("array<string>"))
         .alias("wins"),
     )
-    ex = base.select(id_col, F.explode_outer("wins").alias("h"))
+    # the exploded hash table feeds THREE branches (cross-doc set,
+    # per-doc totals, dup counts); without a persist the tokenize +
+    # per-window md5 pipeline — the dominant cost — runs once per
+    # branch (Spark has no cross-branch subplan reuse)
+    ex = managed_persist(
+        base.select(id_col, F.explode_outer("wins").alias("h")),
+        "dedup.spans.ex",
+    )
     cross = (
         ex.filter(F.col("h").isNotNull())
         .groupBy("h")

@@ -71,11 +71,13 @@ def exact_percentile_bracketed(
        n/accuracy, so with margin >> 1/accuracy (0.01 vs 1e-4 at the
        defaults) the bracket provably sits at-or-below the true
        target rank.
-    2. A second pass counts values strictly below the bracket and
-       ranks only the kept tail (~(1-p+margin) of each group) with a
-       window; the two order statistics around rank (n-1)*p come out
-       of that tail, and linear interpolation reproduces
-       ``F.percentile`` exactly.
+    2. A second pass ranks only the kept tail (~(1-p+margin) of each
+       group) with a window; the below-bracket count is derived as
+       ``n - |tail|`` inside the same window pass (no separate scan),
+       the two order statistics around rank (n-1)*p come out of the
+       tail, and linear interpolation reproduces ``F.percentile``
+       exactly. Groups whose values are all NULL return a NULL
+       percentile, matching the aggregate.
 
     The bracket value itself may vary with partitioning (sketch merge
     order); the RESULT does not — any valid bracket yields the same
@@ -114,17 +116,17 @@ def exact_percentile_bracketed(
     joined = df.select(g, v.alias("__v")).join(
         F.broadcast(stats), group_col
     )
-    n_below = joined.filter(F.col("__v") < F.col("lo")).groupBy(
-        group_col
-    ).agg(F.count(F.lit(1)).alias("n_below"))
-    kept = (
-        joined.filter(F.col("__v") >= F.col("lo"))
-        .join(F.broadcast(n_below), group_col, "left")
-        .withColumn("n_below", F.coalesce("n_below", F.lit(0)))
-    )
+    # non-null values split exactly into below-bracket and kept, so
+    # n_below = n - |kept| — derived in the kept frame's own window
+    # pass instead of a second full scan + join of df
+    kept = joined.filter(F.col("__v") >= F.col("lo"))
     w = Window.partitionBy(group_col).orderBy("__v")
+    w_all = Window.partitionBy(group_col)
     ranked = kept.withColumn(
-        "grank", F.col("n_below") + F.row_number().over(w) - 1
+        "grank",
+        (F.col("n") - F.count(F.lit(1)).over(w_all))
+        + F.row_number().over(w)
+        - 1,
     )
     cand = ranked.filter(
         (F.col("grank") == F.col("k")) | (F.col("grank") == F.col("k") + 1)
@@ -161,4 +163,13 @@ def exact_percentile_bracketed(
             + F.col("frac") * F.coalesce("xk1", "xk")
         ),
     )
-    return guarded.select(group_col, "n", "p_exact", "p_approx")
+    result = guarded.select(group_col, "n", "p_exact", "p_approx")
+    # all-NULL groups never reach the tail (every __v is null): emit
+    # them with a NULL percentile, as the percentile aggregate does
+    empty = stats.filter(F.col("n") == 0).select(
+        group_col,
+        "n",
+        F.lit(None).cast("double").alias("p_exact"),
+        F.lit(None).cast("double").alias("p_approx"),
+    )
+    return result.unionByName(empty)

@@ -1738,13 +1738,9 @@ ORDER BY d.doc_id
 # q120: manifest parse + incremental skip over the committed
 # dumpstatus fixtures — DuckDB parses the same JSON (json_keys over
 # the job's files object) and replays the suffix-match anti-join.
-import os as _os2
+from .ext_queries import MANIFEST_FIXTURE_DIR  # noqa: E402
 
-_MANIFEST_GLOB = _os2.path.join(
-    _os2.path.dirname(_os2.path.dirname(_os2.path.dirname(
-        _os2.path.abspath(__file__)))),
-    "fixtures", "manifests", "*.json",
-)
+_MANIFEST_GLOB = _os.path.join(MANIFEST_FIXTURE_DIR, "*.json")
 
 EXT_ORACLE["q120"] = f"""
 WITH cand AS (

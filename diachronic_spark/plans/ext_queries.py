@@ -11,6 +11,7 @@ oracle, full deterministic ordering.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import numpy as np
@@ -2195,20 +2196,24 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
 # "already produced" listing (every *history1* output exists). The
 # oracle parses the same JSON files with DuckDB's json_keys and
 # replays the suffix-match anti-join.
+MANIFEST_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))),
+    "fixtures", "manifests",
+)
+
+
 def q120(spark: SparkSession, sf: str) -> DataFrame:
     import glob
-    import os
+    import pathlib
 
     from ..sources import manifest as MF
 
-    mdir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))),
-        "fixtures", "manifests",
-    )
     wikis = {
-        os.path.basename(p)[: -len(".json")]: open(p).read()
-        for p in sorted(glob.glob(os.path.join(mdir, "*.json")))
+        os.path.basename(p)[: -len(".json")]: pathlib.Path(p).read_text()
+        for p in sorted(
+            glob.glob(os.path.join(MANIFEST_FIXTURE_DIR, "*.json"))
+        )
     }
     cand = MF.files_df(spark, wikis)
     done = (
@@ -2284,16 +2289,23 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="diachronic_interchange_q122_")
     _EPHEMERAL_DIRS.append(root)
     d.write.mode("overwrite").json(f"{root}/jl")
-    # escape + quote so embedded commas/quotes/newlines survive CSV
-    d.write.mode("overwrite").option("header", "true").option(
-        "quoteAll", "true"
-    ).csv(f"{root}/csv")
+    # quoteAll + no whitespace trimming on write, multiline on read:
+    # embedded commas/quotes/newlines/edge-whitespace all round-trip
+    # (the CSV writer TRIMS field whitespace by default)
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(f"{root}/csv")
+    )
     write_orc(d, f"{root}/orc")
     schema = "doc_id bigint, lang string, text string"
     jl = read_jsonl(spark, f"{root}/jl", schema).select(
         F.lit("jsonl").alias("fmt"), "doc_id", "lang", "text"
     )
-    cs = read_csv(spark, f"{root}/csv", schema).select(
+    cs = read_csv(spark, f"{root}/csv", schema, multiline=True).select(
         F.lit("csv").alias("fmt"), "doc_id", "lang", "text"
     )
     oc = read_orc(spark, f"{root}/orc", schema).select(

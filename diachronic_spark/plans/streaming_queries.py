@@ -499,7 +499,6 @@ def _stage_cdc(spark: SparkSession, sf: str) -> tuple[str, str]:
     Cached per sf (immutable input)."""
     key = f"{sf}:cdc"
     if key not in _STAGE_CACHE:
-        import os
         import time as _time
 
         from pyspark.sql import Window

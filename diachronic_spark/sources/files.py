@@ -34,11 +34,19 @@ def read_csv(
     schema: StructType | str,
     header: bool = True,
     sep: str = ",",
+    multiline: bool = False,
 ) -> DataFrame:
+    """CSV scan. Pass ``multiline=True`` when fields may contain
+    embedded newlines (quoted multi-line values): without it the
+    reader treats every newline as a record separator and PERMISSIVE
+    mode silently turns the halves into malformed rows. The cost is
+    real — multiline CSV files are not splittable — which is why it is
+    opt-in rather than the default."""
     return (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("sep", sep)
+        .option("multiLine", str(multiline).lower())
         .option("mode", "PERMISSIVE")
         .csv(path)
     )

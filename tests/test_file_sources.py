@@ -162,3 +162,33 @@ def test_events_ts_unit_handles_directory_tables(spark, tmp_path):
     a = sorted(r.event_id for r in src.select("event_id").collect())
     b = sorted(r.event_id for r in back.select("event_id").collect())
     assert a == b
+
+
+def test_csv_roundtrip_preserves_newlines_and_whitespace(spark, tmp_path):
+    """The q122 CSV settings (quoteAll + no write-side trimming +
+    multiline read) round-trip embedded newlines, quotes, commas, and
+    edge whitespace byte-for-byte."""
+    from diachronic_spark.sources.files import read_csv
+
+    rows = [
+        (1, "line one\nline two"),
+        (2, ' leading and trailing '),
+        (3, 'comma, "quoted", done'),
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, "id bigint, text string")
+    out = str(tmp_path / "csv")
+    (
+        d.write.option("header", "true")
+        .option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+    )
+    back = read_csv(spark, out, "id bigint, text string", multiline=True)
+    got = {r.id: r.text for r in back.collect()}
+    want = dict(rows)
+    # empty string vs null is the one documented CSV ambiguity: Spark
+    # writes "" and reads it back as null unless emptyValue is pinned
+    want[4] = None
+    assert got == want

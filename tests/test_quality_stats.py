@@ -187,3 +187,25 @@ def test_exact_percentile_bracketed_bit_identical(spark):
             for r in exact_percentile_bracketed(d, "g", "v", p).collect()
         }
         assert got == exact  # bit-identical, no tolerance
+
+
+def test_exact_percentile_bracketed_null_groups(spark):
+    """Groups whose values are entirely NULL return NULL (matching the
+    percentile aggregate) instead of vanishing; mixed-null groups
+    ignore the nulls."""
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.stats import exact_percentile_bracketed
+
+    d = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", None), ("b", None), ("b", None)],
+        "g string, v double",
+    )
+    got = {r.g: (r.n, r.p_exact) for r in
+           exact_percentile_bracketed(d, "g", "v", 0.5).collect()}
+    exact = {r.g: r.p for r in
+             d.groupBy("g").agg(F.percentile(F.col("v"), 0.5).alias("p"))
+             .collect()}
+    assert set(got) == {"a", "b"} == set(exact)
+    assert got["a"] == (2, exact["a"]) == (2, 2.0)
+    assert got["b"] == (0, None) and exact["b"] is None

@@ -43,13 +43,22 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{"q45": 3, "q50": 3},
     **{f"q{i}": 3 for i in range(96, 101)},
     **{f"q{i}": 3 for i in range(106, 113)},
+    # round 4 checked the ten new q113-q122, the stale q37/q51, and
+    # the rotation tail q38-q44/q46-q49/q52-q78 — all green except
+    # q115 (type-aware hash: Spark INT vs DuckDB BIGINT, values equal;
+    # CORRECTNESS_r04.json). Both sides now cast to bigint.
+    **{f"q{i}": 4 for i in range(113, 123)},
+    **{"q37": 4, "q51": 4},
+    **{f"q{i}": 4 for i in range(38, 45)},
+    **{f"q{i}": 4 for i in range(46, 50)},
+    **{f"q{i}": 4 for i in range(52, 79)},
 }
-# Changed since their last driver row: q37 (similarity.py SRP signature
-# persist landed after its r1 row) and q51 (_cache.py managed_persist
-# rekeyed by application id after its r2 row) — re-adjudicate ahead of
-# the rotation tail (VERDICT r3 item 2). The r3-era stale set
-# (q21/q45/q50) got green rows in r3 and is retired.
-_STALE = ("q37", "q51")
+# Changed since their last driver row (round-5 edits): q115 carries
+# r4's RED row (int-width fix on both sides — must re-adjudicate
+# first), q117's oracle now folds updates sequentially with null-skip,
+# q122's CSV leg pins an explicit nullValue. The r4-era stale set
+# (q37/q51) got green rows in r4 and is retired.
+_STALE = ("q115", "q117", "q122")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -16,26 +16,34 @@ from .schemas import EVENTS_RAW, TABLE_SCHEMAS
 
 TABLES = tuple(TABLE_SCHEMAS)
 
-# Runtime-settable SQL confs the query set depends on, applied defensively
-# so results are correct even under an externally-created SparkSession
-# (e.g. the driver's): UTC pins to_date/date_format semantics to match the
-# DuckDB oracle; nanosAsLong makes the ns-timestamp events table readable.
-# AQE and Arrow are performance, not correctness, but both are SQLConf
-# (settable post-startup) and matter under a vanilla external session:
-# AQE coalesces/skew-splits at runtime, Arrow batches every pandas-UDF
-# crossing (q32/q37/q49 are 10x slower row-pickled).
+# Correctness-critical SQL confs, force-applied on every catalog call so
+# results are right even under an externally-created SparkSession (e.g.
+# the driver's): UTC pins to_date/date_format semantics to match the
+# DuckDB oracle; nanosAsLong makes the ns-timestamp events table
+# readable; INT96 output would make Spark-written events derivatives
+# round-trip wrong through the footer sniffing below (pyarrow reports
+# INT96 as timestamp[ns]).
 _REQUIRED_SQL_CONFS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+}
+
+# Performance defaults for a vanilla external session: AQE
+# coalesces/skew-splits at runtime, Arrow batches every pandas-UDF
+# crossing (q32/q37/q49 are 10x slower row-pickled). These are NOT
+# correctness requirements, so they are applied at most ONCE per
+# session and only when the session was not built with its own value
+# (SparkConf at build time) — a user's own tuning, whether set at
+# session construction or at runtime afterwards, is never clobbered.
+_PERF_SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
-    # correctness under an external session: INT96 output would make
-    # Spark-written events derivatives round-trip wrong through the
-    # footer sniffing below (pyarrow reports INT96 as timestamp[ns])
-    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
+
+_PERF_APPLIED: set[str] = set()
 
 
 def ensure_confs(spark: SparkSession) -> None:
@@ -44,6 +52,14 @@ def ensure_confs(spark: SparkSession) -> None:
             if spark.conf.get(k, None) != v:
                 spark.conf.set(k, v)
         except Exception:
+            spark.conf.set(k, v)
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PERF_APPLIED:
+        return
+    _PERF_APPLIED.add(app_id)
+    built_with = spark.sparkContext.getConf()
+    for k, v in _PERF_SQL_CONFS.items():
+        if not built_with.contains(k):
             spark.conf.set(k, v)
 
 

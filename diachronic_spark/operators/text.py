@@ -252,7 +252,9 @@ def mixture_sample_tokens(
         df.select(
             F.col(id_col),
             F.col(bucket_col),
-            F.size(whitespace_tokens(F.col(text_col))).alias("n_tokens"),
+            F.size(whitespace_tokens(F.col(text_col)))
+            .cast("bigint")
+            .alias("n_tokens"),
             h.alias("h"),
         )
         .join(F.broadcast(targets), bucket_col)

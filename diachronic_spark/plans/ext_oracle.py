@@ -1677,16 +1677,17 @@ _Q115_TARGETS = ", ".join(
 EXT_ORACLE["q115"] = f"""
 WITH n AS (
   SELECT doc_id, lang,
-         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
-           AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
          ({_H32_DOCID}) AS h
   FROM documents),
 t(lang, target_tokens) AS (VALUES {_Q115_TARGETS}),
 r AS (
   SELECT n.doc_id, n.lang, n.n_tokens, t.target_tokens,
-         sum(n_tokens) OVER (
+         CAST(sum(n_tokens) OVER (
            PARTITION BY n.lang ORDER BY h, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
   FROM n JOIN t ON t.lang = n.lang)
 SELECT doc_id, lang, n_tokens, cum_tokens
 FROM r WHERE cum_tokens <= target_tokens

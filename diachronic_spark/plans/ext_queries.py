@@ -2291,13 +2291,18 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     d.write.mode("overwrite").json(f"{root}/jl")
     # quoteAll + no whitespace trimming on write, multiline on read:
     # embedded commas/quotes/newlines/edge-whitespace all round-trip
-    # (the CSV writer TRIMS field whitespace by default)
+    # (the CSV writer TRIMS field whitespace by default). An explicit
+    # non-empty nullValue on BOTH sides keeps NULL distinct from '':
+    # with the default nullValue='' plus quoteAll, a NULL is written
+    # as a quoted empty field and reads back as '' (post-SPARK-17916
+    # semantics), which would silently break parity on NULL text.
     (
         d.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("ignoreLeadingWhiteSpace", "false")
         .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "__SQL_NULL__")
         .csv(f"{root}/csv")
     )
     write_orc(d, f"{root}/orc")
@@ -2305,9 +2310,10 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
     jl = read_jsonl(spark, f"{root}/jl", schema).select(
         F.lit("jsonl").alias("fmt"), "doc_id", "lang", "text"
     )
-    cs = read_csv(spark, f"{root}/csv", schema, multiline=True).select(
-        F.lit("csv").alias("fmt"), "doc_id", "lang", "text"
-    )
+    cs = read_csv(
+        spark, f"{root}/csv", schema, multiline=True,
+        null_value="__SQL_NULL__",
+    ).select(F.lit("csv").alias("fmt"), "doc_id", "lang", "text")
     oc = read_orc(spark, f"{root}/orc", schema).select(
         F.lit("orc").alias("fmt"), "doc_id", "lang", "text"
     )

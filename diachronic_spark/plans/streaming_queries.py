@@ -736,8 +736,13 @@ ORDER BY event_id
     # first event; changes = ranks 2-5 in order ('view' deletes, else
     # update). A delete is permanent (no 'I' ops, so later updates
     # are MERGE no-ops on the absent key): survivors are users with no
-    # 'view' among ranks 2-5, final state = their highest-rank update
-    # (or the base row if they had no changes).
+    # 'view' among ranks 2-5. Final state folds the updates
+    # SEQUENTIALLY with merge_upsert's per-column null-skip (a null
+    # source value = "leave this column alone"), so each column's
+    # final value is its LAST NON-NULL update, falling back to the
+    # base row — arg_max(col, rn) FILTER (col IS NOT NULL), not
+    # "whole last row wins" (the two differ when a later update
+    # carries a null that an earlier one set).
     "q117": """
 WITH ordered AS (
   SELECT user_id, event_type, value,
@@ -748,12 +753,13 @@ base AS (SELECT user_id, event_type, value FROM ordered WHERE rn = 1),
 chg AS (SELECT * FROM ordered WHERE rn BETWEEN 2 AND 5),
 dead AS (SELECT DISTINCT user_id FROM chg WHERE event_type = 'view'),
 upd AS (
-  SELECT user_id, event_type, value FROM (
-    SELECT user_id, event_type, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY rn DESC)
-             AS rr
-    FROM chg WHERE event_type <> 'view')
-  WHERE rr = 1)
+  SELECT user_id,
+         arg_max(event_type, rn)
+           FILTER (WHERE event_type IS NOT NULL) AS event_type,
+         arg_max(value, rn) FILTER (WHERE value IS NOT NULL) AS value
+  FROM chg
+  WHERE event_type IS DISTINCT FROM 'view'
+  GROUP BY user_id)
 SELECT b.user_id,
        coalesce(u.event_type, b.event_type) AS event_type,
        coalesce(u.value, b.value) AS value

@@ -35,21 +35,30 @@ def read_csv(
     header: bool = True,
     sep: str = ",",
     multiline: bool = False,
+    null_value: str | None = None,
 ) -> DataFrame:
     """CSV scan. Pass ``multiline=True`` when fields may contain
     embedded newlines (quoted multi-line values): without it the
     reader treats every newline as a record separator and PERMISSIVE
     mode silently turns the halves into malformed rows. The cost is
     real — multiline CSV files are not splittable — which is why it is
-    opt-in rather than the default."""
-    return (
+    opt-in rather than the default.
+
+    ``null_value``: the token that reads back as SQL NULL. Spark's
+    default ('' on both write and read) cannot distinguish NULL from
+    the empty string once quoteAll is on (a NULL round-trips as ''),
+    so writers that must preserve NULLs should pick an unambiguous
+    token and pass the same one here."""
+    reader = (
         spark.read.schema(schema)
         .option("header", str(header).lower())
         .option("sep", sep)
         .option("multiLine", str(multiline).lower())
         .option("mode", "PERMISSIVE")
-        .csv(path)
     )
+    if null_value is not None:
+        reader = reader.option("nullValue", null_value)
+    return reader.csv(path)
 
 
 def read_orc(

@@ -192,3 +192,29 @@ def test_csv_roundtrip_preserves_newlines_and_whitespace(spark, tmp_path):
     # writes "" and reads it back as null unless emptyValue is pinned
     want[4] = None
     assert got == want
+
+
+def test_csv_roundtrip_null_vs_empty_string(spark, tmp_path):
+    """With an explicit non-empty nullValue on both write and read
+    (the q122 settings), NULL and '' stay distinct through the CSV
+    round-trip — the one ambiguity the default nullValue='' cannot
+    express under quoteAll."""
+    from diachronic_spark.sources.files import read_csv
+
+    rows = [(1, "plain"), (2, ""), (3, None), (4, "__SQL_NULL__x")]
+    d = spark.createDataFrame(rows, "id bigint, text string")
+    out = str(tmp_path / "csv")
+    (
+        d.write.option("header", "true")
+        .option("quoteAll", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "__SQL_NULL__")
+        .csv(out)
+    )
+    back = read_csv(
+        spark, out, "id bigint, text string", multiline=True,
+        null_value="__SQL_NULL__",
+    )
+    got = {r.id: r.text for r in back.collect()}
+    assert got == dict(rows)

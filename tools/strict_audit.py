@@ -49,10 +49,42 @@ def canon(cols, rows):
     return sorted(tuple(c(r[i]) for i in order) for r in rows)
 
 
+_SPARK_NUM_WIDTH = {
+    "tinyint": 8, "smallint": 16, "int": 32, "bigint": 64,
+    "float": -32, "double": -64,
+}
+_DUCK_NUM_WIDTH = {
+    "TINYINT": 8, "SMALLINT": 16, "INTEGER": 32, "BIGINT": 64,
+    "HUGEINT": 128, "UTINYINT": 8, "USMALLINT": 16, "UINTEGER": 32,
+    "UBIGINT": 64, "FLOAT": -32, "DOUBLE": -64,
+}
+
+
+def width_mismatches(df, rel) -> list[tuple[str, str, str]]:
+    """Numeric columns whose physical width differs across engines.
+
+    The driver's value hash is TYPE-AWARE (r4: q115 hash-failed on
+    Spark INT vs DuckDB BIGINT with bit-identical values), so equal
+    values are not enough — int/float widths must match column-wise.
+    """
+    duck = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+    bad = []
+    for c, st in df.dtypes:
+        sw = _SPARK_NUM_WIDTH.get(st)
+        dw = _DUCK_NUM_WIDTH.get(duck.get(c, ""))
+        if sw is not None and dw is not None and sw != dw:
+            bad.append((c, st, duck[c]))
+    return bad
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     skip = {"q22"} if "--skip-q22" in sys.argv else set()
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -76,9 +108,15 @@ def main() -> int:
     for name in sorted(qs, key=lambda k: int(k.lstrip("q"))):
         if name not in osql or name in skip:
             continue
+        if only is not None and name not in only:
+            continue
         df = qs[name](spark, sf_dir)
         s = canon(df.columns, [tuple(r) for r in df.collect()])
         rel = con.sql(osql[name])
+        wm = width_mismatches(df, rel)
+        if wm:
+            bad.append((name, wm))
+            print(f"TYPE-WIDTH MISMATCH {name}: {wm}")
         d = canon(rel.columns, rel.fetchall())
         if s != d:
             ex = next(((a, b) for a, b in zip(s, d) if a != b), None)

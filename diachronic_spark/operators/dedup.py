@@ -175,6 +175,77 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
+def ppjoin_pairs(arrs: DataFrame, threshold: float) -> DataFrame:
+    """COMPLETE Jaccard similarity self-join via prefix filtering
+    (PPJoin family — Xiao/Wang/Lin/Yu, WWW'08): every pair of docs
+    with exact Jaccard >= ``threshold``, guaranteed. This is a
+    stronger contract than the repo's other candidate generators —
+    rare-shingle blocking (q26) bounds recall by a df cap and MinHash
+    LSH (q23) is probabilistic; prefix filtering misses nothing.
+
+    Why it is lossless: order every doc's shingle set by ONE global
+    order (ascending document frequency, ties by hash — rarest
+    first). J(A,B) >= t requires an overlap of at least
+    alpha = ceil(t/(1+t) * (|A|+|B|)) shingles; if two docs share no
+    shingle within their first p_X = |X| - ceil(t*|X|) + 1 ordered
+    elements, the remaining suffixes are too short to reach alpha.
+    So an equi-join on PREFIX shingles only still finds every
+    qualifying pair. Rarest-first makes those prefix posting lists
+    the shortest available — join fan-out is sum(prefix-df^2), not
+    sum(df^2), which is the scale win over a full inverted index.
+
+    A positional upper bound prunes further inside the join
+    condition: a pair first co-occurring at positions (pa, pb) can
+    overlap at most 1 + min(|A|-pa, |B|-pb) — below alpha it cannot
+    qualify. Float thresholds get a 1e-9 slack in the LOSSLESS
+    direction (longer prefixes, smaller alpha): false candidates are
+    removed by exact verification, false negatives would be a
+    completeness bug.
+
+    Shape: one agg for global df, one per-doc window sort, one
+    equi-join on the prefix postings, exact verification on
+    candidates only (``jaccard_for_pairs``). No driver state.
+    """
+    t = float(threshold)
+    tok = arrs.select("doc_id", "sz", F.explode("hset").alias("h"))
+    dftab = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    prefix_len = (
+        F.col("sz") - F.ceil(F.col("sz") * F.lit(t) - F.lit(1e-9)) + 1
+    )
+    prefix = (
+        tok.join(dftab, "h")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "sz", "h", "pos")
+    )
+    prefix = managed_persist(prefix, "ppjoin.prefix")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    alpha = F.ceil(
+        (F.col("a.sz") + F.col("b.sz")) * F.lit(t / (1.0 + t))
+        - F.lit(1e-9)
+    )
+    ubound = 1 + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ubound >= alpha),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return jaccard_for_pairs(cand, arrs).filter(
+        F.col("jaccard") >= F.lit(t)
+    )
+
+
 def jaccard_for_pairs(pairs: DataFrame, arrs: DataFrame) -> DataFrame:
     """Exact |A∩B| / |A∪B| for the given (doc_a, doc_b) pairs, from the
     per-doc shingle arrays of ``shingle_arrays``.

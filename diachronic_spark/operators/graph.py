@@ -223,3 +223,58 @@ def _pagerank_distributed(
     for df in (nodes, frac, dangling_nodes):
         df.unpersist()
     return pr
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts over the undirected
+    simple graph induced by ``edges`` (direction, self-loops, and
+    duplicates dropped). Completes the graph family (connected
+    components, PageRank) with the standard clustering/cohesion
+    primitive.
+
+    Node-ordered enumeration: canonicalize every edge to (a < b),
+    build wedges a-b-c with a < b < c by joining edge lists on the
+    middle vertex, then close each wedge with an edge-existence join
+    on (a, c). Each triangle is counted exactly once — at its ordered
+    orientation — so no division by 6, and the node ordering bounds
+    the join fan-out by the ordered degree (the same degeneracy trick
+    that makes distributed triangle counting tractable on skewed
+    graphs; orient by degree instead of id when hubs dominate).
+    All joins are equi-joins on vertex ids: three shuffles, no
+    driver-side state, nothing quadratic in the vertex count.
+
+    Returns every node of the simple graph with its count (nodes in
+    no triangle included with 0).
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    wedge = e.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
+    )
+    tri = wedge.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
+    )
+    hits = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(hits, "node", "left").select(
+        "node",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )

@@ -179,15 +179,27 @@ def zorder_layout(
             for c in cols
         ]
     ).collect()[0]
+    # Materialize each column's bucket rank in its own projection: the
+    # z interleave references every bucket ``bits`` times, and
+    # CollapseProject never inlines a non-cheap expression with
+    # multiple references — so the (2^bits - 1)-element boundary scan
+    # runs once per row per column, not once per bit.
+    bcols = [f"__b{j}" for j in range(len(cols))]
+    with_buckets = df.select(
+        "*",
+        *[
+            _equi_depth_bucket(c, list(bounds[c])).alias(b)
+            for c, b in zip(cols, bcols)
+        ],
+    )
     z = F.lit(0).cast("long")
     for i in range(bits):
-        for j, c in enumerate(cols):
-            bucket = _equi_depth_bucket(c, list(bounds[c]))
-            bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+        for j, b in enumerate(bcols):
+            bit = F.shiftright(F.col(b), i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
     return (
-        df.withColumn("__z", z)
+        with_buckets.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
-        .drop("__z")
+        .drop("__z", *bcols)
     )

@@ -17,7 +17,7 @@ lets the DuckDB oracle rebuild the identical grid.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 CM_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -111,4 +111,82 @@ def count_min_estimate(
     return (
         j.groupBy(*others)
         .agg(F.min(F.coalesce(cells["n"], F.lit(0))).alias(out_col))
+    )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+# The fourth classic mergeable summary: where HLL (q60) answers "how
+# many distinct" per set, KMV additionally supports SET ALGEBRA on the
+# sketches themselves — union by merging hash lists, intersection by
+# the Jaccard-over-threshold estimator (Beyer et al., SIGMOD'07 /
+# the theta-sketch construction) — without rescanning raw data. At
+# 100 TB that is the difference between "distinct users per segment"
+# and "distinct users in segment A AND B" from the same KB-scale
+# state. Hashing is the portable md5-nibble 32-bit base so any engine
+# with md5 can rebuild the identical sketch (the DuckDB oracle does).
+
+
+def kmv_build(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 32,
+) -> DataFrame:
+    """(group, sorted array of the k smallest distinct value hashes).
+
+    Shape: distinct on (group, hash) — one shuffle with map-side
+    partial dedup — then a per-group window keeps rank <= k. The
+    window sorts only the surviving distincts per group; with heavy
+    groups a two-stage per-partition pre-truncation would bound that
+    sort, but the distinct pass already caps rows at the distinct
+    cardinality, which is the quantity being estimated precisely
+    because it is assumed huge-but-boundable. State per group is k
+    ints — mergeable by ``kmv_merge`` with no raw rescan.
+    """
+    hv = _base32(F.col(value_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy("hv")
+    return (
+        df.select(F.col(group_col), hv.alias("hv"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("hv")).alias("kmv"))
+    )
+
+
+def kmv_estimate(kmv: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV array: exact (= array size)
+    when the set had fewer than k distinct values — the sketch IS the
+    set — else the unbiased (k-1) / U_(k) with U the k-th smallest
+    hash normalized to (0,1): (k-1) * 2^32 / h_k."""
+    n = F.size(kmv)
+    kth = F.element_at(kmv, k).cast("double")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0) / kth
+    )
+
+
+def kmv_merge(a: Column, b: Column, k: int) -> Column:
+    """Union sketch: k smallest of the merged distinct hash lists —
+    exactly the sketch that scanning A ∪ B would have produced, which
+    is what makes KMV mergeable across partitions/days/segments."""
+    return F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+
+
+def kmv_intersection_estimate(a: Column, b: Column, k: int) -> Column:
+    """|A ∩ B| estimate from two KMV sketches: count common hashes at
+    or below the union sketch's threshold (the k-th smallest of the
+    union), scale by the union estimate — c/k' is the Jaccard
+    estimator restricted to the union's uniform sample. Exact when
+    |A ∪ B| < k (the sketches are the sets)."""
+    merged = kmv_merge(a, b, k)
+    thresh = F.element_at(merged, F.size(merged))
+    c = F.size(
+        F.filter(F.array_intersect(a, b), lambda h: h <= thresh)
+    )
+    return (
+        c.cast("double")
+        * kmv_estimate(merged, k)
+        / F.size(merged).cast("double")
     )

@@ -1827,3 +1827,132 @@ FROM p ASOF LEFT JOIN c
   ON p.user_id = c.user_id AND p.ts >= c.c_ts
 ORDER BY p.user_id, p.purchase_id
 """
+
+
+# q123: the salted join must be indistinguishable from the plain join.
+EXT_ORACLE["q123"] = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+# q124: the z-order layout pass is lossless — a selective 2-D box over
+# the clustered copy equals the same predicate on the raw table.
+EXT_ORACLE["q124"] = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey <= 200 AND l_suppkey <= 10
+ORDER BY l_orderkey, l_linenumber
+"""
+
+# q125: COMPLETE exact-Jaccard pairs >= 0.5 via the full inverted
+# index (complete by construction — any pair with J > 0 shares a
+# shingle), against which the prefix-filtered join must be lossless.
+EXT_ORACLE["q125"] = f"""
+WITH {_CORPUS}, {_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS icnt
+  FROM sh sa JOIN sh sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(icnt / (za.sz + zb.sz - icnt), 2) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+# q126: rebuild the identical KMV sketches (same md5-nibble 32-bit
+# hash, same k smallest) and the SAME estimator arithmetic — exact
+# when fewer than k distincts, (k-1)*2^32/h_k otherwise; intersection
+# via common-hashes-under-the-union-threshold scaled by the union
+# estimate. Every operation is deterministic, so the compare is at
+# full float precision.
+_H32_USER = " + ".join(
+    f"(strpos('0123456789abcdef',"
+    f" substring(md5(user_id::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
+    for p in range(8)
+)
+
+EXT_ORACLE["q126"] = f"""
+WITH h AS (SELECT DISTINCT event_type, ({_H32_USER}) AS hv FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+sk AS (SELECT event_type, list_sort(list(hv)) AS kmv
+       FROM r WHERE rn <= 32 GROUP BY event_type),
+base AS (
+  SELECT event_type AS set_name,
+         CAST(len(kmv) AS BIGINT) AS n_kept,
+         CASE WHEN len(kmv) < 32 THEN CAST(len(kmv) AS DOUBLE)
+              ELSE 31.0 * 4294967296.0 / CAST(kmv[32] AS DOUBLE)
+         END AS est
+  FROM sk),
+ab AS (SELECT
+         (SELECT kmv FROM sk WHERE event_type = 'click') AS ka,
+         (SELECT kmv FROM sk WHERE event_type = 'purchase') AS kb),
+m AS (SELECT ka, kb,
+             list_sort(list_distinct(ka || kb))[1:32] AS merged
+      FROM ab),
+u AS (SELECT 'click|purchase' AS set_name,
+             CAST(len(merged) AS BIGINT) AS n_kept,
+             CASE WHEN len(merged) < 32 THEN CAST(len(merged) AS DOUBLE)
+                  ELSE 31.0 * 4294967296.0 / CAST(merged[32] AS DOUBLE)
+             END AS est
+      FROM m),
+i AS (SELECT 'click&purchase' AS set_name,
+             CAST(len(list_filter(list_intersect(ka, kb),
+                                  x -> x <= merged[len(merged)]))
+                  AS BIGINT) AS n_kept,
+             CAST(len(list_filter(list_intersect(ka, kb),
+                                  x -> x <= merged[len(merged)]))
+                  AS DOUBLE)
+             * (CASE WHEN len(merged) < 32 THEN CAST(len(merged) AS DOUBLE)
+                     ELSE 31.0 * 4294967296.0 / CAST(merged[32] AS DOUBLE)
+                END)
+             / CAST(len(merged) AS DOUBLE) AS est
+      FROM m)
+SELECT set_name, n_kept, est FROM base
+UNION ALL SELECT set_name, n_kept, est FROM u
+UNION ALL SELECT set_name, n_kept, est FROM i
+ORDER BY set_name
+"""
+
+# q127: identical canonicalize-wedge-close triangle enumeration in SQL
+# over the same mean-thresholded nation trade graph.
+EXT_ORACLE["q127"] = """
+WITH e0 AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2),
+hot AS (SELECT src, dst FROM e0 WHERE w > (SELECT avg(w) FROM e0)),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM hot WHERE src <> dst),
+wedge AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e2.a = e1.b),
+tri AS (SELECT w.a, w.b, w.c
+        FROM wedge w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+nodes AS (SELECT a AS node FROM e UNION SELECT b AS node FROM e),
+hits AS (SELECT node, count(*) AS n FROM (
+           SELECT a AS node FROM tri
+           UNION ALL SELECT b AS node FROM tri
+           UNION ALL SELECT c AS node FROM tri)
+         GROUP BY node)
+SELECT nodes.node AS nation,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_triangles
+FROM nodes LEFT JOIN hits USING (node)
+ORDER BY nation
+"""

@@ -2358,6 +2358,173 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("user_id", "purchase_id")
 
 
+# --- q123: salted skew join (the explicit hot-key spreading form) ----------
+# AQE's skew-join split only fires on sort-merge joins past size
+# thresholds; the salted join is the always-available form — spread a
+# hot key over n_salts tasks by salting the big side and replicating
+# the small side. Semantics must equal the plain join exactly, which
+# is what the oracle adjudicates: same groups, same counts, same sums.
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.layout import salted_join
+
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+    )
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, "user_id", how="inner", n_salts=8)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q124: z-order clustered layout round-trip (multi-dim data skipping) ---
+# zorder_layout's file skipping is plan-tested locally
+# (test_layout.py: bbox-intersection counts on both dimensions); this
+# query puts the LAYOUT PASS ITSELF under the oracle — the clustered
+# rewrite must be lossless, so a selective 2-D box scan over the
+# z-ordered copy returns byte-identical rows to the same predicate on
+# the raw table.
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.layout import zorder_layout
+    from .streaming_queries import _EPHEMERAL_DIRS
+
+    cols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity",
+    ]
+    li = load(spark, sf, "lineitem").select(*cols)
+    path = tempfile.mkdtemp(prefix="diachronic_zorder_q124_")
+    _EPHEMERAL_DIRS.append(path)
+    zordered = zorder_layout(li, ["l_partkey", "l_suppkey"], n_files=8, bits=4)
+    zordered.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 10))
+        .select(*cols)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --- q125: COMPLETE Jaccard self-join via prefix filtering (PPJoin) --------
+# The exhaustive-guarantee member of the near-dup family: q23 (LSH) is
+# probabilistic and q26's rare-shingle blocking caps recall by a df
+# threshold; ppjoin_pairs provably finds EVERY pair with Jaccard >=
+# 0.5. The oracle is the full inverted-index join (complete by
+# construction: any pair with J > 0 shares a shingle), so a single
+# missed pair — a prefix too short, a positional bound too tight —
+# breaks parity.
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = D.with_near_duplicates(load(spark, sf, "documents"))
+    arrs = D.shingle_arrays(corpus)
+    pairs = D.ppjoin_pairs(arrs, 0.5)
+    return pairs.select(
+        "doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")
+
+
+# --- q126: KMV distinct sketches with set algebra (union/intersection) -----
+# The sketch family's set-algebra member: HLL (q60) only unions; KMV
+# (theta-sketch construction) answers "distinct users in segment A AND
+# B" from two KB-scale sketches with no raw rescan. Estimates are
+# deterministic functions of the md5-derived hashes, so the oracle
+# rebuilds bit-identical sketches and the SAME estimator arithmetic —
+# adjudicated at full float precision.
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    k = 32
+    ev = load(spark, sf, "events").select("event_type", "user_id")
+    sk = managed_persist(
+        SK.kmv_build(ev, "event_type", "user_id", k=k), "kmv.sketches"
+    )
+    base = sk.select(
+        F.col("event_type").alias("set_name"),
+        F.size("kmv").cast("bigint").alias("n_kept"),
+        SK.kmv_estimate(F.col("kmv"), k).alias("est"),
+    )
+    two = (
+        sk.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "kmv"))
+            ).alias("ps")
+        )
+    )
+    ka = F.col("ps")[0]["kmv"]
+    kb = F.col("ps")[1]["kmv"]
+    merged = SK.kmv_merge(ka, kb, k)
+    thresh = F.element_at(merged, F.size(merged))
+    common_under = F.size(
+        F.filter(F.array_intersect(ka, kb), lambda h: h <= thresh)
+    )
+    derived = two.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("click|purchase").alias("set_name"),
+                    F.size(merged).cast("bigint").alias("n_kept"),
+                    SK.kmv_estimate(merged, k).alias("est"),
+                ),
+                F.struct(
+                    F.lit("click&purchase").alias("set_name"),
+                    common_under.cast("bigint").alias("n_kept"),
+                    SK.kmv_intersection_estimate(ka, kb, k).alias("est"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.set_name", "r.n_kept", "r.est")
+    return base.unionByName(derived).orderBy("set_name")
+
+
+# --- q127: per-nation triangle counts on the trade graph (graph family) ----
+# Completes the graph suite (components q52, PageRank q83) with the
+# clustering primitive. Edges: the q83 nation trade graph, kept only
+# above mean weight (structure varies with SF but the rule is
+# engine-independent), undirected/simple. Node-ordered enumeration
+# counts each triangle once; the oracle replays the identical
+# canonicalize-wedge-close joins in SQL.
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    cn = n.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # mean-weight cut: a KB-scale edge list, so the global window is a
+    # single tiny exchange, not a scale hazard
+    hot = edges.withColumn(
+        "avg_w", F.avg("w").over(Window.partitionBy())
+    ).filter(F.col("w") > F.col("avg_w"))
+    tri = G.triangle_counts(hot, "src", "dst")
+    return tri.select(
+        F.col("node").alias("nation"), "n_triangles"
+    ).orderBy("nation")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -2376,5 +2543,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97": q97, "q98": q98, "q99": q99, "q100": q100,
     "q105": q105, "q108": q108, "q109": q109, "q112": q112, "q113": q113,
     "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
-    "q120": q120, "q121": q121, "q122": q122,
+    "q120": q120, "q121": q121, "q122": q122, "q123": q123,
+    "q124": q124, "q125": q125, "q126": q126, "q127": q127,
 }

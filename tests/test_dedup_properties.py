@@ -380,3 +380,37 @@ def test_duplicated_spans_matches_pure_python(spark, texts):
         for r in D.duplicated_spans(docs, width=width).collect()
     }
     assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(_DOC, min_size=2, max_size=8),
+    threshold=st.sampled_from([0.3, 0.5, 0.6, 0.8]),
+)
+def test_ppjoin_is_complete(spark, texts, threshold):
+    """ppjoin_pairs finds EVERY pair with exact Jaccard >= t — the
+    prefix-filter + positional-bound pruning must be lossless, for
+    any threshold and any corpus (small random corpora of highly
+    overlapping vocab maximize shared-shingle structure)."""
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in D.ppjoin_pairs(
+            D.shingle_arrays(corpus), threshold
+        ).collect()
+    }
+    sets = {i: _pyshingles(t) for i, t in enumerate(texts)}
+    want = set()
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                want.add((a, b))
+    assert got == want

@@ -129,3 +129,22 @@ def test_pagerank_auto_dispatch(spark, monkeypatch):
         )
     )
     assert got == expected and calls == ["distributed"]
+
+
+def test_triangle_counts_known_graph(spark):
+    from diachronic_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} (every vertex in C(3,3)=3 triangles) plus a
+    # pendant edge d-e (e in none), duplicate/reversed/self edges
+    # to exercise canonicalization.
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"),
+        ("e", "e"), ("c", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r.node: r.n_triangles
+        for r in triangle_counts(df).collect()
+    }
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3, "e": 0}

@@ -92,3 +92,80 @@ def test_with_char_entropy_matches_column_form(spark):
     }
     for k in col_form:
         assert abs(col_form[k] - df_form[k]) < 1e-12, k
+
+
+# --- KMV ---------------------------------------------------------------------
+
+
+def _kmv_df(spark):
+    # group 'big' has 100 distinct values (> k), 'small' has 5 (< k)
+    rows = [("big", f"u{i}") for i in range(100)] * 2 + [
+        ("small", f"u{i}") for i in range(5)
+    ]
+    return spark.createDataFrame(rows, "g string, v string")
+
+
+def test_kmv_exact_below_k_and_plausible_above(spark):
+    from diachronic_spark.operators.sketches import kmv_build, kmv_estimate
+
+    sk = kmv_build(_kmv_df(spark), "g", "v", k=16)
+    got = {
+        r.g: (len(r.kmv), r.est)
+        for r in sk.select(
+            "g", "kmv", kmv_estimate(F.col("kmv"), 16).alias("est")
+        ).collect()
+    }
+    assert got["small"] == (5, 5.0)  # sketch IS the set below k
+    n, est = got["big"]
+    assert n == 16
+    assert 40 <= est <= 250  # unbiased estimator, wide tolerance at k=16
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from diachronic_spark.operators.sketches import kmv_build, kmv_merge
+
+    df = _kmv_df(spark)
+    merged = (
+        kmv_build(df, "g", "v", k=16)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("g", "kmv"))).alias("ps"))
+        .select(
+            kmv_merge(
+                F.col("ps")[0]["kmv"], F.col("ps")[1]["kmv"], 16
+            ).alias("m")
+        )
+        .collect()[0]
+        .m
+    )
+    direct = (
+        kmv_build(df.withColumn("g", F.lit("all")), "g", "v", k=16)
+        .collect()[0]
+        .kmv
+    )
+    assert merged == direct
+
+
+def test_kmv_intersection_exact_when_small(spark):
+    from diachronic_spark.operators.sketches import (
+        kmv_build,
+        kmv_intersection_estimate,
+    )
+
+    # A = {u0..u9}, B = {u5..u14}: |A ∩ B| = 5, |A ∪ B| = 15 < k=32
+    rows = [("a", f"u{i}") for i in range(10)] + [
+        ("b", f"u{i}") for i in range(5, 15)
+    ]
+    df = spark.createDataFrame(rows, "g string, v string")
+    est = (
+        kmv_build(df, "g", "v", k=32)
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("g", "kmv"))).alias("ps"))
+        .select(
+            kmv_intersection_estimate(
+                F.col("ps")[0]["kmv"], F.col("ps")[1]["kmv"], 32
+            ).alias("e")
+        )
+        .collect()[0]
+        .e
+    )
+    assert est == 5.0  # sketches are the sets -> exact

@@ -139,3 +139,70 @@ def sliding_distinct(
         F.size("__ks").alias("n_1d"),
         F.size(F.array_distinct(F.flatten(sets))).alias("n_window"),
     )
+
+
+def gap_fill_linear(
+    rolled: DataFrame,
+    key_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify a daily ``bucket_rollup`` result onto the complete day
+    spine and LINEARLY interpolate gaps between the surrounding
+    observations — the numeric sibling of ``gap_fill_locf`` (carry
+    forward) for series where a straight line is the better prior
+    (metering, finance dailies). Rows outside the key's first/last
+    observation stay null: extrapolation is a modeling choice, not a
+    fill.
+
+    Cross-engine bit-parity by construction: ``value_col`` must be an
+    INTEGER column (pre-scale currency to cents, counts are already
+    exact) and the time axis is the integer epoch-day, so the lerp is
+    one exact integer product over one exact integer span — a single
+    float division then one addition, the same IEEE ops in any engine
+    regardless of partitioning (no order-dependent double summation).
+
+    Shape: one broadcast bounds row, one spine explode, one left join,
+    two frame-bounded windows per key — identical cost profile to
+    ``gap_fill_locf``; nothing quadratic, no driver state.
+    """
+    bounds = rolled.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    spine = (
+        rolled.select(key_col)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            ).alias("bucket"),
+        )
+    )
+    out = spine.join(rolled, [key_col, "bucket"], "left")
+    idx = F.datediff(F.col("bucket"), F.to_date(F.lit("1970-01-01")))
+    obs_idx = F.when(F.col(value_col).isNotNull(), idx)
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    pv = F.last(value_col, ignorenulls=True).over(wb)
+    pi = F.last(obs_idx, ignorenulls=True).over(wb)
+    nv = F.first(value_col, ignorenulls=True).over(wf)
+    ni = F.first(obs_idx, ignorenulls=True).over(wf)
+    est = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv.cast("double")
+            + ((nv - pv) * (idx - pi)).cast("double")
+            / (ni - pi).cast("double"),
+        )
+    )
+    return out.withColumn(f"{value_col}_est", est)

@@ -1956,3 +1956,66 @@ SELECT nodes.node AS nation,
 FROM nodes LEFT JOIN hits USING (node)
 ORDER BY nation
 """
+
+
+# q128: same letter string (ordered string_agg), same regex — RE2 and
+# java.util.regex agree on v+cp's leftmost non-overlapping matches
+# (greedy run + literal suffix has a unique match per start).
+EXT_ORACLE["q128"] = """
+WITH s AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), ''
+                    ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(length(s) AS BIGINT) AS n_events,
+       CAST(len(regexp_extract_all(s, 'v+cp')) AS BIGINT) AS n_matches,
+       coalesce(regexp_extract(s, 'v+cp'), '') AS first_match
+FROM s ORDER BY user_id
+"""
+
+# q129: drop every third day, densify per-type onto the global day
+# spine, lerp interior gaps — the single float division mirrors
+# gap_fill_linear exactly (integer cents, integer epoch-day axis).
+EXT_ORACLE["q129"] = """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2),
+obs AS (SELECT * FROM r WHERE day(bucket) % 3 <> 0),
+b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM obs),
+spine AS (
+  SELECT et.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM obs) et
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS bucket
+              FROM b) g),
+j AS (
+  SELECT s.event_type, s.bucket, obs.cents,
+         datediff('day', DATE '1970-01-01', s.bucket::DATE) AS idx
+  FROM spine s LEFT JOIN obs USING (event_type, bucket)),
+w AS (
+  SELECT *,
+         last_value(cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+         first_value(cents IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+  FROM j)
+SELECT event_type,
+       strftime(bucket, '%Y-%m-%d') AS d,
+       cents AS cents_obs,
+       CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+            WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+              CAST(pv AS DOUBLE)
+              + CAST((nv - pv) * (idx - pi) AS DOUBLE)
+                / CAST((ni - pi) AS DOUBLE)
+       END AS est
+FROM w ORDER BY event_type, d
+"""

@@ -2525,6 +2525,73 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("nation")
 
 
+# --- q128: sequence pattern match over per-user event streams --------------
+# MATCH_RECOGNIZE-style row-pattern matching (Flink/Trino surface,
+# SQL:2016) re-expressed Spark-first: encode each user's time-ordered
+# event stream as a letter string (event types have distinct
+# initials), then regex machinery IS the pattern automaton —
+# 'v+cp' = one-or-more views, then a click, then a purchase,
+# contiguous. Non-overlapping match count + the first matched lexeme
+# per user, all in whole-stage codegen (one groupBy, zero UDFs); the
+# oracle rebuilds the same string with ordered string_agg and RE2.
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select("user_id", "ts", "event_id",
+                                          "event_type")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("l"),
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+            "",
+        ).alias("s")
+    )
+    pat = "v+cp"
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.regexp_count(F.col("s"), F.lit(pat)).cast("bigint").alias(
+            "n_matches"
+        ),
+        F.coalesce(
+            F.regexp_extract(F.col("s"), pat, 0), F.lit("")
+        ).alias("first_match"),
+    ).orderBy("user_id")
+
+
+# --- q129: daily resample with linear interpolation (gap_fill_linear) ------
+# The numeric sibling of q54's LOCF: every third day is deterministically
+# dropped from each per-type daily cents series, then the operator
+# densifies onto the day spine and linearly interpolates interior gaps
+# (edges stay null — no extrapolation). Integer cents + epoch-day axis
+# make the lerp a single float division both engines evaluate
+# identically, so the compare is at full precision.
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        load(spark, sf, "events")
+        .select("ts", "event_type", "value")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    rolled = TS.bucket_rollup(
+        ev, "event_type", "ts", "day", {"cents": F.sum("cents")}
+    ).filter(F.dayofmonth("bucket") % 3 != 0)
+    filled = TS.gap_fill_linear(rolled, "event_type", "cents")
+    return filled.select(
+        "event_type",
+        fn.date_str(F.col("bucket").cast("date")).alias("d"),
+        F.col("cents").alias("cents_obs"),
+        F.col("cents_est").alias("est"),
+    ).orderBy("event_type", "d")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -2545,4 +2612,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
+    "q128": q128, "q129": q129,
 }

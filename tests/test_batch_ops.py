@@ -253,3 +253,30 @@ def test_fingerprint_np_fuzz_batch(spark):
     b = {r["doc_id"]: (r["fp"], r["n_grams"])
          for r in fingerprint_rolling_np(df).collect()}
     assert a == b
+
+
+def test_gap_fill_linear_interior_lerp_edges_null(spark):
+    # A observed on days 1 and 4 (cents 100 -> 400): days 2/3 lerp to
+    # 200/300; B observed only on day 2: its spine edges (days 1, 3,
+    # 4) have no bracketing pair and stay null — no extrapolation.
+    rows = [
+        ("A", _ts("2024-01-01 05:00:00"), 100),
+        ("A", _ts("2024-01-04 05:00:00"), 400),
+        ("B", _ts("2024-01-02 05:00:00"), 70),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, cents long")
+    rolled = TS.bucket_rollup(
+        df, "k", "ts", "day", {"cents": F.sum("cents")}
+    )
+    out = TS.gap_fill_linear(rolled, "k", "cents")
+    got = {
+        (r["k"], r["bucket"].day): (r["cents"], r["cents_est"])
+        for r in out.collect()
+    }
+    assert got[("A", 1)] == (100, 100.0)
+    assert got[("A", 2)] == (None, 200.0)
+    assert got[("A", 3)] == (None, 300.0)
+    assert got[("A", 4)] == (400, 400.0)
+    assert got[("B", 2)] == (70, 70.0)
+    for day in (1, 3, 4):
+        assert got[("B", day)] == (None, None)

@@ -173,3 +173,56 @@ def exact_percentile_bracketed(
         F.lit(None).cast("double").alias("p_approx"),
     )
     return result.unionByName(empty)
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Closed-form per-group simple linear regression (OLS trend):
+    one hash-aggregate over the data, no iteration, no driver state —
+    the distributed shape of "fit a trend line per key" at any scale.
+
+    ``x_col`` and ``y_col`` must be INTEGER columns (epoch days,
+    cents): every moment sum (Sx, Sy, Sxy, Sxx, Syy) is then an EXACT
+    bigint, immune to the order-dependent rounding of distributed
+    double summation, and the slope/intercept/r2 ratios are computed
+    from those exact integers with one float division each — the same
+    IEEE result in any engine (the cross-engine parity rule this repo
+    verifies against DuckDB). Center x per group upstream to keep the
+    products within int64 at very large |x|.
+
+    Returns (group, n, slope, intercept, r2); slope/r2 are null for
+    degenerate groups (constant x — and constant y for r2).
+    """
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.when(
+        var_x != 0, cov_n.cast("double") / var_x.cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    r2 = F.when(
+        (var_x != 0) & (var_y != 0),
+        (cov_n.cast("double") * cov_n.cast("double"))
+        / (var_x.cast("double") * var_y.cast("double")),
+    )
+    return g.select(
+        group_col,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

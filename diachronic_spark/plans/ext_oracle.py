@@ -2019,3 +2019,92 @@ SELECT event_type,
        END AS est
 FROM w ORDER BY event_type, d
 """
+
+
+# q130: same exact-bigint moment sums, same single-float-division
+# slope/intercept/r2 arithmetic (the grouped_ols contract).
+EXT_ORACLE["q130"] = """
+WITH r AS (
+  SELECT event_type, date_trunc('day', ts) AS bucket,
+         CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+xs AS (
+  SELECT event_type, y,
+         datediff('day', DATE '1970-01-01', bucket::DATE)
+         - min(datediff('day', DATE '1970-01-01', bucket::DATE))
+             OVER (PARTITION BY event_type) AS x
+  FROM r),
+g AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xs GROUP BY event_type),
+d AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS cov_n,
+         n * sxx - sx * sx AS var_x,
+         n * syy - sy * sy AS var_y,
+         sx, sy
+  FROM g)
+SELECT event_type, n,
+       CASE WHEN var_x <> 0
+            THEN CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE) END AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CASE WHEN var_x <> 0
+                THEN CAST(cov_n AS DOUBLE) / CAST(var_x AS DOUBLE) END)
+          * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept,
+       CASE WHEN var_x <> 0 AND var_y <> 0
+            THEN (CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE))
+                 / (CAST(var_x AS DOUBLE) * CAST(var_y AS DOUBLE))
+       END AS r2
+FROM d ORDER BY event_type
+"""
+
+# q131: identical self-stream window (last preceding non-purchase
+# struct), exact microsecond recency test, integer cents totals.
+EXT_ORACLE["q131"] = """
+WITH o AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN struct_pack(t := ts, et := event_type) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events),
+p AS (
+  SELECT CASE WHEN touch IS NOT NULL
+               AND epoch_us(ts) - epoch_us(touch.t) <= 604800000000
+              THEN touch.et ELSE 'none' END AS touch_type,
+         value
+  FROM o WHERE event_type = 'purchase')
+SELECT touch_type,
+       count(*) AS n_purchases,
+       CAST(sum(round(value * 100)::BIGINT) AS BIGINT) AS cents
+FROM p GROUP BY touch_type
+ORDER BY touch_type
+"""
+
+# q132: same descending-score admission, same exact integer 80% cutoff.
+EXT_ORACLE["q132"] = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS score
+  FROM documents),
+w AS (
+  SELECT doc_id, lang, score,
+         CAST(sum(score) OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum,
+         CAST(sum(score) OVER (PARTITION BY lang) AS BIGINT) AS total
+  FROM s)
+SELECT doc_id, lang, score, cum
+FROM w WHERE 5 * cum <= 4 * total
+ORDER BY doc_id
+"""

@@ -2592,6 +2592,114 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "d")
 
 
+# --- q130: per-group OLS trend lines (grouped closed-form regression) ------
+# "Fit a trend per key" as ONE hash-aggregate: exact bigint moment
+# sums (integer cents on an x axis centered per group at its first
+# observed day), then slope/intercept/r2 as single float divisions of
+# exact integers — bit-identical cross-engine, no iteration, no
+# driver state. The distributed shape of per-key model fitting at
+# 100 TB (moments are algebraic, so map-side partials combine).
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    ev = (
+        load(spark, sf, "events")
+        .select("ts", "event_type", "value")
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    rolled = TS.bucket_rollup(
+        ev, "event_type", "ts", "day", {"cents": F.sum("cents")}
+    )
+    idx = F.datediff(F.col("bucket"), F.to_date(F.lit("1970-01-01")))
+    base = rolled.withColumn("idx", idx).withColumn(
+        "x",
+        F.col("idx")
+        - F.min("idx").over(Window.partitionBy("event_type")),
+    )
+    return ST.grouped_ols(base, "event_type", "x", "cents").orderBy(
+        "event_type"
+    )
+
+
+# --- q131: last-touch attribution (self-stream window as-of) ---------------
+# Marketing-style credit assignment: each purchase is attributed to
+# the user's most recent PRECEDING non-purchase event within 7 days,
+# else 'none'. One window pass over the per-user ordered stream (the
+# self-stream sibling of the two-table as-of join q33), exact
+# microsecond arithmetic, integer cents totals.
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type") != "purchase",
+            F.struct(F.col("ts").alias("t"), F.col("event_type").alias("et")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    p = (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "touch_type",
+            F.when(
+                F.col("touch").isNotNull()
+                & (
+                    F.unix_micros(F.col("ts"))
+                    - F.unix_micros(F.col("touch.t"))
+                    <= 7 * 86400 * 1000000
+                ),
+                F.col("touch.et"),
+            ).otherwise(F.lit("none")),
+        )
+    )
+    return (
+        p.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .orderBy("touch_type")
+    )
+
+
+# --- q132: quality-nucleus coverage cutoff (top-p data curation) -----------
+# The proportional-share sibling of q115's fixed token budget: per
+# language, admit documents in descending score order until the
+# admitted mass reaches 80% of the language's total (the crossing doc
+# is excluded) — "top-p" selection applied to corpus curation. The
+# cutoff is the exact integer comparison 5*cum <= 4*total, so
+# membership is bit-deterministic on any engine and any partitioning.
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(fn.whitespace_tokens(F.col("text")))
+        .cast("bigint")
+        .alias("score"),
+    )
+    w_ord = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = scored.withColumn("cum", F.sum("score").over(w_ord)).withColumn(
+        "total", F.sum("score").over(Window.partitionBy("lang"))
+    )
+    return (
+        out.filter(F.lit(5) * F.col("cum") <= F.lit(4) * F.col("total"))
+        .select("doc_id", "lang", "score", "cum")
+        .orderBy("doc_id")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -2612,5 +2720,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114": q114, "q115": q115, "q116": q116, "q118": q118, "q119": q119,
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
-    "q128": q128, "q129": q129,
+    "q128": q128, "q129": q129, "q130": q130, "q131": q131,
+    "q132": q132,
 }

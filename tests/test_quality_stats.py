@@ -209,3 +209,26 @@ def test_exact_percentile_bracketed_null_groups(spark):
     assert set(got) == {"a", "b"} == set(exact)
     assert got["a"] == (2, exact["a"]) == (2, 2.0)
     assert got["b"] == (0, None) and exact["b"] is None
+
+
+def test_grouped_ols_known_line_and_degenerate(spark):
+    from diachronic_spark.operators.stats import grouped_ols
+
+    rows = [
+        # y = 3x + 10 exactly -> slope 3, intercept 10, r2 = 1
+        ("fit", 0, 10), ("fit", 1, 13), ("fit", 2, 16), ("fit", 3, 19),
+        # scattered: slope well-defined, 0 < r2 < 1
+        ("noisy", 0, 0), ("noisy", 1, 5), ("noisy", 2, 4),
+        # constant x: slope/r2 null
+        ("degx", 7, 1), ("degx", 7, 9),
+        # constant y: slope 0, r2 null
+        ("degy", 1, 4), ("degy", 2, 4),
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    got = {r.g: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert got["fit"].slope == 3.0
+    assert got["fit"].intercept == 10.0
+    assert got["fit"].r2 == 1.0
+    assert 0.0 < got["noisy"].r2 < 1.0
+    assert got["degx"].slope is None and got["degx"].r2 is None
+    assert got["degy"].slope == 0.0 and got["degy"].r2 is None

@@ -288,3 +288,18 @@ def test_q109_dump_parse_is_one_task_per_file(spark, sf_dir):
     p = plan_str(QUERIES["q109"](spark, sf_dir))
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q125_ppjoin_candidate_join_is_equi(spark, sf_dir):
+    """The complete similarity join must stay an equi-join on the
+    prefix shingle hash — NestedLoop/Cartesian would mean prefix
+    filtering degenerated into all-pairs."""
+    p = plan_str(QUERIES["q125"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+
+def test_q127_triangle_joins_are_equi(spark, sf_dir):
+    p = plan_str(QUERIES["q127"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p

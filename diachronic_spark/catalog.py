@@ -33,9 +33,12 @@ _REQUIRED_SQL_CONFS = {
 # coalesces/skew-splits at runtime, Arrow batches every pandas-UDF
 # crossing (q32/q37/q49 are 10x slower row-pickled). These are NOT
 # correctness requirements, so they are applied at most ONCE per
-# session and only when the session was not built with its own value
-# (SparkConf at build time) — a user's own tuning, whether set at
-# session construction or at runtime afterwards, is never clobbered.
+# session, and only when the session was not built with its own value
+# in its SparkConf. Known limit: a tuning applied via runtime
+# spark.conf.set BEFORE the first catalog call (or via builder.config
+# against an already-running SparkContext) is indistinguishable from
+# an unset conf here and gets the engine default on first use; any
+# runtime tuning made after the first catalog call is respected.
 _PERF_SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -147,6 +147,10 @@ def kmv_build(
     w = Window.partitionBy(group_col).orderBy("hv")
     return (
         df.select(F.col(group_col), hv.alias("hv"))
+        # NULL values don't count toward distinct cardinality — and a
+        # null hv would sort NULLS FIRST into rank 1, silently
+        # shrinking the sketch when collect_list later drops it.
+        .filter(F.col("hv").isNotNull())
         .distinct()
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -197,13 +197,18 @@ def grouped_ols(
     Returns (group, n, slope, intercept, r2); slope/r2 are null for
     degenerate groups (constant x — and constant y for r2).
     """
+    # Widen BEFORE multiplying: a 32-bit x_col would otherwise compute
+    # x*x in int32 — ANSI overflow error (or a silent wrap with ANSI
+    # off) long before the int64 bound the moments are designed for.
+    xb = F.col(x_col).cast("bigint")
+    yb = F.col(y_col).cast("bigint")
     g = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x_col).alias("sx"),
-        F.sum(y_col).alias("sy"),
-        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
-        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
-        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+        F.sum(xb).alias("sx"),
+        F.sum(yb).alias("sy"),
+        F.sum(xb * yb).alias("sxy"),
+        F.sum(xb * xb).alias("sxx"),
+        F.sum(yb * yb).alias("syy"),
     )
     cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")

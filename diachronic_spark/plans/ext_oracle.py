@@ -39,11 +39,20 @@ sh AS (
 # same affine rehash family as operators/dedup.py.
 from ..operators.dedup import MINHASH_A, MINHASH_P  # noqa: E402
 
-_H32 = " + ".join(
-    f"(strpos('0123456789abcdef', substring(md5(shingle), {p + 1}, 1)) - 1)"
-    f" * {16 ** (7 - p)}"
-    for p in range(8)
-)
+def _h32(col: str) -> str:
+    """Portable 32-bit md5-prefix hash of a SQL expression: first 8
+    hex chars decoded nibble-by-nibble (no hex-cast builtin needed) —
+    the SQL twin of the engine's md5-substring/_base32 hashing. One
+    generator for every hashed column, so the decode expression can't
+    drift between oracles."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5({col}), {p + 1}, 1))"
+        f" - 1) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+
+
+_H32 = _h32("shingle")
 _MINHASH_COLS = ", ".join(
     f"min((({_H32}) * {MINHASH_A[i]} + {i}) % {MINHASH_P}) AS h{i}"
     for i in range(8)
@@ -77,11 +86,7 @@ WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5
 ORDER BY doc_a, doc_b
 """
 
-# hex nibble -> int, portable: position in the hex alphabet.
-_HEXVAL = "(strpos('0123456789abcdef', substring(md5(tok), {p}, 1)) - 1)"
-_H32TOK = "(" + " + ".join(
-    _HEXVAL.format(p=p + 1) + f" * {16 ** (7 - p)}" for p in range(8)
-) + ")"
+_H32TOK = "(" + _h32("tok") + ")"
 _VOTES = ", ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
     for b in range(32)
@@ -433,11 +438,7 @@ ORDER BY l_returnflag
 
 # q43: identical md5-derived bucket (first 8 hex chars of md5 of the
 # doc_id rendered as a string, decoded nibble-wise) mod 10.
-_H32_DOCID = " + ".join(
-    f"(strpos('0123456789abcdef',"
-    f" substring(md5(doc_id::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-    for p in range(8)
-)
+_H32_DOCID = _h32("doc_id::VARCHAR")
 
 EXT_ORACLE["q43"] = f"""
 WITH s AS (
@@ -1125,11 +1126,7 @@ FROM merged GROUP BY seg ORDER BY seg
 """
 
 # q78: A-ES weighted sample — identical md5-derived uniform and score.
-_H32_OKEY = " + ".join(
-    f"(strpos('0123456789abcdef',"
-    f" substring(md5(o_orderkey::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-    for p in range(8)
-)
+_H32_OKEY = _h32("o_orderkey::VARCHAR")
 
 EXT_ORACLE["q78"] = f"""
 WITH s AS (
@@ -1876,14 +1873,11 @@ ORDER BY doc_a, doc_b
 # via common-hashes-under-the-union-threshold scaled by the union
 # estimate. Every operation is deterministic, so the compare is at
 # full float precision.
-_H32_USER = " + ".join(
-    f"(strpos('0123456789abcdef',"
-    f" substring(md5(user_id::VARCHAR), {p + 1}, 1)) - 1) * {16 ** (7 - p)}"
-    for p in range(8)
-)
+_H32_USER = _h32("user_id::VARCHAR")
 
 EXT_ORACLE["q126"] = f"""
-WITH h AS (SELECT DISTINCT event_type, ({_H32_USER}) AS hv FROM events),
+WITH h AS (SELECT DISTINCT event_type, ({_H32_USER}) AS hv
+           FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT event_type, hv,
              row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
       FROM h),

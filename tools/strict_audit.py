@@ -84,7 +84,7 @@ def main() -> int:
     only: set[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
-            only = set(a[len("--only="):].split(","))
+            only = {q for q in a[len("--only="):].split(",") if q}
 
     spark = (
         SparkSession.builder.master("local[8]")
@@ -104,25 +104,32 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
-    bad = []
+    bad: dict[str, list] = {}
+    n_checked = 0
     for name in sorted(qs, key=lambda k: int(k.lstrip("q"))):
         if name not in osql or name in skip:
             continue
         if only is not None and name not in only:
             continue
+        n_checked += 1
         df = qs[name](spark, sf_dir)
         s = canon(df.columns, [tuple(r) for r in df.collect()])
         rel = con.sql(osql[name])
         wm = width_mismatches(df, rel)
         if wm:
-            bad.append((name, wm))
+            bad.setdefault(name, []).append(wm)
             print(f"TYPE-WIDTH MISMATCH {name}: {wm}")
         d = canon(rel.columns, rel.fetchall())
         if s != d:
             ex = next(((a, b) for a, b in zip(s, d) if a != b), None)
-            bad.append((name, ex))
+            bad.setdefault(name, []).append(ex)
             print(f"MISMATCH {name}: {ex}")
-    print("STRICT_MISMATCHES:", [b[0] for b in bad])
+    if n_checked == 0:
+        # a filter matching nothing must not read as a green audit
+        print("STRICT_AUDIT ERROR: no queries matched the filter")
+        return 2
+    print(f"STRICT_CHECKED: {n_checked}")
+    print("STRICT_MISMATCHES:", sorted(bad))
     return 1 if bad else 0
 
 

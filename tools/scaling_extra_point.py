@@ -41,8 +41,15 @@ SCALED = "/tmp/diachronic_scaled_sf0.3"
 COPIES = 3
 
 # The steepest x_01_to_1 scalers off a >0.15s base (SCALING.json),
-# restricted to queries reading only the scaled tables.
-SUBSET = ["q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80", "q82"]
+# restricted to queries reading only the scaled tables; round 5 adds
+# its heavier new queries that read only scaled facts (z-order layout
+# pass, PPJoin complete similarity join, sequence pattern match, KMV,
+# interpolation/OLS/attribution/top-p over events/documents).
+SUBSET = [
+    "q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80",
+    "q82", "q124", "q125", "q126", "q128", "q129", "q130", "q131",
+    "q132",
+]
 
 # Queries are timed, never hash-compared, at the scaled point — key
 # shifts only need to keep ids distinct across copies.

@@ -2102,3 +2102,91 @@ SELECT doc_id, lang, score, cum
 FROM w WHERE 5 * cum <= 4 * total
 ORDER BY doc_id
 """
+
+
+# q133: the whole curation pipeline replayed in SQL — corpus
+# augmentation (near-dup + exact copies), length gate, normalize +
+# keep-min exact dedup, COMPLETE Jaccard >= 0.5 pairs among survivors,
+# recursive-CTE closure with min-id keepers, md5-hash-order token
+# budget. The verdict CASE mirrors the engine's precedence exactly.
+EXT_ORACLE["q133"] = f"""
+WITH RECURSIVE
+nd AS (
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)),
+                         ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+                 AS words
+        FROM documents WHERE doc_id < 50)),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM nd
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text
+            FROM documents WHERE doc_id < 25),
+t AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tok
+  FROM corpus),
+nrm AS (
+  SELECT *, trim(regexp_replace(
+              regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+              '\\s+', ' ', 'g')) AS norm_text
+  FROM t),
+ex AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (PARTITION BY norm_text ORDER BY doc_id) AS rn
+  FROM nrm WHERE n_tok >= 20),
+surv AS (SELECT doc_id, n_tok FROM ex WHERE rn = 1),
+tk AS (SELECT c.doc_id,
+              list_filter(string_split_regex(c.text, '\\s+'), x -> x <> '')
+                AS w
+       FROM corpus c JOIN surv USING (doc_id)),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))])
+           AS shingle
+  FROM tk),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS icnt
+  FROM sh sa JOIN sh sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM surv
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+keep AS (
+  SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) = a),
+adm AS (
+  SELECT doc_id FROM (
+    SELECT k.doc_id,
+           CAST(sum(s.n_tok) OVER (
+             ORDER BY ({_H32_DOCID.replace("doc_id", "k.doc_id")}), k.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+    FROM keep k JOIN surv s USING (doc_id))
+  WHERE cum <= 20000)
+SELECT t.doc_id,
+       CASE WHEN t.n_tok < 20 THEN 'short'
+            WHEN e.rn > 1 THEN 'exact_dup'
+            WHEN k.doc_id IS NULL THEN 'near_dup'
+            WHEN a.doc_id IS NULL THEN 'sampled_out'
+            ELSE 'admitted' END AS verdict
+FROM t
+LEFT JOIN ex e ON e.doc_id = t.doc_id
+LEFT JOIN keep k ON k.doc_id = t.doc_id
+LEFT JOIN adm a ON a.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""

@@ -2709,6 +2709,91 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q133: end-to-end corpus curation pipeline (operator composition) ------
+# The capstone composition a real training-data build runs, each stage
+# an already-adjudicated operator, chained and adjudicated AS A WHOLE:
+#   1. length gate (n_tok >= 20)                      -> 'short'
+#   2. normalize + exact dedup (keep-min per norm)    -> 'exact_dup'
+#   3. COMPLETE near-dup join (ppjoin >= 0.5)
+#      + connected components, keep-min per cluster   -> 'near_dup'
+#   4. deterministic token-budget admission
+#      (md5-hash order, 20k tokens)                   -> 'sampled_out'
+#   else                                              -> 'admitted'
+# The corpus is augmented with BOTH forged near-dups (last word
+# dropped, doc_id+100000) and exact copies (doc_id+200000) so every
+# stage has real positives. The adjudicated result is the per-doc
+# verdict column — any stage misordering, dropped doc, or wrong
+# keeper changes it. Shapes: every stage is the operator's own
+# (window dedup, prefix-posting join, min-label components, one
+# cumsum); the admission window is global but runs over cluster
+# keepers only (corpus-scale safe the same way q115's per-bucket
+# cumsum is).
+_Q133_BUDGET = 20_000
+
+
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    base = load(spark, sf, "documents").select("doc_id", "text")
+    aug = D.with_near_duplicates(base)
+    xd = base.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    corpus = aug.unionByName(xd)
+    t = corpus.withColumn(
+        "n_tok",
+        F.size(fn.whitespace_tokens(F.col("text"))).cast("bigint"),
+    )
+    nrm = T.normalize_text(t)
+    longd = nrm.filter(F.col("n_tok") >= 20)
+    ex = longd.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("norm_text").orderBy("doc_id")
+        ),
+    )
+    surv = managed_persist(
+        ex.filter(F.col("rn") == 1).select("doc_id", "text", "n_tok"),
+        "q133.surv",
+    )
+    prs = D.ppjoin_pairs(D.shingle_arrays(surv), 0.5).select(
+        "doc_a", "doc_b"
+    )
+    keep = managed_persist(
+        D.connected_components_auto(prs, surv.select("doc_id"))
+        .filter(F.col("component") == F.col("doc_id"))
+        .select("doc_id"),
+        "q133.keep",
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    wcum = Window.orderBy("h", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    adm = (
+        keep.join(surv.select("doc_id", "n_tok"), "doc_id")
+        .withColumn("h", h)
+        .withColumn("cum", F.sum("n_tok").over(wcum))
+        .filter(F.col("cum") <= F.lit(_Q133_BUDGET))
+        .select("doc_id")
+    )
+    out = (
+        t.select("doc_id", "n_tok")
+        .join(ex.select("doc_id", "rn"), "doc_id", "left")
+        .join(keep.withColumn("k", F.lit(1)), "doc_id", "left")
+        .join(adm.withColumn("a", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("n_tok") < 20, F.lit("short"))
+            .when(F.col("rn") > 1, F.lit("exact_dup"))
+            .when(F.col("k").isNull(), F.lit("near_dup"))
+            .when(F.col("a").isNull(), F.lit("sampled_out"))
+            .otherwise(F.lit("admitted"))
+            .alias("verdict"),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -2730,5 +2815,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
-    "q132": q132,
+    "q132": q132, "q133": q133,
 }

@@ -35,6 +35,8 @@ DataFrame whose content is deterministic and therefore oracle-able:
   state) vs the batch interval-join SQL.
 - q111 (ST8): checkpointed PARQUET sink via availableNow — the output
   FILES are read back as the adjudicated result.
+- q134: stream-static broadcast enrichment join (stateless; the
+  static dim is re-planned per micro-batch) vs the batch join.
 
 Staging: the events table is re-written through catalog.load (which
 normalizes the ns-vs-µs parquet ts encodings) into a 4-file local dir
@@ -612,6 +614,36 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join — the stateless third member of
+    the streaming-join matrix (q110 is stream-stream, the batch suite
+    covers static-static): a live purchase stream joined per
+    micro-batch to the STATIC customer dimension, broadcast — no
+    state store, no watermark; the static side is re-planned each
+    micro-batch, which is exactly how dimension updates become
+    visible at the next batch on a real cluster. Append mode; the
+    drained enriched rows must equal the batch join bit-for-bit.
+    """
+    src = _stage_events(spark, sf)
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), "user_id")
+    )
+    sink = _drain_to_table(
+        stream, "append", sink_key="q134", no_data_batches=False
+    )
+    return sink.select(
+        "event_id",
+        "user_id",
+        "c_mktsegment",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).orderBy("event_id")
+
+
 # temp dirs created per query run (unlike the cached stage dirs, these
 # are written fresh each call); removed with the same atexit hook
 _EPHEMERAL_DIRS: list[str] = []
@@ -627,7 +659,7 @@ def _cleanup_ephemeral_dirs() -> None:
 STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
-    "q117": q117,
+    "q117": q117, "q134": q134,
 }
 
 STREAM_ORACLE = {
@@ -743,6 +775,14 @@ ORDER BY event_id
     # base row — arg_max(col, rn) FILTER (col IS NOT NULL), not
     # "whole last row wins" (the two differ when a later update
     # carries a null that an earlier one set).
+    # q134: stream-static broadcast enrichment == the batch join.
+    "q134": """
+SELECT event_id, e.user_id, c_mktsegment,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+ORDER BY event_id
+""",
     "q117": """
 WITH ordered AS (
   SELECT user_id, event_type, value,

@@ -2190,3 +2190,31 @@ LEFT JOIN keep k ON k.doc_id = t.doc_id
 LEFT JOIN adm a ON a.doc_id = t.doc_id
 ORDER BY t.doc_id
 """
+
+
+# q135: global trigram count table + per-doc coverage — integers end
+# to end, one exact double division at the end.
+EXT_ORACLE["q135"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))])
+           AS shingle
+  FROM tk),
+common AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) >= 5),
+cov AS (
+  SELECT doc_id, count(*) AS n_covered
+  FROM sh JOIN common USING (shingle) GROUP BY doc_id),
+sz AS (SELECT doc_id, count(*) AS n_trigrams FROM sh GROUP BY doc_id)
+SELECT s.doc_id,
+       CAST(s.n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(coalesce(c.n_covered, 0) AS BIGINT) AS n_covered,
+       CAST(coalesce(c.n_covered, 0) AS DOUBLE)
+         / CAST(s.n_trigrams AS DOUBLE) AS coverage
+FROM sz s LEFT JOIN cov c ON c.doc_id = s.doc_id
+ORDER BY s.doc_id
+"""

@@ -2709,6 +2709,52 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q135: trigram-coverage LM quality signal (cross-document) -------------
+# The count-LM sibling of the within-document signals (q28-q31/q114):
+# CCNet-style quality filters score each document under a language
+# model trained on the corpus itself; here the "model" is the global
+# trigram count table and the score is the fraction of a doc's
+# trigrams seen >= 5 times corpus-wide — integers end to end (one
+# count agg, one semi-join-shaped count, one exact int division), so
+# no log/float summation-order hazard, and the oracle replays it
+# identically. Shape: one exploded trigram pass for the count table
+# (shuffle on the trigram hash), one join of doc-trigrams against the
+# common set, one per-doc agg — all linear in total trigrams.
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = load(spark, sf, "documents").select("doc_id", "text")
+    arrs = managed_persist(
+        D.shingle_arrays(corpus), "q135.arrs"
+    )
+    tok = arrs.select("doc_id", F.explode("hset").alias("h"))
+    common = (
+        tok.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("h")
+    )
+    per_doc = (
+        tok.join(common, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        arrs.select("doc_id", F.col("sz").cast("bigint").alias("n_trigrams"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_trigrams",
+            F.coalesce(F.col("n_covered"), F.lit(0))
+            .cast("bigint")
+            .alias("n_covered"),
+            (
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -2815,5 +2861,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
-    "q132": q132, "q133": q133,
+    "q132": q132, "q133": q133, "q135": q135,
 }

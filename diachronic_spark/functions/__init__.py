@@ -69,6 +69,18 @@ def whitespace_tokens(col) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda t: t != "")
 
 
+def md5_prefix32(col) -> Column:
+    """Portable 32-bit hash: first 8 md5 hex chars of the stringified
+    value, decoded to a bigint. The ONE Spark-side definition of the
+    hash every deterministic-order/bucketing operator uses (splits,
+    sampling, token budgets, KMV sketches) — its SQL twin is
+    ext_oracle._h32, and keeping each side single-sourced is what
+    stops the two from drifting."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+
+
 def word_shingles(tokens, n: int = 3) -> Column:
     """Word n-gram shingles over an ALREADY-MATERIALIZED array<string>
     token column. Documents shorter than ``n`` words yield a single

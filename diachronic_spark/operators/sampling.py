@@ -17,15 +17,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import md5_prefix32
+
 
 def _md5_bucket(key: Column, mod: int) -> Column:
     """First 8 md5 hex chars of the stringified key -> 32-bit int, mod
     ``mod``. Same construction as text.hash_split (q43) — uniform
     enough for sampling, portable to any engine with md5.
     """
-    return F.conv(
-        F.substring(F.md5(key.cast("string")), 1, 8), 16, 10
-    ).cast("long") % mod
+    return md5_prefix32(key) % mod
 
 
 def hash_sample_fraction(

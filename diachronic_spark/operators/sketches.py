@@ -18,6 +18,8 @@ lets the DuckDB oracle rebuild the identical grid.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from ..functions import md5_prefix32
 from pyspark.sql import functions as F
 
 CM_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -27,8 +29,9 @@ CM_A = (1_000_003, 1_048_573, 1_299_709, 1_500_007)
 
 
 def _base32(col: Column) -> Column:
-    """First 8 md5 hex chars of the value -> 32-bit int (portable)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    """First 8 md5 hex chars of the value -> 32-bit int (portable) —
+    the shared engine-wide definition (functions.md5_prefix32)."""
+    return md5_prefix32(col)
 
 
 def cm_bucket(col: Column, j: int, width: int) -> Column:

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import whitespace_tokens
+from ..functions import md5_prefix32, whitespace_tokens
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small and fixed: the operator contract is the
@@ -127,9 +127,7 @@ def hash_split(
     [0, w_train) train, [w_train, w_train+w_val) val, rest test.
     """
     w_train, w_val, _ = weights
-    h = F.conv(
-        F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = md5_prefix32(F.col(key))
     bucket = F.pmod(h, F.lit(10))
     return df.withColumn(
         "split",
@@ -240,9 +238,7 @@ def mixture_sample_tokens(
         [(b, int(budget_tokens * w / total_w)) for b, w in sorted(weights.items())],
         f"{bucket_col} string, target_tokens bigint",
     )
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = md5_prefix32(F.col(id_col))
     w = (
         Window.partitionBy(bucket_col)
         .orderBy("h", id_col)

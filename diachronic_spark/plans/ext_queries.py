@@ -2790,16 +2790,20 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     )
     nrm = T.normalize_text(t)
     longd = nrm.filter(F.col("n_tok") >= 20)
-    ex = longd.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("norm_text").orderBy("doc_id")
-        ),
+    # ex has TWO consumers (the survivor pipeline and the final
+    # verdict join on rn) — persist it, not just the filtered
+    # survivors, or the tokenize+normalize+window pass over the full
+    # corpus runs twice
+    ex = managed_persist(
+        longd.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("norm_text").orderBy("doc_id")
+            ),
+        ).select("doc_id", "text", "n_tok", "rn"),
+        "q133.ex",
     )
-    surv = managed_persist(
-        ex.filter(F.col("rn") == 1).select("doc_id", "text", "n_tok"),
-        "q133.surv",
-    )
+    surv = ex.filter(F.col("rn") == 1).select("doc_id", "text", "n_tok")
     prs = D.ppjoin_pairs(D.shingle_arrays(surv), 0.5).select(
         "doc_a", "doc_b"
     )
@@ -2809,9 +2813,7 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id"),
         "q133.keep",
     )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("bigint")
+    h = fn.md5_prefix32(F.col("doc_id"))
     wcum = Window.orderBy("h", "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

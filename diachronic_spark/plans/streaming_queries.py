@@ -775,14 +775,6 @@ ORDER BY event_id
     # base row — arg_max(col, rn) FILTER (col IS NOT NULL), not
     # "whole last row wins" (the two differ when a later update
     # carries a null that an earlier one set).
-    # q134: stream-static broadcast enrichment == the batch join.
-    "q134": """
-SELECT event_id, e.user_id, c_mktsegment,
-       CAST(round(value * 100) AS BIGINT) AS cents
-FROM events e JOIN customer c ON c.c_custkey = e.user_id
-WHERE e.event_type = 'purchase'
-ORDER BY event_id
-""",
     "q117": """
 WITH ordered AS (
   SELECT user_id, event_type, value,
@@ -807,5 +799,13 @@ FROM base b
 LEFT JOIN upd u ON u.user_id = b.user_id
 WHERE b.user_id NOT IN (SELECT user_id FROM dead)
 ORDER BY b.user_id
+""",
+    # q134: stream-static broadcast enrichment == the batch join.
+    "q134": """
+SELECT event_id, e.user_id, c_mktsegment,
+       CAST(round(value * 100) AS BIGINT) AS cents
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+ORDER BY event_id
 """,
 }

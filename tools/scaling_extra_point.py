@@ -43,12 +43,17 @@ COPIES = 3
 # The steepest x_01_to_1 scalers off a >0.15s base (SCALING.json),
 # restricted to queries reading only the scaled tables; round 5 adds
 # its heavier new queries that read only scaled facts (z-order layout
-# pass, PPJoin complete similarity join, sequence pattern match, KMV,
-# interpolation/OLS/attribution/top-p over events/documents).
+# pass, sequence pattern match, KMV, interpolation/OLS/attribution/
+# top-p over events/documents). Content-SIMILARITY queries (q125,
+# q133, q135) are deliberately excluded: verbatim replication gives
+# every document two exact duplicates and triples every shingle's df,
+# so the "shifted ids only" invariant changes the workload's
+# STRUCTURE (posting fan-out ~9x, cross-copy pair inflation), not
+# just its size — their ratio here would measure a pathological
+# corpus, not 3x growth.
 SUBSET = [
     "q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80",
-    "q82", "q124", "q125", "q126", "q128", "q129", "q130", "q131",
-    "q132",
+    "q82", "q124", "q126", "q128", "q129", "q130", "q131", "q132",
 ]
 
 # Queries are timed, never hash-compared, at the scaled point — key
@@ -85,6 +90,8 @@ def build_scaled_dir(spark) -> None:
 
 
 def time_subset(spark, sf_dir: str) -> dict[str, float]:
+    from diachronic_spark.operators._cache import release
+
     cached = [load(spark, sf_dir, t).persist() for t in TABLES]
     for df in cached:
         df.count()
@@ -94,6 +101,11 @@ def time_subset(spark, sf_dir: str) -> dict[str, float]:
     for q in SUBSET:
         best = float("inf")
         for _ in range(2):
+            # drop managed_persist caches so queries that persist an
+            # intermediate (q126's sketches) are timed END TO END —
+            # a warm cache would hide the data-dependent build stage,
+            # which is exactly the part whose scaling is under test
+            release()
             t0 = time.perf_counter()
             QUERIES[q](spark, sf_dir).toPandas()
             best = min(best, time.perf_counter() - t0)

@@ -303,3 +303,12 @@ def test_q127_triangle_joins_are_equi(spark, sf_dir):
     p = plan_str(QUERIES["q127"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "NestedLoop" not in p
+
+
+def test_count_star_scan_reads_zero_columns(spark, sf_dir):
+    """count(*) must prune the scan to ZERO columns (ReadSchema
+    struct<>) — at 100 TB the difference between a footer-bounded
+    count and a full-table read."""
+    df = load(spark, sf_dir, "lineitem").groupBy().count()
+    p = plan_str(df)
+    assert "ReadSchema: struct<>" in p

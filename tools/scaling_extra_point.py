@@ -44,16 +44,16 @@ COPIES = 3
 # restricted to queries reading only the scaled tables; round 5 adds
 # its heavier new queries that read only scaled facts (z-order layout
 # pass, sequence pattern match, KMV, interpolation/OLS/attribution/
-# top-p over events/documents). Content-SIMILARITY queries (q125,
-# q133, q135) are deliberately excluded: verbatim replication gives
-# every document two exact duplicates and triples every shingle's df,
-# so the "shifted ids only" invariant changes the workload's
-# STRUCTURE (posting fan-out ~9x, cross-copy pair inflation), not
-# just its size — their ratio here would measure a pathological
-# corpus, not 3x growth.
+# top-p over events/documents). The content-SIMILARITY queries
+# (q125, q133, q135) are included because the documents copies are
+# STRUCTURALLY distinct (see build_scaled_dir): verbatim replication
+# would give every document two exact duplicates and triple every
+# shingle's df — posting fan-out ~9x, cross-copy pair inflation — so
+# their ratio would measure a pathological corpus, not 3x growth.
 SUBSET = [
     "q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80",
-    "q82", "q124", "q126", "q128", "q129", "q130", "q131", "q132",
+    "q82", "q124", "q125", "q126", "q128", "q129", "q130", "q131",
+    "q132", "q133", "q135",
 ]
 
 # Queries are timed, never hash-compared, at the scaled point — key
@@ -82,6 +82,23 @@ def build_scaled_dir(spark) -> None:
             df = base
             for col, step in SHIFTS[t].items():
                 df = df.withColumn(col, F.col(col) + F.lit(c * step))
+            if t == "documents" and c > 0:
+                # STRUCTURALLY distinct copies, not verbatim ones:
+                # reversed / sorted word order keeps length and
+                # vocabulary but produces almost entirely new word
+                # trigrams, so shingle document frequencies and the
+                # near-dup pair structure stay realistic — a verbatim
+                # copy would give every doc two Jaccard-1.0 partners
+                # and triple every shingle's df, turning the
+                # similarity queries' 3x point into a measurement of
+                # a pathological corpus.
+                toks = F.filter(
+                    F.split(F.col("text"), r"\s+"), lambda x: x != ""
+                )
+                variant = F.reverse(toks) if c == 1 else F.array_sort(toks)
+                df = df.withColumn(
+                    "text", F.array_join(variant, " ")
+                )
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:

@@ -644,6 +644,241 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# q137's watermark delay (purchase_attribution_join default) and the
+# extra safety margin, in ms. The margin absorbs the engine's internal
+# ±1 ms strict-vs-non-strict adjustments around state eviction
+# (StreamingJoinHelper): both sides only adjudicate unmatched
+# purchases STRICTLY below cutoff - margin, where emission is provable
+# — the q102 boundary-exclusion pattern applied to outer-join nulls.
+Q137_DELAY_MS = 3_600_000
+Q137_MARGIN_MS = 1_000
+
+_Q137_CUTOFF_CACHE: dict[str, int] = {}
+
+
+def _q137_cutoff_ms(spark: SparkSession, sf: str) -> int:
+    """Final GLOBAL watermark for the two-sided join (ms): Spark takes
+    the min across all watermark operators, so the cutoff is
+    min(ms-floor(max click ts), ms-floor(max purchase ts)) - delay.
+    Memoized per sf (immutable input)."""
+    if sf not in _Q137_CUTOFF_CACHE:
+        row = (
+            load(spark, sf, "events")
+            .agg(
+                F.unix_millis(
+                    F.max(
+                        F.when(F.col("event_type") == "click", F.col("ts"))
+                    )
+                ).alias("mc"),
+                F.unix_millis(
+                    F.max(
+                        F.when(
+                            F.col("event_type") == "purchase", F.col("ts")
+                        )
+                    )
+                ).alias("mp"),
+            )
+            .first()
+        )
+        _Q137_CUTOFF_CACHE[sf] = min(row["mc"], row["mp"]) - Q137_DELAY_MS
+    return _Q137_CUTOFF_CACHE[sf]
+
+
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """OUTER stream-stream interval join (q110's missing half): every
+    purchase, with its preceding-4h clicks OR a null-padded row — the
+    funnel/abandonment shape. Null rows cannot be emitted in the data
+    batch (a match might still arrive); they trail the WATERMARK: the
+    trailing no-data micro-batch advances it, evicts unmatched
+    purchase state below it, and emits the nulls. That ordering is
+    the adjudicated fact: both sides keep matched rows plus unmatched
+    purchases strictly below (global watermark - margin), so a
+    missing or spurious null row — wrong eviction bound, nulls
+    emitted eagerly in the data batch, watermark computed per-side
+    instead of globally — breaks parity."""
+    from ..streaming.events import purchase_attribution_join
+
+    src = _stage_events(spark, sf)
+    ev = read_event_stream(spark, src)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = purchase_attribution_join(
+        clicks,
+        purchases,
+        attribution_window="4 hours",
+        watermark="1 hour",
+        how="right_outer",
+    )
+    sink = _drain_to_table(
+        joined, "append", sink_key="q137", require_single_batch=True,
+        await_no_data_batch=True, n_state_partitions=4,
+    )
+    cut = _q137_cutoff_ms(spark, sf) - Q137_MARGIN_MS
+    return (
+        sink.filter(
+            F.col("click_id").isNotNull()
+            | (F.unix_millis(F.col("p_ts")) < F.lit(cut))
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "click_id",
+            fn.ts_str(F.col("c_ts")).alias("c_ts"),
+            fn.ts_str(F.col("p_ts")).alias("p_ts"),
+            "purchase_value",
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+def _stage_doc_batches(spark: SparkSession, sf: str) -> str:
+    """Stage the q136 ingest fixture: two mtime-ordered single-file
+    parquet batches of new documents (the file source's ordering key,
+    q117's staging pattern), cached per sf.
+
+    Batch 0: 50 novel docs (reversed word order of doc_id 100-149,
+    +300000) that must SURVIVE the corpus index, plus 25 true
+    near-dups of the corpus (drop-last-word of 150-174, +400000) that
+    must be caught. Batch 1: drop-last-word copies of batch 0's
+    reversed docs (+500000) — these match NOTHING in the original
+    corpus (reversed trigrams are disjoint from forward trigrams), so
+    they are caught ONLY if batch 0's survivors were appended to the
+    index between the micro-batches — the cross-batch fact q136
+    exists to adjudicate — plus 25 fresh novel docs (reversed
+    175-199, +600000)."""
+    key = f"{sf}:ingest"
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        root = tempfile.mkdtemp(prefix="diachronic_ingest_")
+        docs = load(spark, sf, "documents").select("doc_id", "text")
+
+        def reversed_slice(lo: int, hi: int, off: int) -> DataFrame:
+            toks = fn.whitespace_tokens(F.col("text"))
+            return docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.concat_ws(" ", F.reverse(toks)).alias("text"),
+            )
+
+        def drop_last_word(df: DataFrame, off: int) -> DataFrame:
+            toks = fn.whitespace_tokens(F.col("text"))
+            return df.select(
+                (F.col("doc_id") + off).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))
+                    ),
+                ).alias("text"),
+            )
+
+        b0 = reversed_slice(100, 150, 300000).unionByName(
+            drop_last_word(
+                docs.filter(
+                    (F.col("doc_id") >= 150) & (F.col("doc_id") < 175)
+                ),
+                400000,
+            )
+        )
+        b1 = drop_last_word(
+            reversed_slice(100, 150, 300000), 200000
+        ).unionByName(reversed_slice(175, 200, 600000))
+        os.makedirs(f"{root}/batches", exist_ok=True)
+        now = _time.time()
+        for i, b in enumerate((b0, b1)):
+            d = f"{root}/tmp_{i}"
+            b.coalesce(1).write.mode("overwrite").parquet(d)
+            (part,) = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            dst = f"{root}/batches/batch_{i}.parquet"
+            shutil.move(os.path.join(d, part), dst)
+            shutil.rmtree(d, ignore_errors=True)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        _STAGE_CACHE[key] = root
+    return f"{_STAGE_CACHE[key]}/batches"
+
+
+def q136(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming incremental-dedup ingest loop (ST8/foreachBatch × L2
+    — the reference's upload-then-skip membership loop, main.py:60-71,
+    run as a LIVE stream): document batches arrive as a file stream
+    (maxFilesPerTrigger=1 → one batch per trigger, mtime-ordered,
+    asserted); each micro-batch probes the LSH index AT REST
+    (dedup_against_index), records per-doc verdicts, and appends its
+    survivors' bands/shingles to the index (append_to_minhash_index)
+    before the next batch fires. Batch 1 holds near-dups of batch 0's
+    survivors, so its verdicts are right ONLY if the index mutation
+    between micro-batches happened — the adjudicated result is the
+    full verdict ledger across both batches vs a sequential SQL
+    replay of the whole loop (probe → survivors → index union →
+    probe). This is q113's ingest loop lifted from a batch re-probe
+    to actual sequential micro-batch state, the 100 TB ingest shape:
+    per-batch probe + append, corpus text never rescanned."""
+    from ..operators import dedup as D
+    from .ext_queries import _minhash_index
+
+    src = _stage_doc_batches(spark, sf)
+    work = tempfile.mkdtemp(prefix="diachronic_ingest_run_")
+    _EPHEMERAL_DIRS.append(work)
+    # fresh per-run copy: the shared corpus index must stay immutable
+    # (q112/q113 probe the pre-append state), and repeated q136 runs
+    # must each start from the un-appended index
+    idx = f"{work}/idx"
+    shutil.copytree(_minhash_index(spark, sf), idx)
+    state = {"ids": []}
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        ann = D.dedup_against_index(spark, batch, idx, threshold=0.5)
+        ann.select(
+            F.lit(batch_id).cast("int").alias("batch"), "*"
+        ).write.mode("overwrite").parquet(f"{work}/verdict_b{batch_id}")
+        verd = spark.read.parquet(f"{work}/verdict_b{batch_id}")
+        survivors = batch.join(
+            verd.filter(F.col("survived")).select("doc_id"), "doc_id"
+        )
+        D.append_to_minhash_index(survivors, idx)
+        state["ids"].append(batch_id)
+
+    ckpt = _checkpoint_dir("q136")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if state["ids"] != [0, 1]:
+        raise RuntimeError(
+            f"q136: expected sequential batches [0, 1], got "
+            f"{state['ids']} — file-per-trigger staging changed"
+        )
+    from .ext_queries import _r2
+
+    verdicts = spark.read.parquet(f"{work}/verdict_b0").unionByName(
+        spark.read.parquet(f"{work}/verdict_b1")
+    )
+    return verdicts.select(
+        "batch",
+        "doc_id",
+        "n_cand",
+        _r2(F.col("max_jaccard")).alias("max_jaccard"),
+        "survived",
+    ).orderBy("batch", "doc_id")
+
+
 # temp dirs created per query run (unlike the cached stage dirs, these
 # are written fresh each call); removed with the same atexit hook
 _EPHEMERAL_DIRS: list[str] = []
@@ -659,7 +894,7 @@ def _cleanup_ephemeral_dirs() -> None:
 STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
-    "q117": q117, "q134": q134,
+    "q117": q117, "q134": q134, "q136": q136, "q137": q137,
 }
 
 STREAM_ORACLE = {
@@ -809,3 +1044,135 @@ WHERE e.event_type = 'purchase'
 ORDER BY event_id
 """,
 }
+
+# q137: outer interval join == batch LEFT JOIN from purchases, with
+# unmatched rows restricted on BOTH sides to purchases strictly below
+# the final global watermark minus the margin (see Q137_MARGIN_MS).
+STREAM_ORACLE["q137"] = f"""
+WITH m AS (
+  SELECT least(
+           epoch_ms(max(CASE WHEN event_type = 'click' THEN ts END)),
+           epoch_ms(max(CASE WHEN event_type = 'purchase' THEN ts END)))
+         - {Q137_DELAY_MS} - {Q137_MARGIN_MS} AS cut
+  FROM events),
+j AS (
+  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+         c.ts AS c_ts, p.ts AS p_ts, p.value AS purchase_value
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON c.user_id = p.user_id
+   AND c.ts <= p.ts
+   AND c.ts >= p.ts - INTERVAL 4 HOUR)
+SELECT user_id, purchase_id, click_id,
+       strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS c_ts,
+       strftime(p_ts, '%Y-%m-%d %H:%M:%S.%f') AS p_ts,
+       purchase_value
+FROM j, m
+WHERE click_id IS NOT NULL OR epoch_ms(p_ts) < m.cut
+ORDER BY purchase_id, click_id
+"""
+
+# q136: the streaming ingest loop replayed sequentially in SQL —
+# batch 0 probed against the corpus index, its survivors unioned into
+# the index (bands + shingles), batch 1 probed against the APPENDED
+# index. Reuses q112/q113's md5-minhash CTE machinery (_mh_cte).
+from .ext_oracle import _mh_cte  # noqa: E402
+
+_Q136_WORDS = (
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+)
+
+STREAM_ORACLE["q136"] = f"""
+WITH old_c AS (SELECT doc_id, text FROM documents),
+b1 AS (
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(list_reverse(words), ' ') AS text
+  FROM (SELECT doc_id, {_Q136_WORDS} AS words
+        FROM documents WHERE doc_id >= 100 AND doc_id < 150)
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id, {_Q136_WORDS} AS words
+        FROM documents WHERE doc_id >= 150 AND doc_id < 175)
+),
+b2 AS (
+  SELECT doc_id + 500000 AS doc_id,
+         array_to_string(list_slice(rw, 1, greatest(len(rw) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id, list_reverse({_Q136_WORDS}) AS rw
+        FROM documents WHERE doc_id >= 100 AND doc_id < 150)
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id,
+         array_to_string(list_reverse(words), ' ') AS text
+  FROM (SELECT doc_id, {_Q136_WORDS} AS words
+        FROM documents WHERE doc_id >= 175 AND doc_id < 200)
+),{_mh_cte('o', 'old_c')},{_mh_cte('a', 'b1')},{_mh_cte('b', 'b2')},
+cand1 AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
+  FROM bnda n JOIN bndo o ON n.band = o.band AND n.bh = o.bh),
+szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+sza AS (SELECT doc_id, count(*) AS sz FROM sha GROUP BY doc_id),
+szb AS (SELECT doc_id, count(*) AS sz FROM shb GROUP BY doc_id),
+inter1 AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand1
+  JOIN sha sa ON sa.doc_id = new_id
+  JOIN sho sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j1 AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand1 c
+  LEFT JOIN inter1 i ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN sza za ON za.doc_id = c.new_id
+  JOIN szo zb ON zb.doc_id = c.idx_id),
+agg1 AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j1 GROUP BY new_id),
+surv1 AS (
+  SELECT n.doc_id FROM b1 n LEFT JOIN agg1 a ON a.new_id = n.doc_id
+  WHERE a.mx IS NULL OR a.mx < 0.5),
+bndi AS (
+  SELECT doc_id, band, bh FROM bndo
+  UNION ALL
+  SELECT doc_id, band, bh FROM bnda
+  WHERE doc_id IN (SELECT doc_id FROM surv1)),
+shi AS (
+  SELECT doc_id, shingle FROM sho
+  UNION ALL
+  SELECT doc_id, shingle FROM sha
+  WHERE doc_id IN (SELECT doc_id FROM surv1)),
+szi AS (SELECT doc_id, count(*) AS sz FROM shi GROUP BY doc_id),
+cand2 AS (
+  SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS idx_id
+  FROM bndb n JOIN bndi i ON n.band = i.band AND n.bh = i.bh),
+inter2 AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand2
+  JOIN shb sa ON sa.doc_id = new_id
+  JOIN shi sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j2 AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand2 c
+  LEFT JOIN inter2 i ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN szb za ON za.doc_id = c.new_id
+  JOIN szi zb ON zb.doc_id = c.idx_id),
+agg2 AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j2 GROUP BY new_id)
+SELECT CAST(0 AS INTEGER) AS batch, n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM b1 n LEFT JOIN agg1 a ON a.new_id = n.doc_id
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS batch, n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM b2 n LEFT JOIN agg2 a ON a.new_id = n.doc_id
+ORDER BY batch, doc_id
+"""

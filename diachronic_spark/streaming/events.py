@@ -250,6 +250,7 @@ def purchase_attribution_join(
     purchases: DataFrame,
     attribution_window: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each purchase matched to
     the same user's click events in the preceding attribution window.
@@ -260,6 +261,15 @@ def purchase_attribution_join(
     purchase, so its state is dropped. Without the interval condition
     the state grows forever — the condition is a correctness feature of
     the operator, not an optimization.
+
+    ``how="right_outer"`` keeps every purchase: one with no click in
+    its window emits a null-padded row WHEN ITS STATE IS EVICTED — the
+    engine can only know "no match will ever arrive" once the global
+    watermark passes the last event time a matching click could carry
+    (here c_ts <= p_ts, so the purchase itself), which is why outer
+    results trail the watermark instead of appearing with the data
+    batch. Purchases younger than the final watermark are never
+    emitted unmatched (their fate is still open when the stream ends).
     """
     c = clicks.select(
         F.col("user_id").alias("c_user"),
@@ -277,7 +287,7 @@ def purchase_attribution_join(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}")),
-        "inner",
+        how,
     ).select(
         "p_user", "purchase_id", "click_id", "c_ts", "p_ts", "purchase_value"
     )

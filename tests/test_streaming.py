@@ -459,3 +459,32 @@ def test_cdc_apply_resumes_from_checkpoint(spark, tmp_path):
     # u2: deleted first -> later update no-op -> absent
     # u3: three updates, last wins
     assert final == {3: ("purchase", 32.0)}
+
+
+def test_streaming_ingest_loop_cross_batch_state(spark, sf_dir):
+    """q136's load-bearing fact: batch 1's near-dups of batch 0's
+    SURVIVORS are caught only because the foreachBatch loop appended
+    those survivors to the at-rest index between micro-batches —
+    reversed-text trigrams share nothing with the forward corpus, so a
+    stale (un-appended) index would let every +500000 doc survive."""
+    from diachronic_spark.plans import QUERIES
+
+    out = QUERIES["q136"](spark, sf_dir).collect()
+    by_band: dict[tuple[int, int], list] = {}
+    for r in out:
+        by_band.setdefault((r.batch, r.doc_id // 100000), []).append(r)
+    # batch 0: novel reversed docs (+300000) all survive; true corpus
+    # near-dups (+400000) all caught at jaccard >= 0.5
+    assert all(r.survived for r in by_band[(0, 3)])
+    assert all(
+        not r.survived and r.max_jaccard >= 0.5 for r in by_band[(0, 4)]
+    )
+    # batch 1: near-dups of batch-0 survivors (+500000) caught — the
+    # cross-batch index mutation; fresh novel docs (+600000) survive
+    assert all(
+        not r.survived and r.max_jaccard >= 0.5 for r in by_band[(1, 5)]
+    )
+    assert all(r.survived for r in by_band[(1, 6)])
+    assert {k: len(v) for k, v in sorted(by_band.items())} == {
+        (0, 3): 50, (0, 4): 25, (1, 5): 50, (1, 6): 25,
+    }

@@ -2218,3 +2218,25 @@ SELECT s.doc_id,
 FROM sz s LEFT JOIN cov c ON c.doc_id = s.doc_id
 ORDER BY s.doc_id
 """
+
+# q138: Efraimidis-Spirakis weighted sample — identical md5-derived
+# uniform ((h32+1)/2^32), identical ln(u)/w priority, per-lang top-10.
+EXT_ORACLE["q138"] = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         greatest(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')), 1) AS n_toks
+  FROM documents),
+k AS (
+  SELECT doc_id, lang, n_toks,
+         ln((({_H32_DOCID}) + 1.0) / 4294967296.0) / n_toks AS pri
+  FROM d),
+r AS (
+  SELECT lang, doc_id, n_toks,
+         row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id)
+           AS rk
+  FROM k)
+SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, CAST(n_toks AS BIGINT) AS n_toks
+FROM r WHERE rk <= 10
+ORDER BY lang, rk
+"""

@@ -2755,6 +2755,41 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q138: deterministic weighted sampling (Efraimidis-Spirakis) -----------
+# Weighted-without-replacement sampling as a QUERY, reproducible across
+# reruns/backfills/clusters: each doc gets priority ln(u)/w where
+# u = (md5_prefix32(doc_id)+1)/2^32 and w = its token count — the
+# monotone-equivalent of A-ES's u^(1/w) (Efraimidis & Spirakis 2006),
+# so the top-k by priority IS a weighted sample without replacement,
+# and because u comes from the doc_id hash (not an RNG) the sample is
+# a pure function of the data. Stratified per lang: top-10 per
+# stratum. Shape: weights and priorities are row-local projections
+# (no shuffle); the only exchange is the per-stratum top-k window —
+# at 100 TB with few strata, swap the window for the same
+# per-partition-heap TakeOrdered pattern as q8/W5 per stratum (or
+# pre-aggregate a per-partition top-10 before the shuffle); the
+# priority function is unchanged.
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    toks = fn.whitespace_tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size(toks), F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+    u = (fn.md5_prefix32(F.col("doc_id")) + F.lit(1.0)) / F.lit(
+        4294967296.0
+    )
+    scored = d.withColumn("pri", F.log(u) / F.col("n_toks"))
+    w = Window.partitionBy("lang").orderBy(F.desc("pri"), "doc_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "rk", "doc_id", "n_toks")
+        .orderBy("lang", "rk")
+    )
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -2863,5 +2898,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
-    "q132": q132, "q133": q133, "q135": q135,
+    "q132": q132, "q133": q133, "q135": q135, "q138": q138,
 }

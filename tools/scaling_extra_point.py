@@ -54,6 +54,11 @@ SUBSET = [
     "q40", "q42", "q44", "q56", "q57", "q58", "q62", "q72", "q80",
     "q82", "q124", "q125", "q126", "q128", "q129", "q130", "q131",
     "q132", "q133", "q135",
+    # round-5 late adds, all over scaled facts: the streaming ingest
+    # loop (q136 — index build + banded probe at 3x corpus), the outer
+    # stream-stream join drain (q137 — 3x state/output), and the
+    # weighted sample (q138 — scan + per-stratum top-k)
+    "q136", "q137", "q138",
 ]
 
 # Queries are timed, never hash-compared, at the scaled point — key

@@ -655,7 +655,9 @@ def duplicated_spans(
     )
 
 
-def append_to_minhash_index(survivors: DataFrame, path: str) -> None:
+def append_to_minhash_index(
+    survivors: DataFrame, path: str, arrs: DataFrame | None = None
+) -> None:
     """Append admitted docs' bands + hashed shingle sets to the at-rest
     index — the step that makes ingestion incremental: once a batch's
     survivors are appended, a re-submitted copy of the batch probes the
@@ -668,8 +670,16 @@ def append_to_minhash_index(survivors: DataFrame, path: str) -> None:
 
     ``survivors`` must carry (doc_id, text) with doc_ids disjoint from
     everything already in the index (document contract).
+
+    ``arrs``: optionally the precomputed ``shingle_arrays(survivors)``
+    (pre-filtered to the survivor set) — an ingest loop that already
+    shingled the batch for its probe passes it here so the signature
+    pass isn't recomputed per consumer (q136's per-micro-batch shape).
     """
-    arrs = shingle_arrays(survivors)
+    if arrs is None:
+        arrs = shingle_arrays(survivors)
+    else:
+        arrs = arrs.join(survivors.select("doc_id"), "doc_id", "left_semi")
     band_table(minhash_signature(arrs)).write.mode("append").partitionBy(
         "band"
     ).parquet(f"{path}/bands")
@@ -683,6 +693,7 @@ def dedup_against_index(
     new_docs: DataFrame,
     index_path: str,
     threshold: float = 0.5,
+    arrs: DataFrame | None = None,
 ) -> DataFrame:
     """Annotate a new batch against the at-rest index: for each new doc
     (doc_id, text), the number of LSH candidates the index produced and
@@ -690,13 +701,18 @@ def dedup_against_index(
     above ``threshold``) marks docs safe to admit; appending their
     bands/shingles to the index is what makes ingestion incremental.
 
+    ``arrs``: optionally the precomputed ``shingle_arrays(new_docs)``
+    (e.g. a persisted copy an ingest loop shares with its append step
+    so the tokenize+shingle+hash pass runs once per batch, not once
+    per consumer).
+
     Shape: the probe shuffles on (band, bh) against the stored band
     table, verification joins hashed shingle sets for CANDIDATES only
     (never all pairs), and the corpus text is never read. doc_id spaces
     must be disjoint between batch and index (document contract).
     ``max_jaccard`` is -1.0 for docs with zero candidates.
     """
-    arrs_new = shingle_arrays(new_docs)
+    arrs_new = shingle_arrays(new_docs) if arrs is None else arrs
     bands_new = band_table(minhash_signature(arrs_new))
     idx_b = spark.read.parquet(f"{index_path}/bands").select(
         F.col("doc_id").alias("idx_id"), "band", "bh"

@@ -831,15 +831,21 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     state = {"ids": []}
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
-        ann = D.dedup_against_index(spark, batch, idx, threshold=0.5)
-        ann.select(
-            F.lit(batch_id).cast("int").alias("batch"), "*"
-        ).write.mode("overwrite").parquet(f"{work}/verdict_b{batch_id}")
-        verd = spark.read.parquet(f"{work}/verdict_b{batch_id}")
-        survivors = batch.join(
-            verd.filter(F.col("survived")).select("doc_id"), "doc_id"
-        )
-        D.append_to_minhash_index(survivors, idx)
+        # one signature pass per batch, shared by the probe and the
+        # append (the two consumers of the tokenize+shingle+hash map)
+        arrs = D.shingle_arrays(batch).persist()
+        try:
+            ann = D.dedup_against_index(
+                spark, batch, idx, threshold=0.5, arrs=arrs
+            )
+            ann.select(
+                F.lit(batch_id).cast("int").alias("batch"), "*"
+            ).write.mode("overwrite").parquet(f"{work}/verdict_b{batch_id}")
+            verd = spark.read.parquet(f"{work}/verdict_b{batch_id}")
+            survivors = verd.filter(F.col("survived")).select("doc_id")
+            D.append_to_minhash_index(survivors, idx, arrs=arrs)
+        finally:
+            arrs.unpersist()
         state["ids"].append(batch_id)
 
     ckpt = _checkpoint_dir("q136")

@@ -688,6 +688,58 @@ def append_to_minhash_index(
     )
 
 
+def delete_from_minhash_index(doc_ids: DataFrame, path: str) -> None:
+    """Retract documents from the at-rest index WITHOUT rewriting it:
+    the doc_ids are appended to a tombstone table the probe
+    anti-joins. This is the content-removal / takedown shape at
+    100 TB — deletion is an O(deleted) append, the band/shingle data
+    stays untouched until ``compact_minhash_index`` folds the
+    tombstones in during scheduled maintenance (the same
+    tombstone-then-compact lifecycle as log-structured stores).
+    A doc deleted and later re-admitted needs a NEW doc_id (the
+    tombstone is by id, the usual immutable-ingest contract).
+    """
+    doc_ids.select("doc_id").write.mode("append").parquet(
+        f"{path}/tombstones"
+    )
+
+
+def _index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
+    """The index's tombstone set, or None if nothing was ever deleted.
+    Existence is probed with a read attempt, not os.path — the index
+    root may be an object-store URI."""
+    try:
+        return spark.read.parquet(f"{path}/tombstones")
+    except Exception:
+        return None
+
+
+def compact_minhash_index(spark: SparkSession, path: str) -> None:
+    """Fold tombstones into the physical index: rewrite bands and
+    shingles minus the deleted docs, then drop the tombstone table.
+    The rewrite materializes to a sibling directory first and swaps —
+    overwriting a parquet dir from a plan that reads it would corrupt
+    the source mid-scan. Probe results are identical before and after
+    (test-pinned); compaction only reclaims space and restores
+    probe-side anti-join-free scans."""
+    import shutil as _shutil
+
+    ts = _index_tombstones(spark, path)
+    if ts is None:
+        return
+    ts = F.broadcast(ts.select("doc_id").distinct())
+    for sub, part in (("bands", "band"), ("shingles", None)):
+        src = spark.read.parquet(f"{path}/{sub}")
+        kept = src.join(ts, "doc_id", "left_anti")
+        w = kept.write.mode("overwrite")
+        if part:
+            w = w.partitionBy(part)
+        w.parquet(f"{path}/{sub}__compact")
+        _shutil.rmtree(f"{path}/{sub}")
+        _shutil.move(f"{path}/{sub}__compact", f"{path}/{sub}")
+    _shutil.rmtree(f"{path}/tombstones")
+
+
 def dedup_against_index(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -714,9 +766,16 @@ def dedup_against_index(
     """
     arrs_new = shingle_arrays(new_docs) if arrs is None else arrs
     bands_new = band_table(minhash_signature(arrs_new))
-    idx_b = spark.read.parquet(f"{index_path}/bands").select(
-        F.col("doc_id").alias("idx_id"), "band", "bh"
-    )
+    idx_b = spark.read.parquet(f"{index_path}/bands")
+    ts = _index_tombstones(spark, index_path)
+    if ts is not None:
+        # retracted docs must not produce candidates (verification
+        # only ever joins shingles for candidate ids, so excluding
+        # them here excludes them everywhere); tombstone sets are tiny
+        # vs the index, so the exclusion is a broadcast anti-join
+        ts = F.broadcast(ts.select("doc_id").distinct())
+        idx_b = idx_b.join(ts, "doc_id", "left_anti")
+    idx_b = idx_b.select(F.col("doc_id").alias("idx_id"), "band", "bh")
     cand = (
         bands_new.withColumnRenamed("doc_id", "new_id")
         .join(idx_b, ["band", "bh"])

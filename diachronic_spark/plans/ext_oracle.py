@@ -2240,3 +2240,62 @@ SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, CAST(n_toks AS BIGINT) AS n_toks
 FROM r WHERE rk <= 10
 ORDER BY lang, rk
 """
+
+# q139: retraction — probe the same near-dup batch (drop-last-word of
+# docs 300-324, +700000) against the full corpus (phase 0) and the
+# corpus minus the deleted range (phase 1). Reuses the q112 probe CTE
+# machinery; phase 1's index CTEs simply exclude the retracted ids.
+def _q139_probe(suffix: str, idx_filter: str) -> str:
+    """cand/inter/j/agg chain for one probe phase over (bndo/sho
+    filtered by ``idx_filter``) vs the batch (bndn/shn)."""
+    return f"""
+cand{suffix} AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS idx_id
+  FROM bndn n JOIN bndo o ON n.band = o.band AND n.bh = o.bh
+  WHERE {idx_filter}),
+inter{suffix} AS (
+  SELECT new_id, idx_id, count(*) AS icnt
+  FROM cand{suffix}
+  JOIN shn sa ON sa.doc_id = new_id
+  JOIN sho sb ON sb.doc_id = idx_id AND sa.shingle = sb.shingle
+  GROUP BY new_id, idx_id),
+j{suffix} AS (
+  SELECT c.new_id,
+         coalesce(i.icnt, 0)
+           / (za.sz + zb.sz - coalesce(i.icnt, 0)) AS jv
+  FROM cand{suffix} c
+  LEFT JOIN inter{suffix} i
+    ON i.new_id = c.new_id AND i.idx_id = c.idx_id
+  JOIN szn za ON za.doc_id = c.new_id
+  JOIN szo zb ON zb.doc_id = c.idx_id),
+agg{suffix} AS (
+  SELECT new_id, count(*) AS n_cand, max(jv) AS mx
+  FROM j{suffix} GROUP BY new_id)"""
+
+
+EXT_ORACLE["q139"] = f"""
+WITH old_c AS (SELECT doc_id, text FROM documents),
+new_c AS (
+  SELECT doc_id + 700000 AS doc_id,
+         array_to_string(list_slice(words, 1, greatest(len(words) - 1, 1)), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id >= 300 AND doc_id < 325)
+),{_mh_cte('o', 'old_c')},{_mh_cte('n', 'new_c')},
+szo AS (SELECT doc_id, count(*) AS sz FROM sho GROUP BY doc_id),
+szn AS (SELECT doc_id, count(*) AS sz FROM shn GROUP BY doc_id),
+{_q139_probe('1', 'TRUE')},
+{_q139_probe('2', 'o.doc_id NOT BETWEEN 300 AND 324')}
+SELECT CAST(0 AS INTEGER) AS phase, n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM new_c n LEFT JOIN agg1 a ON a.new_id = n.doc_id
+UNION ALL
+SELECT CAST(1 AS INTEGER) AS phase, n.doc_id,
+       coalesce(a.n_cand, 0) AS n_cand,
+       round(coalesce(a.mx, -1.0), 2) + 0.0 AS max_jaccard,
+       (a.mx IS NULL OR a.mx < 0.5) AS survived
+FROM new_c n LEFT JOIN agg2 a ON a.new_id = n.doc_id
+ORDER BY phase, doc_id
+"""

@@ -2790,6 +2790,74 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q139: index retraction (tombstone delete, the takedown shape) ---------
+# Completes the at-rest index lifecycle: write (q112's build), read
+# (q112 probe), append (q113/q136), DELETE (here). Deletion is an
+# O(deleted) tombstone append the probe anti-joins — no index rewrite
+# (compact_minhash_index folds tombstones in during maintenance;
+# equivalence test-pinned). The adjudicated fact: a batch of near-dups
+# of docs 300-324 is fully CAUGHT against the live index (phase 0) and
+# fully SURVIVES after those 25 source docs are retracted (phase 1) —
+# wrong tombstone scope, a leaked candidate, or an over-deleted band
+# all change the verdicts. Oracle: the same two probes in SQL, phase 1
+# over the corpus minus the deleted id range.
+_TOMBSTONED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _q139_batch(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = fn.whitespace_tokens(F.col("text"))
+    return docs.filter(
+        (F.col("doc_id") >= 300) & (F.col("doc_id") < 325)
+    ).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(1))),
+        ).alias("text"),
+    )
+
+
+def _tombstoned_index(spark: SparkSession, sf: str) -> str:
+    """Copy of the corpus index with doc_ids 300-324 tombstoned, built
+    once per process (the shared q112 index stays untouched; the
+    delete happens exactly once so repeated q139 runs agree)."""
+    if sf not in _TOMBSTONED_INDEX_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        src = _minhash_index(spark, sf)
+        path = tempfile.mkdtemp(prefix="diachronic_minhash_idx3_")
+        shutil.rmtree(path)
+        shutil.copytree(src, path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        D.delete_from_minhash_index(
+            spark.range(300, 325).select(F.col("id").alias("doc_id")),
+            path,
+        )
+        _TOMBSTONED_INDEX_CACHE[sf] = path
+    return _TOMBSTONED_INDEX_CACHE[sf]
+
+
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    batch = _q139_batch(spark, sf)
+    live = _minhash_index(spark, sf)
+    dead = _tombstoned_index(spark, sf)
+    out = []
+    for phase, idx in ((0, live), (1, dead)):
+        out.append(
+            D.dedup_against_index(spark, batch, idx, threshold=0.5).select(
+                F.lit(phase).cast("int").alias("phase"),
+                "doc_id",
+                "n_cand",
+                _r2(F.col("max_jaccard")).alias("max_jaccard"),
+                "survived",
+            )
+        )
+    return out[0].unionByName(out[1]).orderBy("phase", "doc_id")
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -2898,5 +2966,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q120": q120, "q121": q121, "q122": q122, "q123": q123,
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
-    "q132": q132, "q133": q133, "q135": q135, "q138": q138,
+    "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
 }

@@ -319,6 +319,64 @@ def test_index_append_back_idempotent(spark, tmp_path):
     )
 
 
+def test_index_delete_and_compact(spark, tmp_path):
+    """Retraction lifecycle: tombstoned docs stop producing candidates
+    immediately (no rewrite), compaction folds the tombstones into the
+    physical files with IDENTICAL probe results, and an append after a
+    delete behaves normally."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs today"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    D.write_minhash_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy")],
+        ["doc_id", "text"],
+    )
+    # caught while doc 1 is live
+    ann = D.dedup_against_index(spark, batch, idx, threshold=0.5)
+    assert not ann.first().survived
+
+    D.delete_from_minhash_index(
+        spark.createDataFrame([(1,)], ["doc_id"]), idx
+    )
+    # materialize: ann2's plan reads the tombstone files, which the
+    # compaction below deletes — a lazy re-collect would fail
+    ann2 = D.dedup_against_index(spark, batch, idx, threshold=0.5).collect()
+    (r2,) = ann2
+    assert r2.survived and r2.n_cand == 0 and r2.max_jaccard == -1.0
+
+    # compaction: same probe answer, tombstone table gone, physical
+    # rows for doc 1 removed
+    D.compact_minhash_index(spark, idx)
+    import os as _os
+
+    assert not _os.path.exists(f"{idx}/tombstones")
+    assert (
+        spark.read.parquet(f"{idx}/bands").filter("doc_id = 1").count()
+        == 0
+    )
+    ann3 = D.dedup_against_index(spark, batch, idx, threshold=0.5)
+    assert sorted(map(tuple, ann3.collect())) == sorted(map(tuple, ann2))
+    # compacting with no tombstones is a no-op
+    D.compact_minhash_index(spark, idx)
+    assert (
+        spark.read.parquet(f"{idx}/shingles").filter("doc_id = 2").count()
+        == 1
+    )
+
+    # append after delete: the batch (now a survivor) is admitted and
+    # catches its own re-submission
+    D.append_to_minhash_index(batch, idx)
+    resub = batch.selectExpr("doc_id + 1000 AS doc_id", "text")
+    r4 = D.dedup_against_index(spark, resub, idx, threshold=0.5).first()
+    assert not r4.survived and r4.max_jaccard == 1.0
+
+
 def test_duplicated_spans_cross_doc_only(spark):
     """Only spans shared ACROSS documents count; within-doc repeats and
     short docs score zero."""

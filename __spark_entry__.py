@@ -56,9 +56,14 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # Changed since their last driver row (round-5 edits): q115 carries
 # r4's RED row (int-width fix on both sides — must re-adjudicate
 # first), q117's oracle now folds updates sequentially with null-skip,
-# q122's CSV leg pins an explicit nullValue. The r4-era stale set
-# (q37/q51) got green rows in r4 and is retired.
-_STALE = ("q115", "q117", "q122")
+# q122's CSV leg pins an explicit nullValue. q112/q113 rerun through
+# dedup_against_index/append_to_minhash_index after the arrs-sharing +
+# tombstone additions (defaults preserve behavior; local parity green,
+# but their r3/r4 rows predate the edit), and q110 goes through
+# purchase_attribution_join after the `how` parameter landed (default
+# unchanged). The r4-era stale set (q37/q51) got green rows in r4 and
+# is retired.
+_STALE = ("q115", "q117", "q122", "q112", "q113", "q110")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -384,6 +384,96 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def containment_pairs(
+    arrs: DataFrame, threshold: float = 0.8, max_df: int = 5
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B|/|A| — catches a
+    doc wholly embedded in a larger one (boilerplate-wrapped articles,
+    quote expansions, excerpt pages), where symmetric jaccard is only
+    ~|A|/|B| and jaccard-LSH (q23) never bands the pair together.
+
+    Candidates come from a shared RARE shingle (df <= ``max_df``), the
+    same skew-guarded posting-list expansion as the q26 jaccard path:
+    A ⊆ B implies every shingle of A is also B's, so ANY rare shingle
+    of A produces the (A, B) candidate — a contained doc is found iff
+    it has at least one rare shingle (the documented recall bound; a
+    doc made ENTIRELY of corpus-hot shingles needs the span-level
+    operator ``duplicated_spans`` instead, and a hot shingle never
+    materializes its quadratic pair set). Exact containment is then
+    verified in both directions over the full hashed shingle sets,
+    candidates only.
+
+    Returns (contained, container, n_shared, containment, jaccard)
+    for ordered pairs with containment >= ``threshold``; emitting
+    jaccard alongside shows exactly which catches the symmetric
+    measure would have missed.
+    """
+    sh = arrs.select("doc_id", F.explode("hset").alias("shash"))
+    postings = (
+        sh.groupBy("shash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, max_df))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice(
+                    "ds",
+                    i + F.lit(2),
+                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    pairs = (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = arrs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hset").alias("ha"),
+        F.col("sz").alias("za"),
+    )
+    b = arrs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hset").alias("hb"),
+        F.col("sz").alias("zb"),
+    )
+    icnt = F.size(F.array_intersect("ha", "hb")).cast("bigint")
+    base = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", icnt.alias("icnt"), "za", "zb")
+    )
+    fwd = base.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "icnt",
+        F.col("za").alias("zc"),
+        F.col("zb").alias("zt"),
+    )
+    rev = base.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        "icnt",
+        F.col("zb").alias("zc"),
+        F.col("za").alias("zt"),
+    )
+    d = fwd.unionByName(rev)
+    return d.filter(F.col("icnt") / F.col("zc") >= threshold).select(
+        "contained",
+        "container",
+        F.col("icnt").alias("n_shared"),
+        (F.col("icnt") / F.col("zc")).alias("containment"),
+        (
+            F.col("icnt") / (F.col("zc") + F.col("zt") - F.col("icnt"))
+        ).alias("jaccard"),
+    )
+
+
 def exact_dedup(documents: DataFrame, key: str = "text") -> DataFrame:
     """L1 exact dedup: keep the min-doc_id representative per content
     hash (deterministic, unlike dropDuplicates)."""

@@ -2299,3 +2299,53 @@ SELECT CAST(1 AS INTEGER) AS phase, n.doc_id,
 FROM new_c n LEFT JOIN agg2 a ON a.new_id = n.doc_id
 ORDER BY phase, doc_id
 """
+
+# q140: containment replay — same excerpt-augmented corpus, rare-
+# shingle candidates (df <= 5), exact intersection over full sets,
+# both directions, containment >= 0.8.
+EXT_ORACLE["q140"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 800000 AS doc_id,
+         array_to_string(list_slice(words, 1, 10), ' ') AS text
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+        FROM documents WHERE doc_id >= 325 AND doc_id < 350)),
+tk AS (SELECT doc_id,
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+       FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(list_slice(w, i, i + 2), ' ')
+                 FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS shingle
+  FROM tk),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 5),
+shr AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+  FROM shr sa JOIN shr sb
+    ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b),
+dir AS (
+  SELECT doc_a AS contained, doc_b AS container, icnt,
+         za.sz AS zc, zb.sz AS zt
+  FROM inter JOIN sizes za ON za.doc_id = doc_a
+             JOIN sizes zb ON zb.doc_id = doc_b
+  UNION ALL
+  SELECT doc_b, doc_a, icnt, zb.sz, za.sz
+  FROM inter JOIN sizes za ON za.doc_id = doc_a
+             JOIN sizes zb ON zb.doc_id = doc_b)
+SELECT contained, container, CAST(icnt AS BIGINT) AS n_shared,
+       round(icnt / zc, 2) + 0.0 AS containment,
+       round(icnt / (zc + zt - icnt), 2) + 0.0 AS jaccard
+FROM dir
+WHERE icnt / zc >= 0.8
+ORDER BY contained, container
+"""

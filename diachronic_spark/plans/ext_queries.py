@@ -2858,6 +2858,34 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
     return out[0].unionByName(out[1]).orderBy("phase", "doc_id")
 
 
+# --- q140: containment dedup (the asymmetric case jaccard-LSH misses) ------
+# Excerpt pages / boilerplate-wrapped copies: the corpus is augmented
+# with the first 10 words of docs 325-349 (+800000) — each excerpt's
+# shingle set is a SUBSET of its source's, so containment is 1.0 while
+# jaccard is ~8/|source| (far below any LSH threshold; q23 structurally
+# cannot band these pairs). The operator must surface exactly the
+# forged excerpts (plus any organic containments) with their jaccard
+# alongside, proving the catch is beyond the symmetric measure.
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    toks = fn.whitespace_tokens(F.col("text"))
+    excerpts = docs.filter(
+        (F.col("doc_id") >= 325) & (F.col("doc_id") < 350)
+    ).select(
+        (F.col("doc_id") + 800000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
+    )
+    arrs = D.shingle_arrays(docs.unionByName(excerpts))
+    res = D.containment_pairs(arrs, threshold=0.8)
+    return res.select(
+        "contained",
+        "container",
+        "n_shared",
+        _r2(F.col("containment")).alias("containment"),
+        _r2(F.col("jaccard")).alias("jaccard"),
+    ).orderBy("contained", "container")
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -2967,4 +2995,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
+    "q140": q140,
 }

@@ -312,3 +312,37 @@ def test_count_star_scan_reads_zero_columns(spark, sf_dir):
     df = load(spark, sf_dir, "lineitem").groupBy().count()
     p = plan_str(df)
     assert "ReadSchema: struct<>" in p
+
+
+def test_q140_containment_join_has_no_cartesian(spark, sf_dir):
+    """Containment candidates must come from the rare-shingle posting
+    expansion + equi-joins — Cartesian/NestedLoop would mean the
+    blocking degenerated into all-pairs."""
+    p = plan_str(QUERIES["q140"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "NestedLoop" not in p
+
+
+def test_q139_tombstone_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    """Retraction must not reshuffle the index: the tombstone set is
+    KB-scale vs the band table, so its exclusion has to plan as a
+    broadcast LeftAnti on the index read."""
+    from diachronic_spark.operators import dedup as D
+    from diachronic_spark.plans.ext_queries import (
+        _q139_batch,
+        _tombstoned_index,
+    )
+
+    df = D.dedup_against_index(
+        spark,
+        _q139_batch(spark, sf_dir),
+        _tombstoned_index(spark, sf_dir),
+        threshold=0.5,
+    )
+    p = plan_str(df)
+    assert "LeftAnti" in p, "tombstones must exclude via anti-join"
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", p), (
+        "tombstone anti-join must be broadcast, not shuffled"
+    )

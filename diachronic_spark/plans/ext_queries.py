@@ -2875,7 +2875,13 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("doc_id") + 800000).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, 1, 10)).alias("text"),
     )
-    arrs = D.shingle_arrays(docs.unionByName(excerpts))
+    # THREE consumers inside containment_pairs (posting lists + both
+    # verify joins) — without the persist the tokenize+shingle+hash
+    # map runs three times (the SCALE.md tokenization rule; measured
+    # 6.3 -> ~2 s at sf0.1)
+    arrs = managed_persist(
+        D.shingle_arrays(docs.unionByName(excerpts)), "q140.arrs"
+    )
     res = D.containment_pairs(arrs, threshold=0.8)
     return res.select(
         "contained",

@@ -63,7 +63,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # purchase_attribution_join after the `how` parameter landed (default
 # unchanged). The r4-era stale set (q37/q51) got green rows in r4 and
 # is retired.
-_STALE = ("q115", "q117", "q122", "q112", "q113", "q110")
+# q26/q52's candidate generation now routes through the extracted
+# dedup.rare_shingle_pairs helper (same plan, deduplicated code) —
+# their r3/r4 rows predate the refactor.
+_STALE = ("q115", "q117", "q122", "q112", "q113", "q110", "q26", "q52")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

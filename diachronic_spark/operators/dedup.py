@@ -384,6 +384,44 @@ def simhash_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def rare_shingle_pairs(arrs: DataFrame, max_df: int = 5) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs sharing at least one RARE
+    shingle (document frequency <= ``max_df``) — the skew-guarded
+    inverted-index blocking shared by the n-gram jaccard join (q26/
+    q52) and the containment join (q140).
+
+    Shuffle key is the 8-byte shingle hash; one hash-agg builds each
+    posting list, the df cap filters BEFORE the in-expression pair
+    expansion, so a hot shingle never materializes its quadratic pair
+    set (it's dropped, not expanded — hot shingles carry no dedup
+    signal anyway). A hash collision can only merge two posting lists
+    (false candidates are removed by the caller's exact verify)."""
+    sh = arrs.select("doc_id", F.explode("hset").alias("shash"))
+    postings = (
+        sh.groupBy("shash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, max_df))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda a, i: F.transform(
+                F.slice(
+                    "ds",
+                    i + F.lit(2),
+                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def containment_pairs(
     arrs: DataFrame, threshold: float = 0.8, max_df: int = 5
 ) -> DataFrame:
@@ -408,30 +446,7 @@ def containment_pairs(
     jaccard alongside shows exactly which catches the symmetric
     measure would have missed.
     """
-    sh = arrs.select("doc_id", F.explode("hset").alias("shash"))
-    postings = (
-        sh.groupBy("shash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds").between(2, max_df))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "ds",
-            lambda a, i: F.transform(
-                F.slice(
-                    "ds",
-                    i + F.lit(2),
-                    F.greatest(F.size("ds") - i - 1, F.lit(0)),
-                ),
-                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-            ),
-        )
-    )
-    pairs = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    pairs = rare_shingle_pairs(arrs, max_df)
     a = arrs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hset").alias("ha"),
@@ -797,11 +812,19 @@ def delete_from_minhash_index(doc_ids: DataFrame, path: str) -> None:
 def _index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The index's tombstone set, or None if nothing was ever deleted.
     Existence is probed with a read attempt, not os.path — the index
-    root may be an object-store URI."""
+    root may be an object-store URI. ONLY path-not-found maps to None:
+    any other read failure (expired credentials, corrupt footer, a
+    transient store error) must propagate — treating it as "nothing
+    deleted" would silently resurrect retracted docs in the probe."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(f"{path}/tombstones")
-    except Exception:
-        return None
+    except AnalysisException as e:
+        cls = getattr(e, "getErrorClass", lambda: None)() or ""
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:
@@ -809,9 +832,16 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     shingles minus the deleted docs, then drop the tombstone table.
     The rewrite materializes to a sibling directory first and swaps —
     overwriting a parquet dir from a plan that reads it would corrupt
-    the source mid-scan. Probe results are identical before and after
-    (test-pinned); compaction only reclaims space and restores
-    probe-side anti-join-free scans."""
+    the source mid-scan. The swap parks the old dir aside BEFORE the
+    new one moves in and deletes it last, so a crash at any point
+    leaves either a complete old or a complete new table on disk
+    (plus at worst a recoverable ``__old`` sibling). The swap is
+    directory-rename based and therefore LOCAL-FS maintenance; on an
+    object store, point the rewrite at a fresh index root and flip
+    the reader's pointer instead (renames there are copies, and no
+    multi-object commit is atomic). Probe results are identical
+    before and after (test-pinned); compaction only reclaims space
+    and restores probe-side anti-join-free scans."""
     import shutil as _shutil
 
     ts = _index_tombstones(spark, path)
@@ -821,12 +851,25 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
     for sub, part in (("bands", "band"), ("shingles", None)):
         src = spark.read.parquet(f"{path}/{sub}")
         kept = src.join(ts, "doc_id", "left_anti")
-        w = kept.write.mode("overwrite")
-        if part:
-            w = w.partitionBy(part)
-        w.parquet(f"{path}/{sub}__compact")
-        _shutil.rmtree(f"{path}/{sub}")
+        if kept.isEmpty():
+            # a full takedown must still leave a READABLE (schema-only)
+            # table: with rows, partitionBy writes per-key dirs, but an
+            # empty write would emit only _SUCCESS (dynamic partition
+            # dirs need rows) and brick every later probe at schema
+            # inference — so the empty case writes ONE unpartitioned
+            # schema-only file (the partition column becomes a regular
+            # column of the same type; probes join on it identically)
+            kept.repartition(1).write.mode("overwrite").parquet(
+                f"{path}/{sub}__compact"
+            )
+        else:
+            w = kept.write.mode("overwrite")
+            if part:
+                w = w.partitionBy(part)
+            w.parquet(f"{path}/{sub}__compact")
+        _shutil.move(f"{path}/{sub}", f"{path}/{sub}__old")
         _shutil.move(f"{path}/{sub}__compact", f"{path}/{sub}")
+        _shutil.rmtree(f"{path}/{sub}__old")
     _shutil.rmtree(f"{path}/tombstones")
 
 

@@ -92,45 +92,15 @@ def _rare_shingle_jaccard(
 ) -> tuple[DataFrame, DataFrame]:
     """(corpus, exact-jaccard pairs) — the q26 pipeline, shared with the
     q52 component clustering."""
-    max_df = 5
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
     arrs = managed_persist(  # shared by 2 plan branches
         D.shingle_arrays(corpus), "rare_shingle.arrs"
     )
-    # Shuffle key is xxhash64(shingle), not the shingle string: 8-byte
-    # keys keep the exchange small. A hash collision can only merge two
-    # posting lists (false candidates are removed by the exact-jaccard
-    # verify; a rare shingle pushed over the df cap by a collision is a
-    # ~n²/2^64 false-negative risk — zero collisions on the fixtures).
-    sh = arrs.select("doc_id", F.explode("hset").alias("shash"))
-    # One hash-agg builds the posting list per shingle; rare shingles
-    # (df <= 5) expand to <= C(5,2) pairs IN-EXPRESSION — no posting
-    # self-join, no second shuffle, and the df cap bounds the expansion
-    # (the skew guard: a hot shingle never materializes its quadratic
-    # pair set, it's filtered before expansion).
-    postings = (
-        sh.groupBy("shash")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds").between(2, max_df))
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            "ds",
-            lambda a, i: F.transform(
-                F.slice(
-                    "ds", i + F.lit(2), F.greatest(F.size("ds") - i - 1, F.lit(0))
-                ),
-                lambda b: F.struct(
-                    a.alias("doc_a"), b.alias("doc_b")
-                ),
-            ),
-        )
-    )
-    pairs = (
-        postings.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # candidate blocking = dedup.rare_shingle_pairs (one hash-agg of
+    # 8-byte shingle hashes, df-capped in-expression pair expansion —
+    # see its docstring for the skew/collision analysis), shared with
+    # the q140 containment join
+    pairs = D.rare_shingle_pairs(arrs, max_df=5)
     jac = D.jaccard_for_pairs(pairs, arrs)
     return corpus, jac.filter(F.col("jaccard") >= 0.3)
 
@@ -2768,7 +2738,13 @@ def q135(spark: SparkSession, sf: str) -> DataFrame:
 # at 100 TB with few strata, swap the window for the same
 # per-partition-heap TakeOrdered pattern as q8/W5 per stratum (or
 # pre-aggregate a per-partition top-10 before the shuffle); the
-# priority function is unchanged.
+# priority function is unchanged. Cross-engine note: the rank order
+# compares raw ln(u)/w doubles, and JVM Math.log vs DuckDB's libm ln
+# may each be off by ~1 ulp — two docs whose priorities differ by
+# <2 ulp at the rank-10 boundary could order differently across
+# engines. Observed gaps are ~1e-3 vs ulp noise ~1e-16 (bit-exact at
+# all three SFs); accepted as the same residual-float-risk class as
+# the repo's other double-ordered top-k queries.
 def q138(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
     toks = fn.whitespace_tokens(F.col("text"))
@@ -2842,12 +2818,17 @@ def _tombstoned_index(spark: SparkSession, sf: str) -> str:
 
 def q139(spark: SparkSession, sf: str) -> DataFrame:
     batch = _q139_batch(spark, sf)
+    # both probe phases share one signature pass over the same batch
+    # (the arrs-sharing contract dedup_against_index grew for q136)
+    arrs = managed_persist(D.shingle_arrays(batch), "q139.arrs")
     live = _minhash_index(spark, sf)
     dead = _tombstoned_index(spark, sf)
     out = []
     for phase, idx in ((0, live), (1, dead)):
         out.append(
-            D.dedup_against_index(spark, batch, idx, threshold=0.5).select(
+            D.dedup_against_index(
+                spark, batch, idx, threshold=0.5, arrs=arrs
+            ).select(
                 F.lit(phase).cast("int").alias("phase"),
                 "doc_id",
                 "n_cand",

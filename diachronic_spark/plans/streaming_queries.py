@@ -644,13 +644,18 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-# q137's watermark delay (purchase_attribution_join default) and the
-# extra safety margin, in ms. The margin absorbs the engine's internal
-# ±1 ms strict-vs-non-strict adjustments around state eviction
-# (StreamingJoinHelper): both sides only adjudicate unmatched
-# purchases STRICTLY below cutoff - margin, where emission is provable
-# — the q102 boundary-exclusion pattern applied to outer-join nulls.
+# q137's watermark delay (the string passed to the join) with its ms
+# form pinned by assertion so the Spark-side cutoff, the oracle SQL,
+# and the join definition can never drift apart (the WATERMARK_MS
+# idiom above), plus an extra safety margin: the margin absorbs the
+# engine's internal ±1 ms strict-vs-non-strict adjustments around
+# state eviction (StreamingJoinHelper) — both sides only adjudicate
+# unmatched purchases STRICTLY below cutoff - margin, where emission
+# is provable — the q102 boundary-exclusion pattern applied to
+# outer-join nulls.
+Q137_WATERMARK = "1 hour"
 Q137_DELAY_MS = 3_600_000
+assert Q137_WATERMARK == "1 hour" and Q137_DELAY_MS == 3600 * 1000
 Q137_MARGIN_MS = 1_000
 
 _Q137_CUTOFF_CACHE: dict[str, int] = {}
@@ -708,7 +713,7 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         clicks,
         purchases,
         attribution_window="4 hours",
-        watermark="1 hour",
+        watermark=Q137_WATERMARK,
         how="right_outer",
     )
     sink = _drain_to_table(
@@ -873,6 +878,23 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         )
     from .ext_queries import _r2
 
+    # assert the ORDER, not just the count: each micro-batch must have
+    # carried its intended file (mtime ordering is the file source's
+    # contract, but a coarse-mtime filesystem or rebuilt cache could
+    # silently swap them and invert the cross-batch fact) — batch 0's
+    # verdicts are the +300000/+400000 docs, batch 1's the
+    # +500000/+600000 docs
+    for bid, lo, hi in ((0, 300000, 500000), (1, 500000, 700000)):
+        n_out = (
+            spark.read.parquet(f"{work}/verdict_b{bid}")
+            .filter((F.col("doc_id") < lo) | (F.col("doc_id") >= hi))
+            .count()
+        )
+        if n_out:
+            raise RuntimeError(
+                f"q136: batch {bid} carried {n_out} doc_ids outside "
+                f"[{lo}, {hi}) — staged files arrived out of order"
+            )
     verdicts = spark.read.parquet(f"{work}/verdict_b0").unionByName(
         spark.read.parquet(f"{work}/verdict_b1")
     )

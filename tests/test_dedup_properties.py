@@ -377,6 +377,29 @@ def test_index_delete_and_compact(spark, tmp_path):
     assert not r4.survived and r4.max_jaccard == 1.0
 
 
+def test_index_full_takedown_compacts_to_readable_empty(spark, tmp_path):
+    """Deleting EVERY doc then compacting must leave a readable
+    (schema-only) index, not an unreadable dir of _SUCCESS files —
+    probes against the emptied index answer 'no candidates'."""
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    D.write_minhash_index(corpus, idx)
+    D.delete_from_minhash_index(
+        spark.createDataFrame([(1,)], ["doc_id"]), idx
+    )
+    D.compact_minhash_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/bands").count() == 0
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy")],
+        ["doc_id", "text"],
+    )
+    r = D.dedup_against_index(spark, batch, idx, threshold=0.5).first()
+    assert r.survived and r.n_cand == 0
+
+
 def test_duplicated_spans_cross_doc_only(spark):
     """Only spans shared ACROSS documents count; within-doc repeats and
     short docs score zero."""

@@ -821,7 +821,10 @@ def _index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(f"{path}/tombstones")
     except AnalysisException as e:
-        cls = getattr(e, "getErrorClass", lambda: None)() or ""
+        getter = getattr(e, "getCondition", None) or getattr(
+            e, "getErrorClass", lambda: None
+        )
+        cls = getter() or ""
         if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
             return None
         raise

@@ -243,24 +243,30 @@ def kmeans_lazy(
     id_col: str = "vec_id",
     dim: int = 64,
     round_to: int = 6,
+    cache_key: str = "kmeans_lazy",
 ) -> tuple[DataFrame, DataFrame]:
     """Same semantics as ``kmeans`` (identical assignments/centroids —
     test-pinned), but fully LAZY: iterations chain as DataFrame lineage
     and execute as one Catalyst-planned job, paying one scheduling
     round-trip instead of n_iter+2. Per iteration only two narrow
-    shuffles (vec_id agg, cell agg) separate the stages."""
+    shuffles (vec_id agg, cell agg) separate the stages.
+
+    ``cache_key``: callers fitting a DIFFERENT corpus (q141's augmented
+    embeddings vs q51's raw table) pass their own key — sharing the
+    default key would make alternating callers evict each other's
+    fitted cache every run (managed_persist swaps on plan change)."""
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    v = managed_persist(v, "kmeans_lazy.v")
+    v = managed_persist(v, f"{cache_key}.v")
     cents = _init_cents(v, k, round_to)
     for _ in range(n_iter):
         cents = _mean_cents(_assigned(v, cents), dim, round_to)
     # Both returned frames — and an IVF probe built on them — embed
     # this same iteration subtree. Caching the k-row result makes every
     # consumer after the first a cache hit instead of a full re-fit.
-    cents = managed_persist(cents, "kmeans_lazy.cents")
+    cents = managed_persist(cents, f"{cache_key}.cents")
     return _assigned(v, cents).select("vec_id", "cell"), cents
 
 

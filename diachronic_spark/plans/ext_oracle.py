@@ -565,27 +565,24 @@ ORDER BY event_type
 """
 
 
-def _kmeans_ivf_sql(
-    k: int = 8,
-    n_iter: int = 3,
-    n_probe: int = 2,
-    qid: int = 7,
-    topk: int = 5,
-    dim: int = 64,
-    rnd: int = 6,
-) -> str:
-    """Unrolled Lloyd's k-means + IVF probe, mirroring operators/
-    similarity.py kmeans()/ivf_topk_with_cells() CTE-for-CTE.
+def _kmeans_chain(
+    v_cte: str, k: int, n_iter: int, dim: int, rnd: int
+) -> tuple[list[str], str]:
+    """Unrolled Lloyd's k-means CTE chain over a ``v(vec_id,
+    embedding)`` relation, mirroring operators/similarity.py kmeans()
+    CTE-for-CTE — shared by the q51 IVF oracle and the q141 SemDeDup
+    oracle (different corpora, identical fit).
 
     Each iteration is (argmax-cosine assignment, element-wise mean
     rounded to ``rnd`` dp); rounding is what keeps Spark's and DuckDB's
-    summation-order float drift from ever flipping an assignment."""
+    summation-order float drift from ever flipping an assignment.
+    Returns (ctes, final_assignment_cte_name)."""
     ctes = [
-        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        v_cte,
         f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
          [round(embedding[i]::DOUBLE, {rnd}) FOR i IN generate_series(1, {dim})] AS c
-  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k}))""",
+  FROM (SELECT vec_id, embedding FROM v ORDER BY vec_id LIMIT {k}))""",
     ]
     for it in range(n_iter):
         cos = _COS.format(a="v.embedding", b=f"c{it}.c")
@@ -608,6 +605,24 @@ def _kmeans_ivf_sql(
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {fin} DESC, c{n_iter}.cell ASC) AS rn
     FROM v, c{n_iter}) WHERE rn = 1)""")
+    return ctes, f"a{n_iter}"
+
+
+def _kmeans_ivf_sql(
+    k: int = 8,
+    n_iter: int = 3,
+    n_probe: int = 2,
+    qid: int = 7,
+    topk: int = 5,
+    dim: int = 64,
+    rnd: int = 6,
+) -> str:
+    """Unrolled k-means (see _kmeans_chain) + the IVF probe, mirroring
+    operators/similarity.py ivf_topk_with_cells()."""
+    ctes, _ = _kmeans_chain(
+        "v AS (SELECT vec_id, embedding FROM embeddings)",
+        k, n_iter, dim, rnd,
+    )
     ctes.append(f"q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = {qid})")
     probe_cos = _COS.format(a=f"c{n_iter}.c", b="qe")
     ctes.append(f"""probe AS (
@@ -2349,3 +2364,62 @@ FROM dir
 WHERE icnt / zc >= 0.8
 ORDER BY contained, container
 """
+
+# q141: SemDeDup replay — the q37 augmented corpus, the q51 unrolled
+# k-means fit (shared _kmeans_chain), within-cell pair scan at
+# cosine >= 0.95, recursive-CTE transitive closure (q52's), keep-min
+# representative per semantic group.
+def _semdedup_sql(
+    k: int = 8, n_iter: int = 3, dim: int = 64, rnd: int = 6,
+    thr: float = 0.95,
+) -> str:
+    # NB the perturbation seed is the NEW id (vec_id + 100000):
+    # Spark's lateral-column-alias resolution makes the transform's
+    # F.col("vec_id") see the aliased output column, not the input
+    # (similarity.py::with_near_duplicate_vectors). q37's oracle seeds
+    # from the original id and still matches because its adjudicated
+    # output (2dp cosines, 0.99-threshold pairs) is insensitive to
+    # which seed perturbs — a k-means FIT is not, so this replay must
+    # mirror the engine's actual arithmetic.
+    aug = """aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(64),
+             i -> embedding[i+1]::DOUBLE
+                  + (((vec_id + 100000)*64 + i) % 7 - 3) * 0.005)
+  FROM embeddings WHERE vec_id < 50)"""
+    ctes, fin = _kmeans_chain(
+        "v AS (SELECT vec_id, emb AS embedding FROM aug)",
+        k, n_iter, dim, rnd,
+    )
+    ctes.insert(0, aug)
+    ctes.append(f"""pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN {fin} xa ON xa.vec_id = a.vec_id
+       JOIN v b ON a.vec_id < b.vec_id
+       JOIN {fin} xb ON xb.vec_id = b.vec_id AND xb.cell = xa.cell
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {thr})""")
+    ctes.append("""edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM pairs)""")
+    ctes.append("""reach(a, b) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)""")
+    ctes.append(
+        "lab AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT x.vec_id, CAST(x.cell AS INTEGER) AS cell,
+       l.component AS keeper, (l.component = x.vec_id) AS is_kept
+FROM {fin} x JOIN lab l ON l.vec_id = x.vec_id
+ORDER BY x.vec_id"""
+    )
+
+
+EXT_ORACLE["q141"] = _semdedup_sql()

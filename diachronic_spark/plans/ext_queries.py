@@ -2873,6 +2873,53 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("contained", "container")
 
 
+# --- q141: SemDeDup — semantic dedup via cluster-then-prune (L2/L3) --------
+# The embedding-space analog of the shingle dedup family, after
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication" (Abbas et al., 2023): k-means the corpus, search for
+# near-duplicate pairs ONLY within each cluster, transitively close
+# the pair set, keep one doc per semantic group. The within-cluster
+# restriction is the scale contract — pair search is quadratic only in
+# cluster size (k grows with the corpus so clusters stay bounded), and
+# its recall bound (a cross-cluster dup pair is missed) is the
+# documented trade the paper makes. Corpus = embeddings + the q37
+# perturbed copies (cos ≈ 0.997 vs a 0.51 max unrelated pair), so the
+# catch set has real positives; the oracle replays the exact unrolled
+# k-means (q51's machinery), the within-cell pair scan, and a
+# recursive-CTE closure (q52's).
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    aug = S.with_near_duplicate_vectors(load(spark, sf, "embeddings"))
+    assign, _ = S.kmeans_lazy(
+        aug, k=8, n_iter=3, vec_col="emb", cache_key="semdedup"
+    )
+    va = aug.join(assign, "vec_id")
+    a = va.select(
+        F.col("vec_id").alias("doc_a"), F.col("emb").alias("ea"), "cell"
+    )
+    b = va.select(
+        F.col("vec_id").alias("doc_b"), F.col("emb").alias("eb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(fn.cosine_similarity("ea", "eb") >= 0.95)
+        .select("doc_a", "doc_b")
+    )
+    comp = D.connected_components_auto(
+        pairs, aug.select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        assign.join(comp, assign.vec_id == comp.doc_id)
+        .select(
+            assign.vec_id.alias("vec_id"),
+            "cell",
+            F.col("component").alias("keeper"),
+            (F.col("component") == assign.vec_id).alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -2982,5 +3029,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
-    "q140": q140,
+    "q140": q140, "q141": q141,
 }

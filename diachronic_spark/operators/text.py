@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_prefix32, whitespace_tokens
+from ._cache import managed_persist
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small and fixed: the operator contract is the
@@ -592,6 +593,62 @@ def bigram_pairs(tokens: "F.Column") -> "F.Column":
     )
     return F.when(n >= 2, pairs).otherwise(
         F.array().cast("array<struct<a:string,b:string>>")
+    )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style count-LM quality score: each document's mean
+    add-one-smoothed bigram log-likelihood ln((c2+1)/(c1+V)) under the
+    corpus's OWN bigram counts (c2 = corpus count of the bigram, c1 =
+    of its conditioning word, V = vocabulary size) — the perplexity-
+    proxy filter count-based pipelines use where CCNet uses a KenLM:
+    repetitive/boilerplate text scores high (its bigrams are common),
+    gibberish scores low (bigrams unseen elsewhere, smoothing floor).
+    Complements ``q135``'s coverage signal (set membership) with an
+    actual likelihood.
+
+    Shape: bigrams come from the row-local HOF (no shuffle to build
+    them); the LM tables are two hash-aggs whose exchanges carry
+    DISTINCT (a, b) / token keys after map-side partial collapse; the
+    scoring pass joins the exploded bigrams to c2 on (a, b) and to c1
+    on the conditioning word, then one per-doc avg. V rides along as a
+    broadcast 1-row frame — never a driver scalar in the plan. At
+    100 TB the LM tables are the classic count-model shuffle (hot
+    bigrams pre-collapsed map-side); score against a REFERENCE corpus
+    by swapping the c1/c2/V inputs, same plan.
+
+    Docs with < 2 tokens have no bigrams and are absent from the
+    result (inner semantics, both engines). Returns
+    (id_col, n_bigrams, avg_logp).
+    """
+    base = df.select(
+        F.col(id_col), whitespace_tokens(F.col(text_col)).alias("__toks")
+    )
+    bg = base.select(
+        id_col, F.explode(bigram_pairs(F.col("__toks"))).alias("p")
+    ).select(id_col, F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bg = managed_persist(bg, "lm.bg")  # consumers: c2 agg + scoring join
+    tok = base.select(F.explode("__toks").alias("t"))
+    c1 = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = managed_persist(c1, "lm.c1")  # consumers: V count + scoring join
+    vv = c1.agg(F.count(F.lit(1)).alias("v"))
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        bg.join(c2, ["a", "b"])
+        .join(c1, bg["a"] == c1["t"])
+        .crossJoin(F.broadcast(vv))
+        .select(
+            id_col,
+            F.log(
+                (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
     )
 
 

@@ -2423,3 +2423,30 @@ ORDER BY x.vec_id"""
 
 
 EXT_ORACLE["q141"] = _semdedup_sql()
+
+# q142: bigram count-LM replay — same tokenization, corpus bigram/
+# unigram counts, vocabulary size, add-one smoothing, per-doc mean.
+EXT_ORACLE["q142"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+bg0 AS (
+  SELECT doc_id,
+         unnest([struct_pack(a := w[i], b := w[i + 1])
+                 FOR i IN generate_series(1, len(w) - 1)]) AS p
+  FROM tk),
+bg AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg0),
+tok AS (SELECT unnest(w) AS t FROM tk),
+c1 AS (SELECT t, count(*) AS c1 FROM tok GROUP BY t),
+vv AS (SELECT count(*) AS v FROM c1),
+c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+sc AS (
+  SELECT bg.doc_id, ln((c2.c2 + 1.0) / (c1.c1 + vv.v)) AS lp
+  FROM bg JOIN c2 USING (a, b)
+          JOIN c1 ON c1.t = bg.a, vv)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(lp), 2) + 0.0 AS avg_logp
+FROM sc GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -2920,6 +2920,19 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q142: bigram count-LM quality score (L4/L6, the CCNet filter) ---------
+# The perplexity-proxy quality filter: mean add-one-smoothed bigram
+# log-likelihood under the corpus's own counts (see
+# text.bigram_lm_scores). q135 checks trigram SET membership; this is
+# the actual likelihood the CCNet-style pipelines threshold on.
+def q142(spark: SparkSession, sf: str) -> DataFrame:
+    d = widen(load(spark, sf, "documents").select("doc_id", "text"))
+    s = T.bigram_lm_scores(d)
+    return s.select(
+        "doc_id", "n_bigrams", _r2(F.col("avg_logp")).alias("avg_logp")
+    ).orderBy("doc_id")
+
+
 # --- q133: end-to-end corpus curation pipeline (operator composition) ------
 # The capstone composition a real training-data build runs, each stage
 # an already-adjudicated operator, chained and adjudicated AS A WHOLE:
@@ -3029,5 +3042,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
-    "q140": q140, "q141": q141,
+    "q140": q140, "q141": q141, "q142": q142,
 }

@@ -56,9 +56,11 @@ SUBSET = [
     "q132", "q133", "q135",
     # round-5 late adds, all over scaled facts: the streaming ingest
     # loop (q136 — index build + banded probe at 3x corpus), the outer
-    # stream-stream join drain (q137 — 3x state/output), and the
-    # weighted sample (q138 — scan + per-stratum top-k)
-    "q136", "q137", "q138",
+    # stream-stream join drain (q137 — 3x state/output), the weighted
+    # sample (q138 — scan + per-stratum top-k), and the bigram LM
+    # score (q142 — two count-table hash-aggs + scoring joins; q141
+    # reads embeddings, which the scaled dir does not replicate)
+    "q136", "q137", "q138", "q142",
 ]
 
 # Queries are timed, never hash-compared, at the scaled point — key

@@ -73,14 +73,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Output contract (VERDICT r5 item 1): the driver captures only a
+    # short stdout tail, and the 142-query per-query map outgrew it in
+    # round 5 (BENCH_r05.json parsed:null — q1/q2 lost, no
+    # machine-readable total). So: the full per-query map goes to its
+    # own artifact file AND a preceding stdout line, while the FINAL
+    # line is a compact summary guaranteed to fit any tail capture.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    queries_file = os.path.join(repo_dir, "bench_queries.json")
+    full = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    with open(queries_file, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(json.dumps(full))  # full line first (legacy consumers)
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "queries_file": "bench_queries.json",
             }
         )
     )

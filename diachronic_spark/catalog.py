@@ -34,11 +34,12 @@ _REQUIRED_SQL_CONFS = {
 # crossing (q32/q37/q49 are 10x slower row-pickled). These are NOT
 # correctness requirements, so they are applied at most ONCE per
 # session, and only when the session was not built with its own value
-# in its SparkConf. Known limit: a tuning applied via runtime
-# spark.conf.set BEFORE the first catalog call (or via builder.config
-# against an already-running SparkContext) is indistinguishable from
-# an unset conf here and gets the engine default on first use; any
-# runtime tuning made after the first catalog call is respected.
+# in its SparkConf AND the conf is unset at runtime — so an explicit
+# spark.conf.set made before the first catalog call (e.g. disabling
+# AQE or Arrow for debugging) is respected, not overwritten
+# (ADVICE r5 item 4). RuntimeConfig.get(k, None) returns None only
+# for a genuinely unset conf (never the engine default), which makes
+# it the exact "did anyone choose a value" probe.
 _PERF_SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
@@ -62,7 +63,11 @@ def ensure_confs(spark: SparkSession) -> None:
     _PERF_APPLIED.add(app_id)
     built_with = spark.sparkContext.getConf()
     for k, v in _PERF_SQL_CONFS.items():
-        if not built_with.contains(k):
+        try:
+            runtime_val = spark.conf.get(k, None)
+        except Exception:
+            runtime_val = None
+        if runtime_val is None and not built_with.contains(k):
             spark.conf.set(k, v)
 
 

@@ -175,7 +175,9 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def ppjoin_pairs(arrs: DataFrame, threshold: float) -> DataFrame:
+def ppjoin_pairs(
+    arrs: DataFrame, threshold: float, cache_key: str = "ppjoin"
+) -> DataFrame:
     """COMPLETE Jaccard similarity self-join via prefix filtering
     (PPJoin family — Xiao/Wang/Lin/Yu, WWW'08): every pair of docs
     with exact Jaccard >= ``threshold``, guaranteed. This is a
@@ -205,6 +207,11 @@ def ppjoin_pairs(arrs: DataFrame, threshold: float) -> DataFrame:
     Shape: one agg for global df, one per-doc window sort, one
     equi-join on the prefix postings, exact verification on
     candidates only (``jaccard_for_pairs``). No driver state.
+
+    ``cache_key``: callers over DIFFERENT corpora (q125's documents vs
+    q133's pipeline survivors) pass distinct keys so alternating runs
+    don't evict each other's persisted prefix table (ADVICE r5 item 2
+    — same contract as kmeans_lazy's cache_key).
     """
     t = float(threshold)
     tok = arrs.select("doc_id", "sz", F.explode("hset").alias("h"))
@@ -219,7 +226,7 @@ def ppjoin_pairs(arrs: DataFrame, threshold: float) -> DataFrame:
         .filter(F.col("pos") <= prefix_len)
         .select("doc_id", "sz", "h", "pos")
     )
-    prefix = managed_persist(prefix, "ppjoin.prefix")
+    prefix = managed_persist(prefix, f"{cache_key}.prefix")
     a, b = prefix.alias("a"), prefix.alias("b")
     alpha = F.ceil(
         (F.col("a.sz") + F.col("b.sz")) * F.lit(t / (1.0 + t))
@@ -859,12 +866,21 @@ def compact_minhash_index(spark: SparkSession, path: str) -> None:
             # table: with rows, partitionBy writes per-key dirs, but an
             # empty write would emit only _SUCCESS (dynamic partition
             # dirs need rows) and brick every later probe at schema
-            # inference — so the empty case writes ONE unpartitioned
-            # schema-only file (the partition column becomes a regular
-            # column of the same type; probes join on it identically)
-            kept.repartition(1).write.mode("overwrite").parquet(
-                f"{path}/{sub}__compact"
-            )
+            # inference. The schema-only file must ALSO keep the
+            # partitioned layout: a root-level data file next to later
+            # band=N/ appends fails partition discovery ("conflicting
+            # directory structures") and would brick every probe after
+            # a takedown→append sequence (ADVICE r5 item 1). So the
+            # empty case writes one schema-only file (minus the
+            # partition column) UNDER a literal key=0 directory —
+            # discovery then sees a normal partitioned table whose one
+            # partition is empty, and future partitioned appends land
+            # as sibling key dirs.
+            dst = f"{path}/{sub}__compact"
+            if part:
+                dst = f"{dst}/{part}=0"
+                kept = kept.drop(part)
+            kept.repartition(1).write.mode("overwrite").parquet(dst)
         else:
             w = kept.write.mode("overwrite")
             if part:

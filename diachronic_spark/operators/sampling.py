@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import md5_prefix32
+from ._cache import managed_persist
 
 
 def _md5_bucket(key: Column, mod: int) -> Column:
@@ -89,4 +90,75 @@ def weighted_sample_k(
         df.withColumn("sample_score", score)
         .orderBy(F.desc("sample_score"), F.col(key_col))
         .limit(k)
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    val_col: str,
+    order_cols: list[str],
+    out_col: str = "cum",
+    cache_key: str = "sampling.grs",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running sum WITHOUT a single-partition window
+    (VERDICT r5 item 2 — the classic driver-adjacent bottleneck:
+    ``Window.orderBy(...)`` with no partitionBy forces an
+    ``Exchange SinglePartition`` over the whole input).
+
+    Two-phase shape, the textbook distributed prefix-sum:
+      1. ``repartitionByRange`` on the order key — partition p holds
+         keys strictly below partition p+1's (order keys must be
+         UNIQUE per row; ties could straddle a range boundary and
+         land in either partition, making pid order disagree with
+         row order). Per-partition running sums come from a window
+         partitioned by ``spark_partition_id()`` — fully parallel.
+      2. Per-partition TOTALS (one tiny agg, ≤ n_partitions rows —
+         bounded by cluster config, not data size) are collected,
+         turned into running offsets driver-side, and broadcast-joined
+         back: ``cum = local_cum + offset[pid]``.
+
+    The range-partitioned frame is persisted under ``cache_key``: the
+    pid assignment MUST be identical between the totals pass and the
+    local-cumsum pass, and a recomputed exchange is not guaranteed to
+    resample identical range boundaries.
+
+    Bit-identical to the global-window formulation for integral
+    ``val_col`` (integer addition is associative); for floats the
+    reassociation can differ in the last ulp — callers needing exact
+    float parity should scale to integers first (house rule).
+    """
+    spark = df.sparkSession
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    part = managed_persist(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        cache_key,
+    )
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in part.groupBy("__pid")
+        .agg(F.sum(val_col).alias("__t"))
+        .collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, running))
+        running += totals[pid] or 0  # all-null partition sums to NULL
+    int_vals = all(
+        isinstance(v, int) for v in totals.values() if v is not None
+    )
+    off_df = spark.createDataFrame(
+        offsets, f"__pid int, __off {'bigint' if int_vals else 'double'}"
+    )
+    w_local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        part.withColumn("__local", F.sum(val_col).over(w_local))
+        .join(F.broadcast(off_df), "__pid")
+        .withColumn(out_col, F.col("__local") + F.col("__off"))
+        .drop("__pid", "__local", "__off")
     )

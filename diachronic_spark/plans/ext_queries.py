@@ -2406,7 +2406,7 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 def q125(spark: SparkSession, sf: str) -> DataFrame:
     corpus = D.with_near_duplicates(load(spark, sf, "documents"))
     arrs = D.shingle_arrays(corpus)
-    pairs = D.ppjoin_pairs(arrs, 0.5)
+    pairs = D.ppjoin_pairs(arrs, 0.5, cache_key="q125.ppjoin")
     return pairs.select(
         "doc_a", "doc_b", _r2(F.col("jaccard")).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
@@ -2948,10 +2948,10 @@ def q142(spark: SparkSession, sf: str) -> DataFrame:
 # stage has real positives. The adjudicated result is the per-doc
 # verdict column — any stage misordering, dropped doc, or wrong
 # keeper changes it. Shapes: every stage is the operator's own
-# (window dedup, prefix-posting join, min-label components, one
-# cumsum); the admission window is global but runs over cluster
-# keepers only (corpus-scale safe the same way q115's per-bucket
-# cumsum is).
+# (window dedup, prefix-posting join, min-label components); the
+# admission cumsum is the two-phase distributed prefix sum
+# (sampling.global_running_sum) — no single-partition window
+# anywhere in the plan (plan-test pinned).
 _Q133_BUDGET = 20_000
 
 
@@ -2982,7 +2982,9 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         "q133.ex",
     )
     surv = ex.filter(F.col("rn") == 1).select("doc_id", "text", "n_tok")
-    prs = D.ppjoin_pairs(D.shingle_arrays(surv), 0.5).select(
+    prs = D.ppjoin_pairs(
+        D.shingle_arrays(surv), 0.5, cache_key="q133.ppjoin"
+    ).select(
         "doc_a", "doc_b"
     )
     keep = managed_persist(
@@ -2992,13 +2994,20 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
         "q133.keep",
     )
     h = fn.md5_prefix32(F.col("doc_id"))
-    wcum = Window.orderBy("h", "doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # admission cumsum: globally ordered by (h, doc_id) but computed
+    # two-phase (range partition → per-partition sums + broadcast
+    # offsets) — keepers scale with the corpus, so a global
+    # Window.orderBy here would be an Exchange SinglePartition over
+    # them all at 100 TB (VERDICT r5 item 2; plan-test pinned)
     adm = (
-        keep.join(surv.select("doc_id", "n_tok"), "doc_id")
-        .withColumn("h", h)
-        .withColumn("cum", F.sum("n_tok").over(wcum))
+        SA.global_running_sum(
+            keep.join(surv.select("doc_id", "n_tok"), "doc_id")
+            .withColumn("h", h),
+            "n_tok",
+            ["h", "doc_id"],
+            out_col="cum",
+            cache_key="q133.admission",
+        )
         .filter(F.col("cum") <= F.lit(_Q133_BUDGET))
         .select("doc_id")
     )

@@ -826,12 +826,19 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     from .ext_queries import _minhash_index
 
     src = _stage_doc_batches(spark, sf)
-    work = tempfile.mkdtemp(prefix="diachronic_ingest_run_")
-    _EPHEMERAL_DIRS.append(work)
-    # fresh per-run copy: the shared corpus index must stay immutable
-    # (q112/q113 probe the pre-append state), and repeated q136 runs
-    # must each start from the un-appended index
+    # ONE work dir per sf, reused across runs (ADVICE r5 item 3: a
+    # fresh mkdtemp per invocation accumulated full index copies under
+    # bench best-of-N — the accumulation q124 avoids with its per-sf
+    # cached dir). Each run wipes the previous run's state and
+    # restores the index from the pristine shared copy, which itself
+    # stays immutable (q112/q113 probe the pre-append state).
+    wkey = f"{sf}:ingest_work"
+    if wkey not in _STAGE_CACHE:
+        _STAGE_CACHE[wkey] = tempfile.mkdtemp(prefix="diachronic_ingest_run_")
+    work = _STAGE_CACHE[wkey]
     idx = f"{work}/idx"
+    for sub in os.listdir(work):
+        shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     shutil.copytree(_minhash_index(spark, sf), idx)
     state = {"ids": []}
 

@@ -280,3 +280,43 @@ def test_gap_fill_linear_interior_lerp_edges_null(spark):
     assert got[("B", 2)] == (70, 70.0)
     for day in (1, 3, 4):
         assert got[("B", day)] == (None, None)
+
+
+def test_global_running_sum_matches_global_window(spark):
+    """The two-phase distributed prefix sum must be bit-identical to
+    the single-partition-window formulation for integral values —
+    including under skewed keys, ties in the first order column, and
+    more partitions than rows."""
+    from pyspark.sql import Window
+
+    from diachronic_spark.operators.sampling import global_running_sum
+
+    rows = [(i, (i * 7919) % 13, 1 + (i * 31) % 97) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, grp bigint, v bigint")
+    got = {
+        r.id: r.cum
+        for r in global_running_sum(
+            df, "v", ["grp", "id"], cache_key="test.grs"
+        ).collect()
+    }
+    w = Window.orderBy("grp", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+    # more partitions than rows: empty range partitions must not
+    # produce offset gaps
+    tiny = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id bigint, v bigint"
+    )
+    got2 = {
+        r.id: r.cum
+        for r in global_running_sum(
+            tiny, "v", ["id"], cache_key="test.grs.tiny", n_partitions=8
+        ).collect()
+    }
+    assert got2 == {1: 10, 2: 30, 3: 60}

@@ -399,6 +399,21 @@ def test_index_full_takedown_compacts_to_readable_empty(spark, tmp_path):
     r = D.dedup_against_index(spark, batch, idx, threshold=0.5).first()
     assert r.survived and r.n_cand == 0
 
+    # takedown → APPEND → probe (ADVICE r5 item 1): the schema-only
+    # empty table must keep the partitioned band=N layout, or the next
+    # partitioned append leaves a root-level file beside band dirs and
+    # partition discovery fails with "conflicting directory structures",
+    # bricking every later probe. The appended doc must then catch its
+    # own re-submission (the index is live again).
+    D.append_to_minhash_index(batch, idx)
+    assert (
+        spark.read.parquet(f"{idx}/bands").filter("doc_id = 101").count()
+        > 0
+    )
+    resub = batch.selectExpr("doc_id + 1000 AS doc_id", "text")
+    r2 = D.dedup_against_index(spark, resub, idx, threshold=0.5).first()
+    assert not r2.survived and r2.max_jaccard == 1.0
+
 
 def test_duplicated_spans_cross_doc_only(spark):
     """Only spans shared ACROSS documents count; within-doc repeats and

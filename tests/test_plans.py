@@ -346,3 +346,13 @@ def test_q139_tombstone_exclusion_is_broadcast_anti_join(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftAnti", p), (
         "tombstone anti-join must be broadcast, not shuffled"
     )
+
+
+def test_q133_has_no_single_partition_window(spark, sf_dir):
+    """The admission cumsum is the two-phase distributed prefix sum
+    (VERDICT r5 item 2) — a global Window.orderBy would show up as an
+    Exchange SinglePartition over all cluster keepers, the last
+    driver-adjacent bottleneck shape the repo had. Pin its absence
+    anywhere in q133's executed plan."""
+    p = plan_str(QUERIES["q133"](spark, sf_dir))
+    assert "SinglePartition" not in p

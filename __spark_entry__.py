@@ -52,21 +52,25 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 4 for i in range(38, 45)},
     **{f"q{i}": 4 for i in range(46, 50)},
     **{f"q{i}": 4 for i in range(52, 79)},
+    # round 5 checked the 20 new q123-q142, the r5-stale 8
+    # (q26/q52/q110/q112/q113/q115/q117/q122), and the rotation tail
+    # q79-q95 + q101-q105 — CORRECTNESS_r05.json: 50/50 green. The
+    # r5-era stale set is retired by those green rows.
+    **{f"q{i}": 5 for i in range(123, 143)},
+    **{"q26": 5, "q52": 5, "q110": 5, "q112": 5, "q113": 5,
+       "q115": 5, "q117": 5, "q122": 5},
+    **{f"q{i}": 5 for i in range(79, 96)},
+    **{f"q{i}": 5 for i in range(101, 106)},
 }
-# Changed since their last driver row (round-5 edits): q115 carries
-# r4's RED row (int-width fix on both sides — must re-adjudicate
-# first), q117's oracle now folds updates sequentially with null-skip,
-# q122's CSV leg pins an explicit nullValue. q112/q113 rerun through
-# dedup_against_index/append_to_minhash_index after the arrs-sharing +
-# tombstone additions (defaults preserve behavior; local parity green,
-# but their r3/r4 rows predate the edit), and q110 goes through
-# purchase_attribution_join after the `how` parameter landed (default
-# unchanged). The r4-era stale set (q37/q51) got green rows in r4 and
-# is retired.
-# q26/q52's candidate generation now routes through the extracted
-# dedup.rare_shingle_pairs helper (same plan, deduplicated code) —
-# their r3/r4 rows predate the refactor.
-_STALE = ("q115", "q117", "q122", "q112", "q113", "q110", "q26", "q52")
+# Changed since their last driver row (round-6 edits): q133's
+# admission cumsum is now the two-phase distributed prefix sum
+# (sampling.global_running_sum — bit-identical output, new plan);
+# q125 and q133 pass distinct ppjoin persist keys (plan unchanged,
+# code path touched); q136 reuses one per-sf work dir instead of a
+# fresh index copy per run; q139 runs through the index lifecycle
+# whose full-takedown compaction now keeps the partitioned layout
+# (q139 never takes the empty branch, but the function changed).
+_STALE = ("q125", "q133", "q136", "q139")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

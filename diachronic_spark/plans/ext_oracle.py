@@ -2450,3 +2450,25 @@ SELECT doc_id, count(*) AS n_bigrams,
 FROM sc GROUP BY doc_id
 ORDER BY doc_id
 """
+
+# q143/q144: real PNG decode adjudication. The oracle side reads the
+# INDEPENDENTLY-computed truth table (tools/make_png_fixture.py builds
+# it from the raw pixel arrays with plain loop math before encoding —
+# the codec under test never touches it), so the hash row is a direct
+# decoder-vs-ground-truth check; q144's row additionally pins the
+# decode -> nearest-neighbor resize -> re-encode -> decode loop.
+from ..sources.png_fixture import TRUTH_PATH as _PNG_TRUTH  # noqa: E402
+
+EXT_ORACLE["q143"] = f"""
+SELECT img_id, width, height, channels, pix_sha,
+       sum_r, sum_g, sum_b, sum_a
+FROM read_parquet('{_PNG_TRUTH}')
+ORDER BY img_id
+"""
+
+EXT_ORACLE["q144"] = f"""
+SELECT img_id, rs_width AS width, rs_height AS height, channels,
+       rs_pix_sha AS pix_sha
+FROM read_parquet('{_PNG_TRUTH}')
+ORDER BY img_id
+"""

@@ -57,3 +57,78 @@ def test_feature_extraction_matches_expression_side(spark, sf_dir):
     assert sorted(map(tuple, feats.collect())) == sorted(
         map(tuple, expr.collect())
     )
+
+
+def test_decode_dispatches_png_and_rejects_unknown(spark):
+    from diachronic_spark.functions.png import encode_png
+    from diachronic_spark.operators.multimodal import decode
+
+    blob = encode_png(2, 1, 3, bytes([1, 2, 3, 4, 5, 6]))
+    assert decode(blob) == (2, 1, 3, bytes([1, 2, 3, 4, 5, 6]))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported media"):
+        decode(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_extract_image_features_channel_slots(spark):
+    """Gray sums land in sum_r, gray+alpha in (sum_r, sum_a), with the
+    unused slots NULL — over a real mapInPandas round-trip."""
+    from diachronic_spark.functions.png import encode_png
+    from diachronic_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    imgs = spark.createDataFrame(
+        [
+            (1, bytearray(encode_png(2, 1, 1, bytes([10, 20])))),
+            (2, bytearray(encode_png(1, 1, 2, bytes([5, 200])))),
+            (3, bytearray(encode_png(1, 1, 4, bytes([1, 2, 3, 4])))),
+        ],
+        "img_id bigint, png binary",
+    )
+    got = {r.img_id: r for r in extract_image_features(imgs).collect()}
+    assert (got[1].sum_r, got[1].sum_g, got[1].sum_a) == (30, None, None)
+    assert (got[2].sum_r, got[2].sum_g, got[2].sum_a) == (5, None, 200)
+    assert (got[3].sum_r, got[3].sum_g, got[3].sum_b, got[3].sum_a) == (
+        1, 2, 3, 4,
+    )
+
+
+def test_committed_png_fixtures_are_regenerable(spark):
+    """The committed fixture bytes and truth table must match what the
+    generator produces today — catches silent drift between the codec,
+    the generator, and the committed files."""
+    import os
+
+    from diachronic_spark.functions.png import encode_png
+    from diachronic_spark.sources.png_fixture import (
+        IMAGES_DIR,
+        generate_images,
+        truth_row,
+    )
+
+    imgs = generate_images()
+    assert len(imgs) == 30
+    n_checked = 0
+    for img in imgs:
+        if img["mode"] == "palette":
+            continue  # hand-assembled in the tool; decode covers it
+        path = os.path.join(IMAGES_DIR, f"img_{img['img_id']:03d}.png")
+        with open(path, "rb") as f:
+            committed = f.read()
+        fresh = encode_png(
+            img["width"], img["height"], img["channels"],
+            img["pixels"], filter_strategy="cycle",
+        )
+        assert committed == fresh, f"fixture drift: {path}"
+        n_checked += 1
+    assert n_checked == 24
+    # truth rows recompute identically (pure loop math, no codec)
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.png_fixture import TRUTH_PATH
+
+    stored = {r["img_id"]: r for r in pq.read_table(TRUTH_PATH).to_pylist()}
+    for img in imgs:
+        assert truth_row(img) == stored[img["img_id"]]

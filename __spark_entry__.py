@@ -70,7 +70,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # fresh index copy per run; q139 runs through the index lifecycle
 # whose full-takedown compaction now keeps the partitioned layout
 # (q139 never takes the empty branch, but the function changed).
-_STALE = ("q125", "q133", "q136", "q139")
+# q141 now routes through _semdedup_parametrized (k exposed for the
+# k∝n scaling policy; k=8 default preserves its plan and output —
+# local parity green, but its r5 row predates the refactor).
+_STALE = ("q125", "q133", "q136", "q139", "q141")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -2472,3 +2472,23 @@ SELECT img_id, rs_width AS width, rs_height AS height, channels,
 FROM read_parquet('{_PNG_TRUTH}')
 ORDER BY img_id
 """
+
+# q145/q146: real WAV decode adjudication — truth computed from raw
+# sample values (loop math), clips written by the stdlib wave module;
+# see tools/make_wav_fixture.py.
+from ..sources.wav_fixture import TRUTH_PATH as _WAV_TRUTH  # noqa: E402
+
+EXT_ORACLE["q145"] = f"""
+SELECT clip_id, sample_rate, n_channels, sample_width, n_frames,
+       frames_sha, sumsq_c0, sumsq_c1, zero_cross
+FROM read_parquet('{_WAV_TRUTH}')
+ORDER BY clip_id
+"""
+
+EXT_ORACLE["q146"] = f"""
+SELECT clip_id, dm_sample_rate AS sample_rate,
+       1 AS n_channels, dm_n_frames AS n_frames,
+       dm_frames_sha AS frames_sha, dm_sumsq AS sumsq
+FROM read_parquet('{_WAV_TRUTH}')
+ORDER BY clip_id
+"""

@@ -2888,9 +2888,21 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 # k-means (q51's machinery), the within-cell pair scan, and a
 # recursive-CTE closure (q52's).
 def q141(spark: SparkSession, sf: str) -> DataFrame:
+    # k pinned to 8 by the declared oracle (the SQL replay unrolls 8
+    # centroids). SemDeDup's cost is quadratic WITHIN cells, so at a
+    # growing corpus hold the average cell size constant by scaling k
+    # with n — _semdedup_parametrized below is the production form the
+    # 10x scaling point measures (SCALING_DOCS10X.json: fixed k=8 is
+    # 16x per 10x data; k ∝ n restores near-linear).
+    return _semdedup_parametrized(spark, sf, k=8, cache_key="semdedup")
+
+
+def _semdedup_parametrized(
+    spark: SparkSession, sf: str, k: int, cache_key: str
+) -> DataFrame:
     aug = S.with_near_duplicate_vectors(load(spark, sf, "embeddings"))
     assign, _ = S.kmeans_lazy(
-        aug, k=8, n_iter=3, vec_col="emb", cache_key="semdedup"
+        aug, k=k, n_iter=3, vec_col="emb", cache_key=cache_key
     )
     va = aug.join(assign, "vec_id")
     a = va.select(
@@ -3081,6 +3093,58 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q145/q146: REAL audio decode over committed WAV fixtures -------------
+# PCM WAV parses with struct alone (functions/wav.py); the committed
+# clips were WRITTEN by the stdlib `wave` module — an independent RIFF
+# implementation — and the truth table was computed from the raw
+# sample values with loop math, so q145 adjudicates the engine's
+# parser against both. q146 replays the decode -> mono-downmix ->
+# decimate -> re-encode -> decode loop (the audio analog of q144),
+# pinning the encoder and the integer downmix math.
+
+
+def _wav_clips(spark: SparkSession) -> DataFrame:
+    from ..sources.wav_fixture import CLIPS_DIR
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(CLIPS_DIR)
+    )
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+        .cast("bigint")
+        .alias("clip_id"),
+        F.col("content").alias("wav"),
+    )
+
+
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+
+    ensure_confs(spark)
+    return (
+        M.extract_audio_features(_wav_clips(spark))
+        .orderBy("clip_id")
+    )
+
+
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.wav_fixture import EVERY_N
+
+    ensure_confs(spark)
+    dm = M.downmix_audio(_wav_clips(spark), EVERY_N)
+    return (
+        M.extract_audio_features(dm)
+        .select(
+            "clip_id", "sample_rate", "n_channels", "n_frames",
+            "frames_sha", F.col("sumsq_c0").alias("sumsq"),
+        )
+        .orderBy("clip_id")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -3103,5 +3167,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q124": q124, "q125": q125, "q126": q126, "q127": q127,
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
-    "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144,
+    "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146,
 }

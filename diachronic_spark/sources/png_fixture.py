@@ -1,4 +1,4 @@
-"""Deterministic PNG image fixture (FIXTURES.md §6).
+"""Deterministic PNG image fixture (FIXTURES.md §5).
 
 30 small images — every supported color mode (gray, gray+alpha, RGB,
 RGBA, palette) crossed with size edges (1x1 up to 40x25, including

@@ -132,3 +132,38 @@ def test_committed_png_fixtures_are_regenerable(spark):
     stored = {r["img_id"]: r for r in pq.read_table(TRUTH_PATH).to_pylist()}
     for img in imgs:
         assert truth_row(img) == stored[img["img_id"]]
+
+
+def test_extract_audio_features_and_downmix(spark):
+    """Audio decode + downmix through the real mapInPandas path:
+    features match hand-computed values for a signal spanning both
+    widths' conventions."""
+    import struct
+
+    from diachronic_spark.functions.wav import encode_wav
+    from diachronic_spark.operators.multimodal import (
+        downmix_audio,
+        extract_audio_features,
+    )
+
+    # stereo 16-bit: c0 = [-2, 3, -4, 5], c1 = [10, 10, 10, 10]
+    frames = b"".join(
+        struct.pack("<hh", a, b)
+        for a, b in [(-2, 10), (3, 10), (-4, 10), (5, 10)]
+    )
+    clips = spark.createDataFrame(
+        [(1, bytearray(encode_wav(8000, 2, 2, frames)))],
+        "clip_id bigint, wav binary",
+    )
+    r = extract_audio_features(clips).first()
+    assert (r.sample_rate, r.n_channels, r.sample_width, r.n_frames) == (
+        8000, 2, 2, 4,
+    )
+    assert r.sumsq_c0 == 4 + 9 + 16 + 25
+    assert r.sumsq_c1 == 400
+    assert r.zero_cross == 3  # -2|3, 3|-4, -4|5
+    # downmix every 2nd frame: floor((-2+10)/2)=4, floor((-4+10)/2)=3
+    dm = downmix_audio(clips, 2)
+    r2 = extract_audio_features(dm).first()
+    assert (r2.sample_rate, r2.n_channels, r2.n_frames) == (4000, 1, 2)
+    assert r2.sumsq_c0 == 16 + 9

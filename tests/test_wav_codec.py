@@ -1,0 +1,116 @@
+"""WAV codec unit tests (functions/wav.py).
+
+The stdlib ``wave`` module is the independent reference: our parser
+reads its output, it reads our encoder's output — compensating-bug
+pairs can't pass. Malformed-input rejection is tested on hand-built
+RIFF bytes.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from diachronic_spark.functions.wav import (
+    WavError,
+    decode_wav,
+    downmix_decimate,
+    encode_wav,
+    samples_as_array,
+)
+
+
+def _stdlib_wav(rate, channels, width, frames) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("width", [1, 2])
+@pytest.mark.parametrize("channels", [1, 2, 3])
+@pytest.mark.parametrize("n", [1, 7, 500])
+def test_decode_stdlib_written_files(width, channels, n):
+    if width == 1:
+        frames = bytes((i * 13 + 5) % 256 for i in range(n * channels))
+    else:
+        frames = b"".join(
+            struct.pack("<h", ((i * 791) % 4001) - 2000)
+            for i in range(n * channels)
+        )
+    blob = _stdlib_wav(16000, channels, width, frames)
+    assert decode_wav(blob) == (16000, channels, width, frames)
+
+
+def test_encoder_output_parses_with_stdlib_wave():
+    frames = b"".join(struct.pack("<h", v) for v in (-3, 0, 3, 32767, -32768, 9))
+    blob = encode_wav(44100, 2, 2, frames)
+    with wave.open(io.BytesIO(blob)) as w:
+        assert (
+            w.getframerate(), w.getnchannels(), w.getsampwidth(),
+        ) == (44100, 2, 2)
+        assert w.readframes(w.getnframes()) == frames
+    # odd-length 8-bit data: RIFF chunks are word-aligned (pad byte)
+    blob8 = encode_wav(8000, 1, 1, bytes([1, 2, 3]))
+    assert decode_wav(blob8) == (8000, 1, 1, bytes([1, 2, 3]))
+
+
+def test_decode_skips_extra_chunks():
+    """LIST/fact chunks between fmt and data must be skipped by
+    declared length (hand-built RIFF)."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = bytes([10, 200, 30, 250])
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+        + b"data" + struct.pack("<I", 4) + data
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_wav(blob) == (8000, 1, 1, data)
+
+
+def test_decode_rejects_malformed():
+    with pytest.raises(WavError, match="RIFF"):
+        decode_wav(b"OggS\x00\x00")
+    # float PCM (format 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(WavError, match="format"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # partial frame: 3 bytes of 16-bit stereo (block 4)
+    ok = encode_wav(8000, 2, 2, struct.pack("<hh", 1, 2))
+    fmt16 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt16
+        + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03"
+    )
+    with pytest.raises(WavError, match="whole frames"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(WavError, match="truncated|exceeds"):
+        decode_wav(ok[:-3])
+    with pytest.raises(WavError, match="widths 1/2"):
+        encode_wav(8000, 1, 3, b"\x00\x00\x00")
+
+
+def test_downmix_decimate_integer_math():
+    # stereo 16-bit: floor mean, negative-aware (Python // floors)
+    frames = b"".join(
+        struct.pack("<hh", a, b)
+        for a, b in [(-5, 2), (10, 11), (7, 7), (-1, 0), (100, -99)]
+    )
+    out = downmix_decimate(2, 2, frames, 2)
+    vals = [v[0] for v in samples_as_array(2, 1, out)]
+    assert vals == [(-5 + 2) // 2, (7 + 7) // 2, (100 - 99) // 2]
+    # mono passthrough with stride 1 is identity
+    mono = struct.pack("<hhh", 4, -4, 9)
+    assert downmix_decimate(2, 1, mono, 1) == mono

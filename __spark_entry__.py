@@ -72,8 +72,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (q139 never takes the empty branch, but the function changed).
 # q141 now routes through _semdedup_parametrized (k exposed for the
 # k∝n scaling policy; k=8 default preserves its plan and output —
-# local parity green, but its r5 row predates the refactor).
-_STALE = ("q125", "q133", "q136", "q139", "q141")
+# local parity green, but its r5 row predates the refactor). q117
+# reuses a per-sf work dir (same fix as q136; local parity green).
+_STALE = ("q117", "q125", "q133", "q136", "q139", "q141")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -565,8 +565,14 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     base_path, chg_path = _stage_cdc(spark, sf)
     from ..operators.merge import merge_upsert
 
-    work = tempfile.mkdtemp(prefix="diachronic_cdc_apply_")
-    _EPHEMERAL_DIRS.append(work)
+    # one work dir per sf, wiped per run (same accumulation fix as
+    # q136 — each dir is small, but bench best-of-N runs add up)
+    wkey = f"{sf}:cdc_apply_work"
+    if wkey not in _STAGE_CACHE:
+        _STAGE_CACHE[wkey] = tempfile.mkdtemp(prefix="diachronic_cdc_apply_")
+    work = _STAGE_CACHE[wkey]
+    for sub in os.listdir(work):
+        shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     state = {"last": -1, "n": 0}
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -839,7 +845,15 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     idx = f"{work}/idx"
     for sub in os.listdir(work):
         shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
-    shutil.copytree(_minhash_index(spark, sf), idx)
+    # hardlink "copy": q136 only APPENDS to the index (new part
+    # files), never rewrites existing ones, so linking is safe and
+    # the restore cost is metadata-only at any index size. Falls back
+    # to a byte copy across filesystems.
+    try:
+        shutil.copytree(_minhash_index(spark, sf), idx, copy_function=os.link)
+    except OSError:
+        shutil.rmtree(idx, ignore_errors=True)
+        shutil.copytree(_minhash_index(spark, sf), idx)
     state = {"ids": []}
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:

@@ -215,3 +215,32 @@ def test_resize_matches_numpy_reference():
     ys = (np.arange(3) * 7) // 3
     xs = (np.arange(5) * 11) // 5
     assert got == rng[ys][:, xs].tobytes()
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis fuzz: encode->decode identity over arbitrary sizes,
+    channel counts, pixel bytes, and both filter strategies."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        c=st.sampled_from([1, 2, 3, 4]),
+        strategy=st.sampled_from(["none", "cycle"]),
+        data=st.data(),
+    )
+    def check(w, h, c, strategy, data):
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * c,
+                    max_size=w * h * c,
+                )
+            )
+        )
+        blob = encode_png(w, h, c, pix, filter_strategy=strategy)
+        assert decode_png(blob) == (w, h, c, pix)
+
+    check()

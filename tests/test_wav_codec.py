@@ -114,3 +114,37 @@ def test_downmix_decimate_integer_math():
     # mono passthrough with stride 1 is identity
     mono = struct.pack("<hhh", 4, -4, 9)
     assert downmix_decimate(2, 1, mono, 1) == mono
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis fuzz: our encoder vs the stdlib wave reader AND our
+    reader vs the stdlib wave writer, over arbitrary PCM buffers."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        width=st.sampled_from([1, 2]),
+        channels=st.integers(1, 4),
+        n=st.integers(0, 200),
+        rate=st.sampled_from([8000, 22050, 48000]),
+        data=st.data(),
+    )
+    def check(width, channels, n, rate, data):
+        nbytes = n * channels * width
+        frames = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=nbytes, max_size=nbytes
+                )
+            )
+        )
+        ours = encode_wav(rate, channels, width, frames)
+        with wave.open(io.BytesIO(ours)) as w:
+            assert w.readframes(w.getnframes()) == frames
+            assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (
+                channels, width, rate,
+            )
+        theirs = _stdlib_wav(rate, channels, width, frames)
+        assert decode_wav(theirs) == (rate, channels, width, frames)
+
+    check()

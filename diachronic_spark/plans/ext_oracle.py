@@ -2492,3 +2492,36 @@ SELECT clip_id, dm_sample_rate AS sample_rate,
 FROM read_parquet('{_WAV_TRUTH}')
 ORDER BY clip_id
 """
+
+# q147: schema-evolution replay — three differently-shaped batches
+# union-by-name'd with absent columns NULL, the exact relation the
+# mergeSchema scan must produce. n_tok uses the same whitespace
+# tokenization as q142's oracle.
+EXT_ORACLE["q147"] = """
+WITH tok AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(text, '\\s+'),
+             x -> x <> ''))::BIGINT AS n_tok
+  FROM documents)
+SELECT * FROM (
+  SELECT 1 AS batch, doc_id, text,
+         NULL::VARCHAR AS lang, NULL::BIGINT AS n_tok
+  FROM tok WHERE doc_id < 100
+  UNION ALL
+  SELECT 2, doc_id, text, lang, n_tok
+  FROM tok WHERE doc_id >= 100 AND doc_id < 200
+  UNION ALL
+  SELECT 3, doc_id, NULL::VARCHAR, lang, n_tok
+  FROM tok WHERE doc_id >= 200 AND doc_id < 300)
+ORDER BY batch, doc_id
+"""
+
+# q148: bucketed co-located join == the plain join (bucketing is a
+# physical layout, never a semantic change).
+EXT_ORACLE["q148"] = """
+SELECT o_orderstatus, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

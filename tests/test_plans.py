@@ -356,3 +356,26 @@ def test_q133_has_no_single_partition_window(spark, sf_dir):
     anywhere in q133's executed plan."""
     p = plan_str(QUERIES["q133"](spark, sf_dir))
     assert "SinglePartition" not in p
+
+
+def test_q148_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """The bucketed co-located join must read both sides Bucketed: true
+    and shuffle NEITHER join side — the only hash exchange in the query
+    belongs to the aggregation above the join. (Broadcast disabled so
+    the small-SF dim can't sidestep the property under test.)"""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q148"](spark, sf_dir)
+        df.collect()
+        p = plan_str(df)
+        assert p.count("Bucketed: true") >= 2
+        assert "SortMergeJoin" in p
+        # no exchange keyed on either join column anywhere in the plan
+        assert "Exchange hashpartitioning(l_orderkey" not in p
+        assert "Exchange hashpartitioning(o_orderkey" not in p
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

@@ -3159,6 +3159,9 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
 # exists, exactly the real drift sequence).
 
 
+_Q147_DIRS: dict[str, str] = {}
+
+
 def q147(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
@@ -3166,8 +3169,13 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "text")
     n_tok = F.size(fn.whitespace_tokens(F.col("text"))).cast("bigint")
-    root = tempfile.mkdtemp(prefix="diachronic_evolve_q147_")
-    _EPHEMERAL_DIRS.append(root)
+    # one staging dir per (process, sf), overwritten per call — a
+    # fresh mkdtemp per invocation would accumulate copies under
+    # bench best-of-N (the q124/q136 lesson)
+    if sf not in _Q147_DIRS:
+        _Q147_DIRS[sf] = tempfile.mkdtemp(prefix="diachronic_evolve_q147_")
+        _EPHEMERAL_DIRS.append(_Q147_DIRS[sf])
+    root = _Q147_DIRS[sf]
     d.filter(F.col("doc_id") < 100).select("doc_id", "text").write.mode(
         "overwrite"
     ).parquet(f"{root}/batch=1")

@@ -60,6 +60,18 @@ def _chunks(blob: bytes):
     raise PngError("missing IEND chunk")
 
 
+def chunk(ctype: bytes, data: bytes) -> bytes:
+    """Frame one PNG chunk: length + type + data + CRC32(type+data).
+    Shared by the encoder and the fixture tool (the codec TESTS keep
+    their own copy on purpose — independent spec-level construction)."""
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -240,15 +252,6 @@ def encode_png(
         lines.extend(filt.tobytes())
         prev = row
     comp = zlib.compress(bytes(lines), 9)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
     ihdr = struct.pack(
         ">IIBBBBB", width, height, 8, _CTYPE_FOR_CHANNELS[channels],
         0, 0, 0,

@@ -52,9 +52,12 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
     while off + 8 <= n:
         ctype = blob[off : off + 4]
         (clen,) = struct.unpack("<I", blob[off + 4 : off + 8])
-        body = blob[off + 8 : off + 8 + clen]
-        if len(body) != clen:
+        if off + 8 + clen > n:
+            # bound bodies by the DECLARED RIFF size, not the blob —
+            # a chunk spilling past it is a truncated/corrupt
+            # container even when trailing bytes exist (review r6)
             raise WavError(f"truncated {ctype!r} chunk")
+        body = blob[off + 8 : off + 8 + clen]
         if ctype == b"fmt ":
             if clen < 16:
                 raise WavError("fmt chunk too short")

@@ -124,9 +124,11 @@ def global_running_sum(
     resample identical range boundaries.
 
     Bit-identical to the global-window formulation for integral
-    ``val_col`` (integer addition is associative); for floats the
-    reassociation can differ in the last ulp — callers needing exact
-    float parity should scale to integers first (house rule).
+    ``val_col`` (integer addition is associative), INCLUDING null
+    semantics (a row's cum is NULL only while no non-null value has
+    been seen anywhere before it); for floats the reassociation can
+    differ in the last ulp — callers needing exact float parity
+    should scale to integers first (house rule).
     """
     spark = df.sparkSession
     n = n_partitions or spark.sparkContext.defaultParallelism
@@ -137,28 +139,52 @@ def global_running_sum(
         cache_key,
     )
     totals = {
-        r["__pid"]: r["__t"]
+        r["__pid"]: (r["__t"], r["__n"])
         for r in part.groupBy("__pid")
-        .agg(F.sum(val_col).alias("__t"))
+        .agg(
+            F.sum(val_col).alias("__t"),
+            F.count(val_col).alias("__n"),
+        )
         .collect()
     }
-    running = 0
+    # NULL semantics must match the global window exactly: F.sum over
+    # a running frame is NULL only while NO non-null value has been
+    # seen yet, then sticks to the last sum through later null rows.
+    # So each partition's offset carries BOTH the running total and
+    # whether ANY prior partition held a non-null value (__nnb): a
+    # NULL local sum resolves to the offset when __nnb, else stays
+    # NULL (review r6 — plain __local + __off turned a leading
+    # all-null partition's rows NULL even with non-null predecessors).
+    running, seen_nonnull = 0, False
     offsets = []
     for pid in sorted(totals):
-        offsets.append((pid, running))
-        running += totals[pid] or 0  # all-null partition sums to NULL
+        t, n_nonnull = totals[pid]
+        offsets.append((pid, running, seen_nonnull))
+        running += t or 0
+        seen_nonnull = seen_nonnull or n_nonnull > 0
     int_vals = all(
-        isinstance(v, int) for v in totals.values() if v is not None
+        isinstance(v, int)
+        for v, _ in totals.values()
+        if v is not None
     )
     off_df = spark.createDataFrame(
-        offsets, f"__pid int, __off {'bigint' if int_vals else 'double'}"
+        offsets,
+        f"__pid int, __off {'bigint' if int_vals else 'double'}, "
+        "__nnb boolean",
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    cum = (
+        F.when(
+            F.col("__local").isNotNull(), F.col("__local") + F.col("__off")
+        )
+        .when(F.col("__nnb"), F.col("__off"))
+        .otherwise(F.lit(None))
+    )
     return (
         part.withColumn("__local", F.sum(val_col).over(w_local))
         .join(F.broadcast(off_df), "__pid")
-        .withColumn(out_col, F.col("__local") + F.col("__off"))
-        .drop("__pid", "__local", "__off")
+        .withColumn(out_col, cum)
+        .drop("__pid", "__local", "__off", "__nnb")
     )

@@ -3169,22 +3169,28 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load(spark, sf, "documents").select("doc_id", "lang", "text")
     n_tok = F.size(fn.whitespace_tokens(F.col("text"))).cast("bigint")
-    # one staging dir per (process, sf), overwritten per call — a
-    # fresh mkdtemp per invocation would accumulate copies under
-    # bench best-of-N (the q124/q136 lesson)
+    # staged ONCE per (process, sf) — the batches are deterministic
+    # and the adjudicated operation is the mergeSchema READ, so
+    # re-writing them per call would only bill redundant write jobs
+    # to the scan under test (review r6; the _stage pattern)
     if sf not in _Q147_DIRS:
-        _Q147_DIRS[sf] = tempfile.mkdtemp(prefix="diachronic_evolve_q147_")
-        _EPHEMERAL_DIRS.append(_Q147_DIRS[sf])
+        root = tempfile.mkdtemp(prefix="diachronic_evolve_q147_")
+        _EPHEMERAL_DIRS.append(root)
+        d.filter(F.col("doc_id") < 100).select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(f"{root}/batch=1")
+        d.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        ).select(
+            "doc_id", "text", "lang", n_tok.alias("n_tok")
+        ).write.mode("overwrite").parquet(f"{root}/batch=2")
+        d.filter(
+            (F.col("doc_id") >= 200) & (F.col("doc_id") < 300)
+        ).select(
+            "doc_id", "lang", n_tok.alias("n_tok")
+        ).write.mode("overwrite").parquet(f"{root}/batch=3")
+        _Q147_DIRS[sf] = root
     root = _Q147_DIRS[sf]
-    d.filter(F.col("doc_id") < 100).select("doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(f"{root}/batch=1")
-    d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
-        "doc_id", "text", "lang", n_tok.alias("n_tok")
-    ).write.mode("overwrite").parquet(f"{root}/batch=2")
-    d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 300)).select(
-        "doc_id", "lang", n_tok.alias("n_tok")
-    ).write.mode("overwrite").parquet(f"{root}/batch=3")
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     return merged.select(
         "batch", "doc_id", "text", "lang", "n_tok"
@@ -3203,9 +3209,6 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
 # aggregation, none to the join — is plan-test pinned with broadcast
 # disabled. Staging writes the bucketed copies once per (process, sf);
 # the adjudicated operation is the join over them.
-_Q148_STAGED: set[str] = set()
-
-
 def q148(spark: SparkSession, sf: str) -> DataFrame:
     import re as _re
     import tempfile
@@ -3215,7 +3218,13 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
 
     tag = _re.sub(r"\W", "_", sf)
     lt, rt = f"q148_lineitem_{tag}", f"q148_orders_{tag}"
-    if sf not in _Q148_STAGED:
+    # staging is guarded by the SESSION catalog, not process state:
+    # saveAsTable registration dies with the session, so a process-
+    # lifetime set would skip staging after a session restart and
+    # break spark.table() (review r6)
+    if not (
+        spark.catalog.tableExists(lt) and spark.catalog.tableExists(rt)
+    ):
         root = tempfile.mkdtemp(prefix="diachronic_bucketed_q148_")
         _EPHEMERAL_DIRS.append(root)
         write_bucketed(
@@ -3230,7 +3239,6 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
             ),
             rt, f"{root}/orders", "o_orderkey", n_buckets=8,
         )
-        _Q148_STAGED.add(sf)
     j = bucketed_join(
         spark, lt, rt,
         on=[F.col("l_orderkey") == F.col("o_orderkey")],

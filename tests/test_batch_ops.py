@@ -320,3 +320,34 @@ def test_global_running_sum_matches_global_window(spark):
         ).collect()
     }
     assert got2 == {1: 10, 2: 30, 3: 60}
+
+
+def test_global_running_sum_null_semantics_match_global_window(spark):
+    """NULL handling must replicate the global window exactly: a row's
+    cum is NULL only while NO non-null value precedes it anywhere —
+    including across partition boundaries (a leading all-null range
+    partition must inherit the offset, not stay NULL)."""
+    from pyspark.sql import Window
+
+    from diachronic_spark.operators.sampling import global_running_sum
+
+    rows = [
+        (1, 5), (2, None), (3, None), (4, 7), (5, None), (6, 2),
+        (0, None),  # leading null: global cum must be NULL here
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v bigint")
+    got = {
+        r.id: r.cum
+        for r in global_running_sum(
+            df, "v", ["id"], cache_key="test.grs.null", n_partitions=4
+        ).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert want[0] is None and want[2] == 5 and want[5] == 12

@@ -148,3 +148,15 @@ def test_roundtrip_property_fuzz():
         assert decode_wav(theirs) == (rate, channels, width, frames)
 
     check()
+
+
+def test_decode_rejects_chunk_past_declared_riff_size():
+    """A chunk whose body spills past the DECLARED RIFF size is a
+    truncated container even when trailing bytes physically exist."""
+    frames = struct.pack("<hh", 1, 2)
+    ok = encode_wav(8000, 2, 2, frames)
+    # shrink the declared RIFF size to cover only WAVE+fmt (36 bytes):
+    # the data chunk now extends past the declared payload
+    bad = ok[:4] + struct.pack("<I", 36) + ok[8:]
+    with pytest.raises(WavError, match="truncated|missing"):
+        decode_wav(bad)

@@ -55,15 +55,7 @@ def _encode_palette(img: dict) -> bytes:
     import struct
     import zlib
 
-    from diachronic_spark.functions.png import SIGNATURE
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
+    from diachronic_spark.functions.png import SIGNATURE, chunk
 
     w, h = img["width"], img["height"]
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)

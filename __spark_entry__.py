@@ -61,20 +61,20 @@ _ADJUDICATED_ROUND: dict[str, int] = {
        "q115": 5, "q117": 5, "q122": 5},
     **{f"q{i}": 5 for i in range(79, 96)},
     **{f"q{i}": 5 for i in range(101, 106)},
+    # round 6 checked the new q143-q148, the r6-stale 6
+    # (q117/q125/q133/q136/q139/q141), and the rotation tail
+    # q1-q25/q27-q36/q45/q50/q96 — CORRECTNESS_r06.json: 50/50 green.
+    **{f"q{i}": 6 for i in range(143, 149)},
+    **{"q117": 6, "q125": 6, "q133": 6, "q136": 6, "q139": 6,
+       "q141": 6},
+    **{f"q{i}": 6 for i in range(1, 26)},
+    **{f"q{i}": 6 for i in range(27, 37)},
+    **{"q45": 6, "q50": 6, "q96": 6},
 }
-# Changed since their last driver row (round-6 edits): q133's
-# admission cumsum is now the two-phase distributed prefix sum
-# (sampling.global_running_sum — bit-identical output, new plan);
-# q125 and q133 pass distinct ppjoin persist keys (plan unchanged,
-# code path touched); q136 reuses one per-sf work dir instead of a
-# fresh index copy per run; q139 runs through the index lifecycle
-# whose full-takedown compaction now keeps the partitioned layout
-# (q139 never takes the empty branch, but the function changed).
-# q141 now routes through _semdedup_parametrized (k exposed for the
-# k∝n scaling policy; k=8 default preserves its plan and output —
-# local parity green, but its r5 row predates the refactor). q117
-# reuses a per-sf work dir (same fix as q136; local parity green).
-_STALE = ("q117", "q125", "q133", "q136", "q139", "q141")
+# Changed since their last driver row (round-7 edits): none yet —
+# the r6 stale set (q117/q125/q133/q136/q139/q141) was re-adjudicated
+# green in CORRECTNESS_r06 and is retired into the ledger above.
+_STALE: tuple[str, ...] = ()
 
 
 def _priority_order(keys: list[str]) -> list[str]:

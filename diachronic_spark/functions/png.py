@@ -165,7 +165,17 @@ def decode_png(blob: bytes) -> tuple[int, int, int, bytes]:
     if interlace != 0:
         raise PngError("Adam7 interlacing is not supported")
     samples = _SAMPLES[ctype_]
-    raw = zlib.decompress(b"".join(idat))
+    # Bound the inflate by the size IHDR implies: a hostile payload can
+    # declare a tiny image but carry a multi-GB DEFLATE stream, and an
+    # unbounded zlib.decompress would materialize all of it before
+    # _unfilter's size check ever runs. decode() is the general media
+    # path for untrusted web-corpus bytes, so cap at the exact expected
+    # size and reject any stream that holds more.
+    expected = height * (1 + width * samples)
+    dec = zlib.decompressobj()
+    raw = dec.decompress(b"".join(idat), expected)
+    if dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise PngError("IDAT inflates past the size IHDR declares")
     pix = _unfilter(raw, height, width * samples, samples)
     if ctype_ == 3:
         if plte is None or len(plte) % 3:

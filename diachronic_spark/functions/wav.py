@@ -59,10 +59,16 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
             raise WavError(f"truncated {ctype!r} chunk")
         body = blob[off + 8 : off + 8 + clen]
         if ctype == b"fmt ":
+            if fmt is not None:
+                # last-wins would silently decode the wrong stream; a
+                # well-formed WAV has exactly one of each (ADVICE r6)
+                raise WavError("duplicate fmt chunk")
             if clen < 16:
                 raise WavError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif ctype == b"data":
+            if data is not None:
+                raise WavError("duplicate data chunk")
             data = body
         # all other chunks (LIST, fact, cue, ...) skip by length
         off += 8 + clen + (clen & 1)  # chunks are word-aligned

@@ -14,8 +14,11 @@ inside the Window operator, nothing else is carried).
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType, DoubleType
 
 from ..functions import md5_prefix32
 from ._cache import managed_persist
@@ -162,15 +165,26 @@ def global_running_sum(
         offsets.append((pid, running, seen_nonnull))
         running += t or 0
         seen_nonnull = seen_nonnull or n_nonnull > 0
-    int_vals = all(
-        isinstance(v, int)
-        for v, _ in totals.values()
-        if v is not None
+    # Type __off from the ENGINE's sum type, not from probing Python
+    # values: a DECIMAL val_col collects as decimal.Decimal, and an
+    # isinstance(int) probe would silently route its offsets through a
+    # double column, losing the exactness (and the bit-identical
+    # contract) decimals otherwise keep (ADVICE r6). sum() over
+    # integral types is LongType, over decimal is a widened
+    # DecimalType, over float is DoubleType — use it verbatim.
+    sum_type = part.select(F.sum(val_col)).schema[0].dataType
+    # running starts as Python int 0 and stays exact through Decimal
+    # accumulation (int + Decimal -> Decimal); coerce each offset to
+    # the Python type Spark's schema verifier expects for sum_type.
+    conv = (
+        decimal.Decimal
+        if isinstance(sum_type, DecimalType)
+        else (float if isinstance(sum_type, DoubleType) else int)
     )
+    offsets = [(p, conv(r), s) for p, r, s in offsets]
     off_df = spark.createDataFrame(
         offsets,
-        f"__pid int, __off {'bigint' if int_vals else 'double'}, "
-        "__nnb boolean",
+        f"__pid int, __off {sum_type.simpleString()}, __nnb boolean",
     )
     w_local = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -845,12 +845,28 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     idx = f"{work}/idx"
     for sub in os.listdir(work):
         shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
-    # hardlink "copy": q136 only APPENDS to the index (new part
-    # files), never rewrites existing ones, so linking is safe and
-    # the restore cost is metadata-only at any index size. Falls back
-    # to a byte copy across filesystems.
+    # hardlink "copy": q136 only APPENDS data to the index (new part
+    # files), never rewrites existing ones, so linking DATA files is
+    # safe and the restore cost is metadata-only at any index size.
+    # Commit MARKERS (_SUCCESS, .crc) are different: Hadoop's
+    # committer rewrites them IN PLACE on append — through a hardlink
+    # that mutates the shared pristine copy (measured: mtime+mode
+    # flipped; running as root bypasses the read-only guard) — so
+    # markers get real byte copies, writable, that the committer can
+    # rewrite without touching the pristine inode (ADVICE r6; the
+    # invariance test pins the pristine tree bit-for-bit). Falls back
+    # to a full byte copy across filesystems.
+    def _link_data_copy_markers(s: str, d: str) -> None:
+        if os.path.basename(s).startswith(("_", ".")):
+            shutil.copyfile(s, d)  # fresh writable inode for markers
+        else:
+            os.link(s, d)
+
     try:
-        shutil.copytree(_minhash_index(spark, sf), idx, copy_function=os.link)
+        shutil.copytree(
+            _minhash_index(spark, sf), idx,
+            copy_function=_link_data_copy_markers,
+        )
     except OSError:
         shutil.rmtree(idx, ignore_errors=True)
         shutil.copytree(_minhash_index(spark, sf), idx)

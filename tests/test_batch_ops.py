@@ -351,3 +351,33 @@ def test_global_running_sum_null_semantics_match_global_window(spark):
     }
     assert got == want
     assert want[0] is None and want[2] == 5 and want[5] == 12
+
+
+def test_global_running_sum_decimal_stays_exact(spark):
+    """A DECIMAL val_col must keep exact decimal arithmetic end to end
+    (ADVICE r6: the old isinstance-int probe routed Decimal offsets
+    through a double column, silently losing exactness)."""
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from diachronic_spark.operators.sampling import global_running_sum
+
+    # values chosen to be unrepresentable in binary floating point
+    rows = [(i, Decimal("0.1") + Decimal(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, v decimal(20,1)")
+    out = global_running_sum(
+        df, "v", ["id"], cache_key="test.grs.dec", n_partitions=6
+    )
+    # the out column must be a decimal, not double
+    assert out.schema["cum"].dataType.typeName() == "decimal"
+    got = {r.id: r.cum for r in out.collect()}
+    w = Window.orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r.id: r.cum
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert got[49] == Decimal("1230.0")  # sum(0..49) + 50*0.1, exact

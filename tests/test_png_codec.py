@@ -173,6 +173,33 @@ def test_decode_rejects_malformed():
         decode_png(_hand_png(1, 2, 0, [(0, [1])]))
 
 
+def test_decode_bounds_inflate_by_declared_size():
+    """Decompression-bomb guard (ADVICE r6): a 1x1 IHDR carrying a
+    huge DEFLATE payload must be rejected WITHOUT materializing the
+    payload — the inflate is capped at the size IHDR implies."""
+    # 64 MiB of zeros compresses to ~64 KiB; declared image is 1x1 gray
+    bomb = zlib.compress(b"\x00" * (64 << 20))
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    blob = (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="inflates past"):
+        decode_png(blob)
+    # one byte over the exact expected size is rejected too
+    over = zlib.compress(b"\x00" * 3)  # 1x1 gray expects 2 bytes
+    blob2 = (
+        SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", over)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="inflates past"):
+        decode_png(blob2)
+
+
 @pytest.mark.parametrize("channels", [1, 2, 3, 4])
 @pytest.mark.parametrize("size", [(1, 1), (1, 7), (7, 1), (5, 4), (23, 17)])
 @pytest.mark.parametrize("strategy", ["none", "cycle"])

@@ -488,3 +488,37 @@ def test_streaming_ingest_loop_cross_batch_state(spark, sf_dir):
     assert {k: len(v) for k, v in sorted(by_band.items())} == {
         (0, 3): 50, (0, 4): 25, (1, 5): 50, (1, 6): 25,
     }
+
+
+def test_ingest_loop_leaves_pristine_index_untouched(spark, sf_dir):
+    """q136 restores its working index from the shared pristine copy
+    via hardlinks — safe only while every mutation is unlink/create.
+    Pin the invariant (ADVICE r6): after a full ingest run, the
+    pristine tree's file set, sizes, mtimes, AND read-only modes are
+    bit-for-bit what they were, so q112/q113 still probe the
+    pre-append state."""
+    import os
+
+    from diachronic_spark.plans import QUERIES
+    from diachronic_spark.plans.ext_queries import _minhash_index
+
+    sf = sf_dir  # fixture yields the sf dir path
+
+    def snapshot(root: str) -> dict:
+        out = {}
+        for d, _sub, files in os.walk(root):
+            for f in files:
+                p = os.path.join(d, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (
+                    st.st_size, st.st_mtime_ns, st.st_mode,
+                )
+        return out
+
+    pristine = _minhash_index(spark, sf)
+    before = snapshot(pristine)
+    assert before, "pristine index is empty?"
+    # every data file frozen read-only (the loud-failure guard)
+    assert all(not (m & 0o222) for _, _, m in before.values())
+    QUERIES["q136"](spark, sf).collect()
+    assert snapshot(pristine) == before

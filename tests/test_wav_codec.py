@@ -102,6 +102,28 @@ def test_decode_rejects_malformed():
         encode_wav(8000, 1, 3, b"\x00\x00\x00")
 
 
+def test_decode_rejects_duplicate_fmt_and_data_chunks():
+    """A second fmt/data chunk must be rejected, not last-wins
+    (ADVICE r6): silently decoding only the second data chunk
+    diverges from the 'rejected loudly' contract."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    d1, d2 = bytes([1, 2]), bytes([9, 8])
+    body2data = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 2) + d1
+        + b"data" + struct.pack("<I", 2) + d2
+    )
+    with pytest.raises(WavError, match="duplicate data"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body2data)) + body2data)
+    body2fmt = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 2) + d1
+    )
+    with pytest.raises(WavError, match="duplicate fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body2fmt)) + body2fmt)
+
+
 def test_downmix_decimate_integer_math():
     # stereo 16-bit: floor mean, negative-aware (Python // floors)
     frames = b"".join(

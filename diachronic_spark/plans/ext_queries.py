@@ -1986,6 +1986,16 @@ def _minhash_index(spark: SparkSession, sf: str) -> str:
         D.write_minhash_index(
             load(spark, sf, "documents").select("doc_id", "text"), path
         )
+        # Freeze the pristine tree: q136's restore is a hardlink
+        # "copy", safe only while every index mutation is
+        # unlink/create. Read-only file modes turn any future
+        # in-place write — through ANY link — into a loud EACCES
+        # instead of silent corruption of the shared copy q112/q113
+        # also probe (ADVICE r6). Mutating consumers work on copies;
+        # appends there create NEW files, never reopen these.
+        for root_, _dirs, files_ in os.walk(path):
+            for f_ in files_:
+                os.chmod(os.path.join(root_, f_), 0o444)
         atexit.register(shutil.rmtree, path, ignore_errors=True)
         _MINHASH_INDEX_CACHE[sf] = path
     return _MINHASH_INDEX_CACHE[sf]
@@ -3255,6 +3265,40 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q149: SemDeDup with k ∝ n — the scale-safe form, adjudicated ----------
+# q141 declares the paper's fixed-k form (k=8, the oracle's original
+# unroll); SCALING_DOCS10X flagged it as the repo's one super-linear
+# shape (16.2× wall per 10× corpus: cells grow 10×, within-cell pairs
+# ~100×). The production policy — hold the average cell near a
+# constant size by scaling k with n — was implemented and measured
+# (3.59× per 10×) in round 6 but never driver-adjudicated. q149 IS
+# that policy under the oracle: the Spark side derives k from the
+# corpus size at runtime; the SQL replay unrolls the SAME k the
+# formula yields at the adjudication corpus (n_aug = 550 → k = 35;
+# an unrolled CTE chain needs a literal), so what the driver verifies
+# is the fit, pair scan, and closure the k∝n policy actually runs.
+_SEMDEDUP_CELL = 16
+
+
+def _semdedup_k(n_aug: int) -> int:
+    """k ∝ n: pin the mean cell near ``_SEMDEDUP_CELL`` vectors so the
+    within-cell pair search stays O(n·cell), not O(n²/k)."""
+    return max(8, -(-n_aug // _SEMDEDUP_CELL))
+
+
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    # corpus size after augmentation (one copy per vec_id < 50) from
+    # ONE tiny agg — footer-count + a pushed filter count, no scan of
+    # the embedding column
+    r = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("vec_id") < 50).cast("bigint")).alias("d"),
+    ).collect()[0]
+    k = _semdedup_k(int(r["n"]) + int(r["d"] or 0))
+    return _semdedup_parametrized(spark, sf, k=k, cache_key="semdedup_kn")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -3278,4 +3322,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
+    "q149": q149,
 }

@@ -71,10 +71,11 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 6 for i in range(27, 37)},
     **{"q45": 6, "q50": 6, "q96": 6},
 }
-# Changed since their last driver row (round-7 edits): none yet —
-# the r6 stale set (q117/q125/q133/q136/q139/q141) was re-adjudicated
-# green in CORRECTNESS_r06 and is retired into the ledger above.
-_STALE: tuple[str, ...] = ()
+# Changed since their last driver row (round-7 edits): q141 was
+# RE-BASED from the fixed-k=8 SemDeDup form to the k∝n policy
+# (k = max(8, ceil(n_aug/64)); new oracle unrolls k=9 at the
+# adjudication corpus) — VERDICT r6 item 1.
+_STALE: tuple[str, ...] = ("q141",)
 
 
 def _priority_order(keys: list[str]) -> list[str]:

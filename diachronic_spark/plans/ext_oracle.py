@@ -2422,15 +2422,13 @@ ORDER BY x.vec_id"""
     )
 
 
-EXT_ORACLE["q141"] = _semdedup_sql()
-
-# q149: the k∝n SemDeDup policy under the oracle. The Spark side
-# derives k = max(8, ceil(n_aug / 16)) from the corpus at runtime;
-# an unrolled SQL replay needs a literal, so this encodes the SAME
-# formula evaluated at the adjudication corpus (500 embeddings + 50
-# perturbed copies → k = 35). Any drift between the policy Spark
-# runs and this constant shows up as a cell/keeper mismatch.
-EXT_ORACLE["q149"] = _semdedup_sql(k=35)
+# q141 re-based round 7 to the k∝n policy: the Spark side derives
+# k = max(8, ceil(n_aug / 64)) from the corpus at runtime; an unrolled
+# SQL replay needs a literal, so this encodes the SAME formula
+# evaluated at the adjudication corpus (500 embeddings + 50 perturbed
+# copies → k = 9). Any drift between the policy Spark runs and this
+# constant shows up as a cell/keeper mismatch.
+EXT_ORACLE["q141"] = _semdedup_sql(k=9)
 
 # q142: bigram count-LM replay — same tokenization, corpus bigram/
 # unigram counts, vocabulary size, add-one smoothing, per-doc mean.

@@ -158,13 +158,16 @@ def time_subset(spark, sf_dir: str) -> dict[str, float]:
 
 
 
-def kprop_point(spark) -> dict:
-    """q141 under the PRODUCTION SemDeDup policy: k scales with n so
-    the average cell size (and thus the quadratic within-cell pair
-    work per cell) stays constant. The declared q141 pins k=8 for its
-    oracle; this measurement-only variant runs k=8 at the base corpus
-    and k=80 at the 10x corpus — the k ∝ n remedy for the fixed-k
-    super-linearity the main table records."""
+def fixedk_point(spark) -> dict:
+    """The INVERSE reference of rounds 5-6: q141's declared form is
+    now the k ∝ n policy (re-based round 7), so the main table's q141
+    row measures the scale-safe shape. This measurement-only variant
+    pins k=8 at BOTH corpora — the paper-baseline fixed-k form the
+    r5/r6 oracle declared — to keep the super-linearity it was
+    re-based away from on the record (cells grow 10×, within-cell
+    pairs ~100×; r6 measured 16.2× per 10×). Reference only: its
+    ratio does not feed flagged_superlinear, because no declared
+    query runs this shape anymore."""
     from diachronic_spark.operators._cache import release
     from diachronic_spark.plans.ext_queries import _semdedup_parametrized
 
@@ -180,11 +183,11 @@ def kprop_point(spark) -> dict:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    base = run(BASE, 8, "semdedup.kprop8")
-    scaled = run(SCALED, 80, "semdedup.kprop80")
+    base = run(BASE, 8, "semdedup.fixedk8")
+    scaled = run(SCALED, 8, "semdedup.fixedk8s")
     ratio = round(scaled / base, 2) if base else None
     return {
-        "query": "q141[k∝n policy: k=8→80]",
+        "query": "reference[fixed k=8, undeclared since r7]",
         "sf0.1": base,
         "sf1.0_corpus": scaled,
         "x_1_to_10": ratio,
@@ -199,7 +202,7 @@ def main() -> None:
     build_scaled_dir(spark)
     t_base = time_subset(spark, BASE)
     t_scaled = time_subset(spark, SCALED)
-    kprop = kprop_point(spark)
+    kprop = fixedk_point(spark)
     rows, flagged = [], []
     for q in SUBSET:
         ratio = round(t_scaled[q] / t_base[q], 2) if t_base[q] else None
@@ -214,9 +217,10 @@ def main() -> None:
                 "superlinear": ratio is not None and ratio > FLAG_RATIO,
             }
         )
+    # reference row only — the fixed-k shape is no longer any declared
+    # query's plan, so its (expected) super-linearity is context, not
+    # a flag on the engine
     rows.append(kprop)
-    if kprop["superlinear"]:
-        flagged.append(kprop["query"])
     result = {
         "metric": "scaling_corpus_10x",
         "unit": "sec",

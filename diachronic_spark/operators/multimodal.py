@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import bmp as BMP
+from ..functions import gif as GIF
 from ..functions import png as PNG
 
 FEATURE_SCHEMA = (
@@ -34,18 +36,25 @@ FEATURE_SCHEMA = (
 
 
 def decode(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a media payload to (width, height, channels, pixels).
+    """Decode a media payload to (width, height, channels, pixels) —
+    REAL multi-format routing by container signature.
 
-    PNG decodes for real (pure-stdlib codec). Other containers raise
-    ``ValueError`` — JPEG/audio/video codecs are not installable here,
-    and silently faking pixel data for them would poison downstream
-    features.
+    PNG, BMP, and GIF (first frame; ``decode_gif_frames`` for the
+    rest) decode for real via the pure-stdlib codecs. Other containers
+    raise ``ValueError`` — JPEG/audio/video codecs are not installable
+    here, and silently faking pixel data for them would poison
+    downstream features.
     """
     blob = bytes(blob)
     if blob[: len(PNG.SIGNATURE)] == PNG.SIGNATURE:
         return PNG.decode_png(blob)
+    if blob[:2] == b"BM":
+        return BMP.decode_bmp(blob)
+    if blob[:6] in GIF.SIGNATURES:
+        f = GIF.decode_gif(blob)[2][0]
+        return f.width, f.height, 3, f.pixels
     raise ValueError(
-        "unsupported media container (only PNG decodes in this "
+        "unsupported media container (PNG/BMP/GIF decode in this "
         "environment; JPEG/ffmpeg codecs are not installed)"
     )
 
@@ -198,18 +207,21 @@ IMAGE_FEATURE_SCHEMA = (
 _CHANNEL_SLOTS = {1: (0,), 2: (0, 3), 3: (0, 1, 2), 4: (0, 1, 2, 3)}
 
 
-def extract_image_features(images: DataFrame) -> DataFrame:
-    """REAL image feature extraction: decode each PNG payload inside an
-    Arrow ``mapInPandas`` batch and emit (dimensions, channel count,
+def extract_image_features(
+    images: DataFrame, payload_col: str = "png"
+) -> DataFrame:
+    """REAL image feature extraction: decode each payload (PNG/BMP/GIF
+    by signature — the ``decode`` dispatch) inside an Arrow
+    ``mapInPandas`` batch and emit (dimensions, channel count,
     sha256 of the raw decoded pixel buffer, exact per-channel byte
     sums). The pixel hash is the strongest decoder-correctness probe a
     relational oracle can check — any filter/palette/CRC bug changes
     it — and the integer channel sums are hash-stable aggregates with
     no float hazard.
 
-    Input: (img_id bigint, png binary). One Python call per Arrow
-    batch; per-image numpy temporaries only (the decoded buffer never
-    outlives its batch) — at 100 TB this runs one task per input
+    Input: (img_id bigint, <payload_col> binary). One Python call per
+    Arrow batch; per-image numpy temporaries only (the decoded buffer
+    never outlives its batch) — at 100 TB this runs one task per input
     split with bounded memory, no shuffle.
     """
 
@@ -224,7 +236,7 @@ def extract_image_features(images: DataFrame) -> DataFrame:
                     "sum_r", "sum_g", "sum_b", "sum_a",
                 )
             }
-            for img_id, blob in zip(pdf["img_id"], pdf["png"]):
+            for img_id, blob in zip(pdf["img_id"], pdf[payload_col]):
                 w, h, c, pix = decode(bytes(blob))
                 sums = [None, None, None, None]
                 arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
@@ -360,3 +372,140 @@ def downmix_audio(clips: DataFrame, every_n: int) -> DataFrame:
             yield pd.DataFrame({"clip_id": ids, "wav": blobs})
 
     return clips.mapInPandas(fn, AUDIO_DOWNMIX_SCHEMA)
+
+
+GIF_FRAME_FEATURE_SCHEMA = (
+    "gif_id bigint, frame_idx int, n_frames int, screen_w int, "
+    "screen_h int, f_left int, f_top int, width int, height int, "
+    "interlaced boolean, pix_sha string, sum_r bigint, sum_g bigint, "
+    "sum_b bigint"
+)
+
+
+def extract_gif_frame_features(gifs: DataFrame) -> DataFrame:
+    """REAL animation decode, one-to-many: each GIF payload fans out
+    to one row PER FRAME (geometry, interlace flag, sha256 of the
+    decoded RGB buffer, exact channel sums) inside an Arrow
+    ``mapInPandas`` batch — the UDTF shape real video/animation
+    pipelines use, with output batch length decoupled from input
+    batch length.
+
+    Input: (gif_id bigint, gif binary). At 100 TB the fan-out stays
+    map-side (no shuffle); a downstream repartition spreads the frames
+    of hot animations across executors when frame-level work follows.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "gif_id", "frame_idx", "n_frames", "screen_w",
+                    "screen_h", "f_left", "f_top", "width", "height",
+                    "interlaced", "pix_sha", "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for gif_id, blob in zip(pdf["gif_id"], pdf["gif"]):
+                sw, sh, frames = GIF.decode_gif(bytes(blob))
+                for i, fr in enumerate(frames):
+                    arr = np.frombuffer(
+                        fr.pixels, dtype=np.uint8
+                    ).reshape(-1, 3)
+                    out["gif_id"].append(gif_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(len(frames))
+                    out["screen_w"].append(sw)
+                    out["screen_h"].append(sh)
+                    out["f_left"].append(fr.left)
+                    out["f_top"].append(fr.top)
+                    out["width"].append(fr.width)
+                    out["height"].append(fr.height)
+                    out["interlaced"].append(fr.interlaced)
+                    out["pix_sha"].append(
+                        hashlib.sha256(fr.pixels).hexdigest()
+                    )
+                    for j, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                        out[name].append(
+                            int(arr[:, j].sum(dtype=np.int64))
+                        )
+            yield pd.DataFrame(out)
+
+    return gifs.mapInPandas(fn, GIF_FRAME_FEATURE_SCHEMA)
+
+
+GIF_PNG_FRAMES_SCHEMA = "gif_id bigint, n_frames int, frames array<binary>"
+
+
+def gif_frames_as_png(gifs: DataFrame) -> DataFrame:
+    """Decode a GIF and re-encode every frame as a PNG, returned as a
+    NESTED ``array<binary>`` column — the storage schema for
+    multi-image payloads (video frame samples, document page scans):
+    one row per source asset, frames as an ordered nested list that
+    downstream stages explode, sample, or index positionally. PNG
+    re-encode is lossless, so a later PNG decode reproduces the GIF
+    frame pixels exactly (cross-codec property, adjudicated by q151).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, counts, arrs = [], [], []
+            for gif_id, blob in zip(pdf["gif_id"], pdf["gif"]):
+                frames = GIF.decode_gif(bytes(blob))[2]
+                ids.append(gif_id)
+                counts.append(len(frames))
+                arrs.append(
+                    [
+                        PNG.encode_png(f.width, f.height, 3, f.pixels)
+                        for f in frames
+                    ]
+                )
+            yield pd.DataFrame(
+                {"gif_id": ids, "n_frames": counts, "frames": arrs}
+            )
+
+    return gifs.mapInPandas(fn, GIF_PNG_FRAMES_SCHEMA)
+
+
+FRAME_FEATURE_SCHEMA = (
+    "gif_id bigint, frame_idx int, width int, height int, "
+    "channels int, pix_sha string, sum_r bigint, sum_g bigint, "
+    "sum_b bigint"
+)
+
+
+def decode_frame_features(frames: DataFrame) -> DataFrame:
+    """Decode exploded per-frame PNG payloads (the other half of the
+    nested-binary pipeline: ``gif_frames_as_png`` → posexplode →
+    sample → THIS) keeping the (gif_id, frame_idx) key, and emit the
+    same pixel-hash/channel-sum features as ``extract_image_features``.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "gif_id", "frame_idx", "width", "height",
+                    "channels", "pix_sha", "sum_r", "sum_g", "sum_b",
+                )
+            }
+            for gif_id, idx, blob in zip(
+                pdf["gif_id"], pdf["frame_idx"], pdf["png"]
+            ):
+                w, h, c, pix = decode(bytes(blob))
+                arr = np.frombuffer(pix, dtype=np.uint8).reshape(-1, c)
+                out["gif_id"].append(gif_id)
+                out["frame_idx"].append(idx)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["pix_sha"].append(hashlib.sha256(pix).hexdigest())
+                for j, name in enumerate(("sum_r", "sum_g", "sum_b")):
+                    out[name].append(int(arr[:, j].sum(dtype=np.int64)))
+            yield pd.DataFrame(out)
+
+    return frames.mapInPandas(fn, FRAME_FEATURE_SCHEMA)

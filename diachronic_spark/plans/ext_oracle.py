@@ -2491,6 +2491,41 @@ FROM read_parquet('{_WAV_TRUTH}')
 ORDER BY clip_id
 """
 
+# q149/q150/q151: GIF + BMP decode adjudication. Truth tables are
+# loop-math-computed from the raw index/pixel arrays BEFORE container
+# assembly (sources/gif_fixture.py truth_rows, bmp_fixture.py
+# truth_row); the BMP containers are struct-packed by the fixture
+# module, never by the decoder's own encoder, and the GIF decoder was
+# validated against third-party-encoded files. q151 selects the
+# even-frame subset — the nested array<binary> sampling contract —
+# and its pix_sha equality with the GIF truth pins the GIF→PNG→decode
+# loop as lossless.
+from ..sources.bmp_fixture import TRUTH_PATH as _BMP_TRUTH  # noqa: E402
+from ..sources.gif_fixture import FRAME_EVERY_N as _GIF_EVERY  # noqa: E402
+from ..sources.gif_fixture import TRUTH_PATH as _GIF_TRUTH  # noqa: E402
+
+EXT_ORACLE["q149"] = f"""
+SELECT gif_id, frame_idx, n_frames, screen_w, screen_h,
+       "left" AS f_left, "top" AS f_top, width, height, interlaced,
+       pix_sha, sum_r, sum_g, sum_b
+FROM read_parquet('{_GIF_TRUTH}')
+ORDER BY gif_id, frame_idx
+"""
+
+EXT_ORACLE["q150"] = f"""
+SELECT img_id, width, height, channels, pix_sha, sum_r, sum_g, sum_b
+FROM read_parquet('{_BMP_TRUTH}')
+ORDER BY img_id
+"""
+
+EXT_ORACLE["q151"] = f"""
+SELECT gif_id, frame_idx, width, height, 3 AS channels,
+       pix_sha, sum_r, sum_g, sum_b
+FROM read_parquet('{_GIF_TRUTH}')
+WHERE frame_idx % {_GIF_EVERY} = 0
+ORDER BY gif_id, frame_idx
+"""
+
 EXT_ORACLE["q146"] = f"""
 SELECT clip_id, dm_sample_rate AS sample_rate,
        1 AS n_channels, dm_n_frames AS n_frames,

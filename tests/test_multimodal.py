@@ -167,3 +167,125 @@ def test_extract_audio_features_and_downmix(spark):
     r2 = extract_audio_features(dm).first()
     assert (r2.sample_rate, r2.n_channels, r2.n_frames) == (4000, 1, 2)
     assert r2.sumsq_c0 == 16 + 9
+
+
+def test_decode_dispatch_routes_bmp_and_gif(spark):
+    """multimodal.decode is real multi-format routing: the same entry
+    point decodes PNG, BMP, and GIF payloads of the same image to the
+    same RGB buffer."""
+    from diachronic_spark.functions.bmp import encode_bmp
+    from diachronic_spark.functions.png import encode_png
+    from diachronic_spark.operators.multimodal import decode
+    from diachronic_spark.sources.gif_fixture import generate_gifs
+
+    rgb = bytes([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12])  # 2x2
+    assert decode(encode_png(2, 2, 3, rgb)) == (2, 2, 3, rgb)
+    assert decode(encode_bmp(2, 2, 3, rgb)) == (2, 2, 3, rgb)
+    # GIF: first frame via the generic dispatch
+    gif = generate_gifs()[1]  # single-frame 7x5
+    w, h, c, pix = decode(gif["blob"])
+    fr = gif["frames"][0]
+    assert (w, h, c) == (fr["width"], fr["height"], 3)
+
+
+def test_committed_gif_bmp_fixtures_are_regenerable(spark):
+    """Committed GIF/BMP fixture bytes and truth tables must match
+    what the generators produce today (the PNG drift-check's twins)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.bmp_fixture import (
+        BMPS_DIR,
+        generate_bmps,
+        truth_row,
+    )
+    from diachronic_spark.sources.bmp_fixture import (
+        TRUTH_PATH as BMP_TRUTH,
+    )
+    from diachronic_spark.sources.gif_fixture import (
+        GIFS_DIR,
+        generate_gifs,
+        truth_rows,
+    )
+    from diachronic_spark.sources.gif_fixture import (
+        TRUTH_PATH as GIF_TRUTH,
+    )
+
+    gifs = generate_gifs()
+    assert len(gifs) == 12
+    for gif in gifs:
+        path = os.path.join(GIFS_DIR, f"anim_{gif['gif_id']:03d}.gif")
+        with open(path, "rb") as f:
+            assert f.read() == gif["blob"], f"fixture drift: {path}"
+    stored = {
+        (r["gif_id"], r["frame_idx"]): r
+        for r in pq.read_table(GIF_TRUTH).to_pylist()
+    }
+    n = 0
+    for gif in gifs:
+        for row in truth_rows(gif):
+            assert row == stored[(row["gif_id"], row["frame_idx"])]
+            n += 1
+    assert n == len(stored) == 22
+
+    bmps = generate_bmps()
+    assert len(bmps) == 14
+    for img in bmps:
+        path = os.path.join(BMPS_DIR, f"img_{img['img_id']:03d}.bmp")
+        with open(path, "rb") as f:
+            assert f.read() == img["blob"], f"fixture drift: {path}"
+    bstored = {
+        r["img_id"]: r for r in pq.read_table(BMP_TRUTH).to_pylist()
+    }
+    for img in bmps:
+        assert truth_row(img) == bstored[img["img_id"]]
+
+
+def test_gif_frame_fanout_and_nested_png_pipeline(spark):
+    """The one-to-many frame fan-out and the nested array<binary>
+    GIF->PNG->decode loop, over the committed fixtures: every frame
+    row's pixel hash equals the loop-math truth, and the sampled
+    nested pipeline reproduces the even frames exactly."""
+    from diachronic_spark.operators.multimodal import (
+        decode_frame_features,
+        extract_gif_frame_features,
+        gif_frames_as_png,
+    )
+    from diachronic_spark.sources.gif_fixture import (
+        generate_gifs,
+        truth_rows,
+    )
+
+    truth = {
+        (r["gif_id"], r["frame_idx"]): r
+        for gif in generate_gifs()
+        for r in truth_rows(gif)
+    }
+    gifs = spark.createDataFrame(
+        [(g["gif_id"], bytearray(g["blob"])) for g in generate_gifs()],
+        "gif_id bigint, gif binary",
+    )
+    rows = extract_gif_frame_features(gifs).collect()
+    assert len(rows) == 22
+    for r in rows:
+        t = truth[(r.gif_id, r.frame_idx)]
+        assert (
+            r.width, r.height, r.interlaced, r.pix_sha,
+            r.sum_r, r.sum_g, r.sum_b, r.n_frames,
+        ) == (
+            t["width"], t["height"], t["interlaced"], t["pix_sha"],
+            t["sum_r"], t["sum_g"], t["sum_b"], t["n_frames"],
+        )
+
+    nested = gif_frames_as_png(gifs)
+    schema = dict(nested.dtypes)
+    assert schema["frames"] == "array<binary>"
+    sampled = nested.select(
+        "gif_id", F.posexplode("frames").alias("frame_idx", "png")
+    ).filter(F.col("frame_idx") % 2 == 0)
+    out = decode_frame_features(sampled).collect()
+    want = {k for k in truth if k[1] % 2 == 0}
+    assert {(r.gif_id, r.frame_idx) for r in out} == want
+    for r in out:
+        assert r.pix_sha == truth[(r.gif_id, r.frame_idx)]["pix_sha"]

@@ -112,3 +112,92 @@ def daily_snapshot_sequential(
 
     out_schema = "namespace string, title string, timestamp timestamp, text string"
     return revisions.groupBy("page_id").applyInPandas(fn, out_schema)
+
+
+# --- Incremental snapshot maintenance (the W1 materialized view) -----------
+# The reference's skip-list (main.py:56-71) is JOB-level incrementality
+# (whole dumps already processed are skipped); these two operators are
+# the BATCH-level analog: the daily snapshot kept as a maintained
+# state table, refreshed by merging each new revision batch without
+# ever rescanning the revision history — a materialized view refresh.
+#
+# Key algebraic fact: the snapshot winner per (key, day) is an argmin
+# under the total order (timestamp, rev_seq), and argmin is
+# ASSOCIATIVE — argmin(A ∪ B) = argmin({argmin(A)} ∪ {argmin(B)}).
+# So the maintained state only needs the comparator columns
+# (timestamp, rev_seq) alongside the payload, and a delta batch
+# refresh is: dedup the delta, touch ONLY the state rows whose
+# (key, day) the delta hits, re-argmin those unions, pass every other
+# state row through untouched.
+
+
+def snapshot_state(
+    revisions: DataFrame,
+    epoch: dt.datetime = DEFAULT_EPOCH,
+    key: str | list[str] = "page_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """``daily_snapshot`` keeping its maintenance state: the winner
+    per (key, day) WITH the key, day, and comparator columns
+    (timestamp, rev_seq) the incremental merge needs. ``rev_seq``
+    must be present (unique per row within a (key, day) across ALL
+    batches — document order provides this) so ties replay exactly.
+
+    Schema: (*keys, day, rev_seq, namespace, title, timestamp, text).
+    Same plan shape as ``daily_snapshot``: one shuffle on (key, day).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    day = F.to_date(F.col(ts)).alias("day")
+    w = Window.partitionBy(*keys, F.to_date(F.col(ts))).orderBy(
+        ts, "rev_seq"
+    )
+    return (
+        revisions.filter(
+            (F.col("namespace") == "0") & (F.col(ts) >= F.lit(epoch))
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .select(*keys, day, "rev_seq", *_OUT_COLS)
+    )
+
+
+def merge_snapshot_state(
+    state: DataFrame,
+    delta: DataFrame,
+    epoch: dt.datetime = DEFAULT_EPOCH,
+    key: str | list[str] = "page_id",
+    ts: str = "timestamp",
+) -> DataFrame:
+    """Refresh a maintained ``snapshot_state`` table with a new batch
+    of revisions WITHOUT recomputing from history:
+    ``merge_snapshot_state(snapshot_state(A), B)`` ≡
+    ``snapshot_state(A ∪ B)`` (argmin associativity; test-pinned and
+    driver-adjudicated by q152 against a full-recompute oracle).
+
+    Scale shape — the part that matters at 100 TB: the STATE IS NEVER
+    SHUFFLED. The delta's (key, day) set is tiny by construction (a
+    day's arrivals vs all of history), so the affected/untouched split
+    is two broadcast semi/anti joins evaluated map-side over one state
+    scan each; the window re-argmin runs only on (affected winners ∪
+    delta winners) — delta-sized. With the state at rest partitioned
+    by day (pipeline.write_partitioned), the broadcast semi join
+    additionally prunes to the touched day partitions, making refresh
+    cost O(delta), independent of state size. Rewriting only touched
+    partitions (not returned-DataFrame-wide) is the storage-side
+    half of the same contract.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    dstate = snapshot_state(delta, epoch, key, ts)
+    on = [*keys, "day"]
+    dk = F.broadcast(dstate.select(*on).distinct())
+    untouched = state.join(dk, on, "left_anti")
+    affected = state.join(dk, on, "left_semi")
+    w = Window.partitionBy(*on).orderBy(ts, "rev_seq")
+    merged = (
+        affected.unionByName(dstate)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return untouched.unionByName(merged)

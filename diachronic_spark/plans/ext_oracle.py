@@ -2534,6 +2534,32 @@ FROM read_parquet('{_WAV_TRUTH}')
 ORDER BY clip_id
 """
 
+# q152: incremental snapshot maintenance — the oracle is a FULL
+# RECOMPUTE of the W1 daily snapshot over ALL revisions (base ∪
+# delta; the q21 replay keeping the maintenance-state columns), while
+# the Spark side runs the incremental merge of a base-split state
+# with the rev_seq%5 delta batch. Equality IS the refresh-equals-
+# recompute contract (argmin associativity over (timestamp, rev_seq)).
+from ..sources.wiki_fixture import FIXTURE_PATH as _WIKI_FIX  # noqa: E402
+
+EXT_ORACLE["q152"] = f"""
+WITH f AS (
+  SELECT * FROM read_parquet('{_WIKI_FIX}')
+  WHERE namespace = '0' AND timestamp >= TIMESTAMP '2001-01-15 00:00:00'
+),
+w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY page_id, CAST(timestamp AS DATE)
+      ORDER BY timestamp, rev_seq) AS rn
+  FROM f)
+SELECT page_id, CAST(CAST(timestamp AS DATE) AS VARCHAR) AS day,
+       rev_seq, title,
+       strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       coalesce(text, '') AS text
+FROM w WHERE rn = 1
+ORDER BY page_id, day
+"""
+
 # q147: schema-evolution replay — three differently-shaped batches
 # union-by-name'd with absent columns NULL, the exact relation the
 # mergeSchema scan must produce. n_tok uses the same whitespace
@@ -2556,6 +2582,11 @@ SELECT * FROM (
   FROM tok WHERE doc_id >= 200 AND doc_id < 300)
 ORDER BY batch, doc_id
 """
+
+# q153: the explicit-schema drift scan must produce exactly the
+# relation mergeSchema infers — same replay as q147 (the scan path is
+# an engine concern, never a semantic one).
+EXT_ORACLE["q153"] = EXT_ORACLE["q147"]
 
 # q148: bucketed co-located join == the plain join (bucketing is a
 # physical layout, never a semantic change).

@@ -3201,7 +3201,7 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
 _Q147_DIRS: dict[str, str] = {}
 
 
-def q147(spark: SparkSession, sf: str) -> DataFrame:
+def _q147_staged(spark: SparkSession, sf: str) -> str:
     import tempfile
 
     from .streaming_queries import _EPHEMERAL_DIRS
@@ -3209,9 +3209,9 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select("doc_id", "lang", "text")
     n_tok = F.size(fn.whitespace_tokens(F.col("text"))).cast("bigint")
     # staged ONCE per (process, sf) — the batches are deterministic
-    # and the adjudicated operation is the mergeSchema READ, so
-    # re-writing them per call would only bill redundant write jobs
-    # to the scan under test (review r6; the _stage pattern)
+    # and the adjudicated operation is the READ (q147 mergeSchema,
+    # q153 explicit schema), so re-writing them per call would only
+    # bill redundant write jobs to the scan under test (review r6)
     if sf not in _Q147_DIRS:
         root = tempfile.mkdtemp(prefix="diachronic_evolve_q147_")
         _EPHEMERAL_DIRS.append(root)
@@ -3229,7 +3229,11 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "lang", n_tok.alias("n_tok")
         ).write.mode("overwrite").parquet(f"{root}/batch=3")
         _Q147_DIRS[sf] = root
-    root = _Q147_DIRS[sf]
+    return _Q147_DIRS[sf]
+
+
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    root = _q147_staged(spark, sf)
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     return merged.select(
         "batch", "doc_id", "text", "lang", "n_tok"
@@ -3381,6 +3385,62 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q153: explicit-schema drift scan — q147's production twin -------------
+# q147 adjudicates mergeSchema; its own docstring says the 100 TB
+# deployment should pass an explicit unified schema instead (one
+# footer read at planning instead of one per file). This adjudicates
+# THAT path over the SAME staged drift layout and the SAME oracle
+# relation: reader.schema(unified) + the partition column, absent
+# columns NULL — identical semantics, different (cheaper) planning.
+# test_plans pins that the q153 scan carries no mergeSchema and both
+# queries produce one relation.
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    root = _q147_staged(spark, sf)
+    unified = (
+        "doc_id bigint, text string, lang string, n_tok bigint, "
+        "batch int"
+    )
+    merged = spark.read.schema(unified).parquet(root)
+    return merged.select(
+        "batch", "doc_id", "text", "lang", "n_tok"
+    ).orderBy("batch", "doc_id")
+
+
+# --- q152: incremental snapshot maintenance (W1 as a materialized view) ----
+# VERDICT r6 item 7: the reference's skip-list (main.py:56-71) is
+# JOB-level incrementality; this adjudicates the BATCH level — new
+# revisions arriving for existing (page, day) keys and the W1 dedup
+# maintained WITHOUT recomputing from history. The Spark side runs the
+# incremental path (snapshot_state on a base split, then
+# merge_snapshot_state with the held-out delta batch: broadcast
+# semi/anti split of the state, delta-sized re-argmin, state never
+# shuffled); the ORACLE is a FULL RECOMPUTE over all revisions — so
+# the green row IS the refresh-equals-recompute theorem on this data.
+# The rev_seq%5 split interleaves the delta through history, so all
+# three merge cases occur (new (page,day) keys; delta losers; delta
+# rows that BEAT the standing winner and replace it — test-pinned).
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..functions import ts_str
+    from ..operators.snapshot import merge_snapshot_state, snapshot_state
+    from ..schemas import WIKI_REVISIONS
+    from ..sources.wiki_fixture import FIXTURE_PATH
+
+    ensure_confs(spark)
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+    base = revs.filter(F.col("rev_seq") % 5 != 0)
+    delta = revs.filter(F.col("rev_seq") % 5 == 0)
+    merged = merge_snapshot_state(snapshot_state(base), delta)
+    return merged.select(
+        "page_id",
+        F.col("day").cast("string").alias("day"),
+        "rev_seq",
+        "title",
+        ts_str("timestamp").alias("ts_s"),
+        "text",
+    ).orderBy("page_id", "day")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -3404,5 +3464,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q128": q128, "q129": q129, "q130": q130, "q131": q131,
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
-    "q149": q149, "q150": q150, "q151": q151,
+    "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
 }

@@ -218,3 +218,16 @@ def test_csv_roundtrip_null_vs_empty_string(spark, tmp_path):
     )
     got = {r.id: r.text for r in back.collect()}
     assert got == dict(rows)
+
+
+def test_schema_drift_scan_twins_produce_one_relation(spark, sf_dir):
+    """q147 (mergeSchema inference) and q153 (explicit unified schema
+    — the 100 TB recommendation: one footer read at planning) must
+    produce the same relation over the same staged drift layout, with
+    identical schemas and identical rows."""
+    from diachronic_spark.plans.ext_queries import q147, q153
+
+    a = q147(spark, sf_dir)
+    b = q153(spark, sf_dir)
+    assert a.schema == b.schema
+    assert a.collect() == b.collect()

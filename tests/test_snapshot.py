@@ -167,3 +167,94 @@ def test_materialized_fixture_matches_generator():
         for r in table.to_pylist()
     ]
     assert got == generate_rows(include_out_of_order=False)
+
+
+def test_incremental_merge_equals_full_recompute(spark):
+    """merge_snapshot_state(snapshot_state(A), B) must equal
+    snapshot_state(A ∪ B) — the refresh-equals-recompute contract
+    (argmin associativity) — for several interleaved splits of the
+    wiki fixture, and the q152 split must exercise ALL THREE merge
+    cases: new (page, day) keys, delta losers, and delta rows that
+    BEAT the standing winner (replacements)."""
+    from diachronic_spark.operators.snapshot import (
+        merge_snapshot_state,
+        snapshot_state,
+    )
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    from pyspark.sql import functions as F
+
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+
+    def rows(df):
+        return sorted(
+            (r.page_id, str(r.day), r.rev_seq, str(r.timestamp), r.text)
+            for r in df.collect()
+        )
+
+    full = rows(snapshot_state(revs))
+    for mod, rem in ((5, 0), (3, 1), (2, 0)):
+        base = revs.filter(F.col("rev_seq") % mod != rem)
+        delta = revs.filter(F.col("rev_seq") % mod == rem)
+        merged = merge_snapshot_state(snapshot_state(base), delta)
+        assert rows(merged) == full, f"split %{mod}=={rem} diverged"
+
+    # the declared q152 split hits all three cases
+    base = revs.filter(F.col("rev_seq") % 5 != 0)
+    delta = revs.filter(F.col("rev_seq") % 5 == 0)
+    bstate = {
+        (r.page_id, str(r.day)): r.rev_seq
+        for r in snapshot_state(base).collect()
+    }
+    dstate = {
+        (r.page_id, str(r.day)): r.rev_seq
+        for r in snapshot_state(delta).collect()
+    }
+    fstate = {
+        (r.page_id, str(r.day)): r.rev_seq
+        for r in snapshot_state(revs).collect()
+    }
+    new_keys = [k for k in dstate if k not in bstate]
+    losers = [k for k in dstate if k in bstate and fstate[k] == bstate[k]]
+    replacements = [
+        k for k in dstate if k in bstate and fstate[k] == dstate[k]
+        and dstate[k] != bstate[k]
+    ]
+    assert new_keys and losers and replacements, (
+        len(new_keys), len(losers), len(replacements),
+    )
+
+
+def test_incremental_merge_never_shuffles_the_state(spark):
+    """The scale contract: the state side of the refresh must appear
+    under NO Exchange — only the delta-sized re-argmin shuffles. The
+    (key, day) membership joins must be broadcast."""
+    from diachronic_spark.operators.snapshot import (
+        merge_snapshot_state,
+        snapshot_state,
+    )
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    from pyspark.sql import functions as F
+
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+    base = revs.filter(F.col("rev_seq") % 5 != 0)
+    delta = revs.filter(F.col("rev_seq") % 5 == 0)
+    state = snapshot_state(base)
+    # materialize the state (the maintained table would be at rest);
+    # the plan under test is the refresh over it
+    state.write.mode("overwrite").parquet(
+        str(spark.conf.get("spark.local.dir", "/tmp"))
+        + "/q152_state_plan_test"
+    )
+    at_rest = spark.read.parquet(
+        str(spark.conf.get("spark.local.dir", "/tmp"))
+        + "/q152_state_plan_test"
+    )
+    plan = merge_snapshot_state(at_rest, delta)._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the two membership joins run broadcast (state never shuffles)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    # no sort-merge join anywhere: an SMJ would mean a membership
+    # join fell back to shuffling the state side
+    assert "SortMergeJoin" not in plan, plan

@@ -74,8 +74,12 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # Changed since their last driver row (round-7 edits): q141 was
 # RE-BASED from the fixed-k=8 SemDeDup form to the k∝n policy
 # (k = max(8, ceil(n_aug/64)); new oracle unrolls k=9 at the
-# adjudication corpus) — VERDICT r6 item 1.
-_STALE: tuple[str, ...] = ("q141",)
+# adjudication corpus) — VERDICT r6 item 1. q147's staging was
+# extracted into _q147_staged for the q153 twin (same statements,
+# code path touched). q136's index restore now byte-copies commit
+# markers instead of hardlinking them (output unchanged, restore
+# path touched).
+_STALE: tuple[str, ...] = ("q136", "q141", "q147")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

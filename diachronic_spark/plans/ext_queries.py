@@ -2940,7 +2940,14 @@ def _semdedup_parametrized(
     spark: SparkSession, sf: str, k: int, cache_key: str
 ) -> DataFrame:
     aug = S.with_near_duplicate_vectors(load(spark, sf, "embeddings"))
-    assign, _ = S.kmeans_lazy(
+    # EAGER kmeans (round 7): its assignment runs the vectorized
+    # numpy dual (_assigned_np — bit-identical to the HOF fold,
+    # parity-pinned), which at the k∝n policy's growing k is the fit's
+    # cost center. Measured on the augmented sf0.1 corpus: k=33
+    # 5.5 → 1.9 s, and the assignment term at the 10× corpus drops
+    # ~an order of magnitude. q51/q63 keep kmeans_lazy, so BOTH fit
+    # forms stay driver-adjudicated.
+    assign, _ = S.kmeans(
         aug, k=k, n_iter=3, vec_col="emb", cache_key=cache_key
     )
     va = aug.join(assign, "vec_id")

@@ -49,13 +49,21 @@ def _py_kmeans(vecs: dict[int, list[float]], k: int, n_iter: int, rnd: int = 6):
 
 
 def test_eager_and_lazy_kmeans_identical(spark, sf_dir):
+    """The eager form now assigns through the VECTORIZED numpy dual
+    (_assigned_np) while the lazy form keeps the HOF fold — so this
+    equivalence is also the bit-parity pin for the cumsum-equals-
+    sequential-fold property, at several k (including k > dim/2 where
+    empty cells appear and cell ids gap)."""
     emb = load(spark, sf_dir, "embeddings")
-    a_e, c_e = S.kmeans(emb, k=8, n_iter=3)
-    a_l, c_l = S.kmeans_lazy(emb, k=8, n_iter=3)
-    assert sorted(map(tuple, a_e.collect())) == sorted(map(tuple, a_l.collect()))
-    ce = {r["cell"]: list(r["c"]) for r in c_e.collect()}
-    cl = {r["cell"]: list(r["c"]) for r in c_l.collect()}
-    assert ce == cl
+    for k in (8, 9, 33):
+        a_e, c_e = S.kmeans(emb, k=k, n_iter=3)
+        a_l, c_l = S.kmeans_lazy(emb, k=k, n_iter=3, cache_key=f"t{k}")
+        assert sorted(map(tuple, a_e.collect())) == sorted(
+            map(tuple, a_l.collect())
+        ), f"k={k} assignments diverge"
+        ce = {r["cell"]: list(r["c"]) for r in c_e.collect()}
+        cl = {r["cell"]: list(r["c"]) for r in c_l.collect()}
+        assert ce == cl, f"k={k} centroids diverge"
 
 
 def test_kmeans_matches_python_replay(spark, sf_dir):

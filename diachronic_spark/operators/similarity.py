@@ -226,6 +226,30 @@ def _assigned_np(v: DataFrame, cent_rows: list) -> DataFrame:
     return v.select("vec_id", assign_udf("v").alias("cell"), "v")
 
 
+def cosine_similarity_np(a, b):
+    """Vectorized dual of ``functions.cosine_similarity`` for two
+    array<double> COLUMNS (pairwise, row by row): the same
+    left-to-right fold arithmetic via ``np.cumsum`` — bit-identical
+    to the HOF form (same pin as ``_assigned_np``), Arrow-batched.
+    Use on candidate-pair filters where the interpreted HOF is the
+    hot loop (SemDeDup's within-cell scan)."""
+
+    def cos(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        if len(sa) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        A = np.array(sa.tolist(), dtype=np.float64)
+        B = np.array(sb.tolist(), dtype=np.float64)
+        dots = np.cumsum(A * B, axis=1)[:, -1]
+        na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+        return pd.Series(dots / (na * nb))
+
+    cos.__annotations__ = {
+        "sa": pd.Series, "sb": pd.Series, "return": pd.Series,
+    }
+    return F.pandas_udf(cos, "double")(a, b)
+
+
 def kmeans(
     emb: DataFrame,
     k: int = 8,

@@ -2957,10 +2957,14 @@ def _semdedup_parametrized(
     b = va.select(
         F.col("vec_id").alias("doc_b"), F.col("emb").alias("eb"), "cell"
     )
+    # pair cosine through the vectorized dual (bit-identical to the
+    # HOF fold, hence to the oracle's replay) — with assignment
+    # vectorized, the interpreted per-pair cosine was the remaining
+    # hot loop of the within-cell scan
     pairs = (
         a.join(b, "cell")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(fn.cosine_similarity("ea", "eb") >= 0.95)
+        .filter(S.cosine_similarity_np(F.col("ea"), F.col("eb")) >= 0.95)
         .select("doc_a", "doc_b")
     )
     comp = D.connected_components_auto(

@@ -101,3 +101,29 @@ def test_ivf_with_kmeans_recall_vs_brute_force(spark, sf_dir):
     # true neighborhood
     overlap = len(set(exact) & set(approx))
     assert overlap >= 3, f"recall {overlap}/5 too low: {exact} vs {approx}"
+
+
+def test_pairwise_cosine_np_bit_equals_hof(spark, sf_dir):
+    """cosine_similarity_np (the Arrow-vectorized pair filter) must be
+    BIT-identical to the HOF fold over real corpus pairs — the same
+    cumsum-equals-sequential-fold property _assigned_np relies on."""
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.functions import cosine_similarity
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("ia") % 17) == (F.col("ib") % 17)).filter(
+        F.col("ia") < F.col("ib")
+    )
+    got = pairs.select(
+        "ia", "ib",
+        cosine_similarity("va", "vb").alias("h"),
+        S.cosine_similarity_np(F.col("va"), F.col("vb")).alias("n"),
+    ).collect()
+    assert got, "no pairs?"
+    bad = [(r.ia, r.ib, r.h, r.n) for r in got if r.h != r.n]
+    assert not bad, bad[:5]

@@ -67,6 +67,10 @@ SHIFTS = {
 
 def build_scaled_dir(spark) -> None:
     if os.path.isdir(SCALED):
+        if os.environ.get("SPARK_GRAFT_REUSE_SCALED") == "1":
+            # the corpus is deterministic; reuse lets a re-measure run
+            # skip the ~5-min rebuild (set to 0/unset for a clean build)
+            return
         shutil.rmtree(SCALED)
     os.makedirs(SCALED)
     for t in TABLES:

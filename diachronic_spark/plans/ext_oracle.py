@@ -566,8 +566,11 @@ ORDER BY event_type
 
 
 def _kmeans_chain(
-    v_cte: str, k: int, n_iter: int, dim: int, rnd: int
+    v_cte: str, k: int | str, n_iter: int, dim: int, rnd: int
 ) -> tuple[list[str], str]:
+    # ``k`` may be an int literal or a scalar-subquery SQL expression
+    # (DuckDB allows LIMIT (SELECT ...)) — it appears ONLY in the
+    # init CTE's LIMIT, so a dynamic k needs no other change.
     """Unrolled Lloyd's k-means CTE chain over a ``v(vec_id,
     embedding)`` relation, mirroring operators/similarity.py kmeans()
     CTE-for-CTE — shared by the q51 IVF oracle and the q141 SemDeDup
@@ -2370,7 +2373,7 @@ ORDER BY contained, container
 # cosine >= 0.95, recursive-CTE transitive closure (q52's), keep-min
 # representative per semantic group.
 def _semdedup_sql(
-    k: int = 8, n_iter: int = 3, dim: int = 64, rnd: int = 6,
+    k: int | str = 8, n_iter: int = 3, dim: int = 64, rnd: int = 6,
     thr: float = 0.95,
 ) -> str:
     # NB the perturbation seed is the NEW id (vec_id + 100000):
@@ -2423,12 +2426,16 @@ ORDER BY x.vec_id"""
 
 
 # q141 re-based round 7 to the k∝n policy: the Spark side derives
-# k = max(8, ceil(n_aug / 64)) from the corpus at runtime; an unrolled
-# SQL replay needs a literal, so this encodes the SAME formula
-# evaluated at the adjudication corpus (500 embeddings + 50 perturbed
-# copies → k = 9). Any drift between the policy Spark runs and this
-# constant shows up as a cell/keeper mismatch.
-EXT_ORACLE["q141"] = _semdedup_sql(k=9)
+# k = max(8, ceil(n_aug / 64)) from the corpus at runtime — and so
+# does the ORACLE. k appears in the unrolled k-means chain only as
+# the init's LIMIT, and DuckDB accepts a scalar-subquery LIMIT, so
+# the replay computes the SAME formula over the same augmented
+# corpus (`v`) instead of freezing its value at one corpus size.
+# The oracle therefore adjudicates the POLICY at any sf (the full
+# strict audit runs it at sf0.001/0.01/0.1 where k = 9/9/33).
+EXT_ORACLE["q141"] = _semdedup_sql(
+    k="(SELECT GREATEST(8, CEIL(count(*) / 64.0))::BIGINT FROM v)"
+)
 
 # q142: bigram count-LM replay — same tokenization, corpus bigram/
 # unigram counts, vocabulary size, add-one smoothing, per-doc mean.

@@ -2898,9 +2898,10 @@ def q140(spark: SparkSession, sf: str) -> DataFrame:
 # k-means (q51's machinery), the within-cell pair scan, and a
 # recursive-CTE closure (q52's).
 # Mean-cell-size target for the k∝n policy: k = max(8, ceil(n/64)).
-# 64 keeps the adjudication-corpus k distinct from the old fixed 8
-# (550 → 9) while the 10× corpus point stays sub-flag (2.88× per 10×
-# with the vectorized assignment/pair duals).
+# 64 keeps the driver-corpus k distinct from the old fixed 8 (550 →
+# 9; sf0.1 → 33 — both oracle-adjudicated, the replay derives k the
+# same way) while the 10× corpus point stays far sub-flag (2.88× per
+# 10× with the vectorized assignment/pair duals).
 _SEMDEDUP_CELL = 64
 
 
@@ -2921,11 +2922,11 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     # assignment pays O(n·k) — a pure broadcast map, no shuffle, the
     # term production systems accept (the SemDeDup paper runs k=50k
     # over 100M embeddings the same way), both hot loops running the
-    # vectorized numpy duals — measured 2.88× per 10× (quiet host)
-    # corpus, under the 13× flag. The SQL replay unrolls the SAME k
-    # the formula yields at the adjudication corpus (550 → 9; an
-    # unrolled CTE chain needs a literal), so the driver verifies the
-    # fit, pair scan, and closure the policy actually runs.
+    # vectorized numpy duals — measured 2.88× per 10× corpus (quiet
+    # host), far under the 13× flag. The SQL replay derives the SAME
+    # k with a scalar-subquery LIMIT over the same augmented corpus,
+    # so the oracle adjudicates the POLICY at any sf (k = 9 at the
+    # 550-vector driver corpus, 33 at sf0.1 — all strict-audit green).
     emb = load(spark, sf, "embeddings")
     # corpus size after augmentation (one copy per vec_id < 50) from
     # ONE tiny agg — footer count + a pushed filter count, no scan of

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bmp as BMP
 from ..functions import gif as GIF
+from ..functions import jpeg as JPEG
 from ..functions import png as PNG
 
 FEATURE_SCHEMA = (
@@ -39,11 +40,12 @@ def decode(blob: bytes) -> tuple[int, int, int, bytes]:
     """Decode a media payload to (width, height, channels, pixels) —
     REAL multi-format routing by container signature.
 
-    PNG, BMP, and GIF (first frame; ``decode_gif_frames`` for the
-    rest) decode for real via the pure-stdlib codecs. Other containers
-    raise ``ValueError`` — JPEG/audio/video codecs are not installable
-    here, and silently faking pixel data for them would poison
-    downstream features.
+    PNG, BMP, GIF (first frame; ``extract_gif_frame_features`` for
+    the rest), and baseline JPEG decode for real via the pure
+    stdlib+numpy codecs. Other containers raise ``ValueError`` —
+    audio rides ``extract_audio_features``; video/progressive-JPEG
+    would need ffmpeg-class machinery this container lacks, and
+    silently faking pixels would poison downstream features.
     """
     blob = bytes(blob)
     if blob[: len(PNG.SIGNATURE)] == PNG.SIGNATURE:
@@ -53,9 +55,11 @@ def decode(blob: bytes) -> tuple[int, int, int, bytes]:
     if blob[:6] in GIF.SIGNATURES:
         f = GIF.decode_gif(blob)[2][0]
         return f.width, f.height, 3, f.pixels
+    if blob[:2] == b"\xff\xd8":
+        return JPEG.decode_jpeg(blob)
     raise ValueError(
-        "unsupported media container (PNG/BMP/GIF decode in this "
-        "environment; JPEG/ffmpeg codecs are not installed)"
+        "unsupported media container (PNG/BMP/GIF/baseline-JPEG "
+        "decode in this environment; video codecs are not installed)"
     )
 
 

@@ -2525,6 +2525,20 @@ FROM read_parquet('{_BMP_TRUTH}')
 ORDER BY img_id
 """
 
+# q154: baseline JPEG decode adjudication — truth decoded from the
+# quantized coefficients with pure loop math over the shared cosine
+# basis (sources/jpeg_fixture.py truth_row; no bitstream, no numpy,
+# no codec), so the green row verifies the whole Huffman/entropy
+# layer AND the vectorized IDCT/color math against an independent
+# scalar implementation of the pinned decode spec.
+from ..sources.jpeg_fixture import TRUTH_PATH as _JPEG_TRUTH  # noqa: E402
+
+EXT_ORACLE["q154"] = f"""
+SELECT img_id, width, height, channels, pix_sha, sum_r, sum_g, sum_b
+FROM read_parquet('{_JPEG_TRUTH}')
+ORDER BY img_id
+"""
+
 EXT_ORACLE["q151"] = f"""
 SELECT gif_id, frame_idx, width, height, 3 AS channels,
        pix_sha, sum_r, sum_g, sum_b

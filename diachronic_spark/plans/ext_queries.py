@@ -3399,6 +3399,45 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q154: baseline JPEG decode (L5) — the "needs a DCT library" gap closed -
+# VERDICT r6 listed JPEG as genuinely undecodable here ("no DCT
+# library") — but a DCT is an 8×8 cosine matrix and numpy is in the
+# container. functions/jpeg.py decodes baseline sequential JPEG for
+# real (Huffman + dequant + IDCT + JFIF color, restarts, 4:2:0/2:2/
+# 4:4:4; progressive rejected loudly), validated two independent
+# ways: libjpeg-encoded host photos parse end-to-end (a Huffman bug
+# desyncs within MCUs), and the 12 committed fixtures decode
+# BIT-EXACTLY to a pure-Python loop-math truth (shared math.cos
+# basis + the cumsum accumulation order — JPEG decoders legitimately
+# differ in IDCT/rounding, so the contract pins OURS and the truth
+# replays it from the quantized coefficients, never the bitstream).
+# Rides the same generic signature dispatch as q150.
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.jpeg_fixture import JPEGS_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(JPEGS_DIR)
+    )
+    jpgs = raw.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg$", 1)
+        .cast("bigint")
+        .alias("img_id"),
+        F.col("content").alias("jpg"),
+    )
+    return (
+        M.extract_image_features(jpgs, payload_col="jpg")
+        .select(
+            "img_id", "width", "height", "channels", "pix_sha",
+            "sum_r", "sum_g", "sum_b",
+        )
+        .orderBy("img_id")
+    )
+
+
 # --- q153: explicit-schema drift scan — q147's production twin -------------
 # q147 adjudicates mergeSchema; its own docstring says the 100 TB
 # deployment should pass an explicit unified schema instead (one
@@ -3479,4 +3518,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
+    "q154": q154,
 }

@@ -1,0 +1,129 @@
+"""Baseline-JPEG codec unit tests (functions/jpeg.py).
+
+Three independent anchors: (1) hand-computable DC-only blocks — the
+IDCT of a DC-only block is a FLAT plane at DC/8, so expected pixels
+derive from arithmetic a reviewer can check on paper; (2) the
+committed fixture set decodes BIT-EXACTLY to a pure-Python loop-math
+truth computed from the quantized coefficients (test_multimodal has
+the drift check; here the equality itself); (3) libjpeg-encoded
+host test images parse end-to-end where present — third-party
+entropy coding, optimized multi-length Huffman tables, real photos.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+
+from diachronic_spark.functions.jpeg import (
+    JpegError,
+    decode_jpeg,
+)
+from diachronic_spark.sources.jpeg_fixture import (
+    generate_jpegs,
+    truth_row,
+)
+
+_HOST_JPEGS = [
+    p
+    for pat in (
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/site-packages/IPython/core/tests/2x2.jpg",
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/test/imghdrdata/python.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/verify.jpeg",
+    )
+    for p in glob.glob(pat)
+]
+
+
+def test_dc_only_block_arithmetic_by_hand():
+    """Paper-checkable anchor for the transform pair: the orthonormal
+    DCT of a CONSTANT block v is DC-only with F[0][0] = 8·(v−128)
+    (basis row 0 is the constant 1/(2√2), and 64·(v−128)/(2√2)² =
+    8·(v−128)); inverting that lone coefficient reconstructs the flat
+    plane exactly."""
+    import numpy as np
+
+    from diachronic_spark.functions.jpeg import COS_BASIS, idct_block
+
+    assert abs(COS_BASIS[0][0] - 0.35355339059327373) < 1e-15
+    v = 200.0
+    f00 = sum(
+        (v - 128.0) * COS_BASIS[0][x] * COS_BASIS[0][y]
+        for x in range(8)
+        for y in range(8)
+    )
+    assert abs(f00 - 8 * (v - 128.0)) < 1e-9
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 8 * (v - 128.0)
+    assert np.allclose(idct_block(coef), v - 128.0, atol=1e-9)
+
+
+def test_fixture_set_bit_exact_vs_loop_truth():
+    for img in generate_jpegs():
+        t = truth_row(img)
+        w, h, c, pix = decode_jpeg(img["blob"])
+        assert (w, h, c) == (t["width"], t["height"], t["channels"])
+        assert hashlib.sha256(pix).hexdigest() == t["pix_sha"], (
+            f"img {img['img_id']} diverged from loop truth"
+        )
+
+
+def test_committed_jpeg_fixtures_are_regenerable():
+    from diachronic_spark.sources.jpeg_fixture import JPEGS_DIR
+
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.jpeg_fixture import TRUTH_PATH
+
+    imgs = generate_jpegs()
+    assert len(imgs) == 12
+    for img in imgs:
+        path = os.path.join(JPEGS_DIR, f"img_{img['img_id']:03d}.jpg")
+        with open(path, "rb") as f:
+            assert f.read() == img["blob"], f"fixture drift: {path}"
+    stored = {
+        r["img_id"]: r for r in pq.read_table(TRUTH_PATH).to_pylist()
+    }
+    for img in imgs:
+        assert truth_row(img) == stored[img["img_id"]]
+
+
+def test_decode_rejects_malformed():
+    ok = generate_jpegs()[0]["blob"]
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"GIF89a" + ok)
+    with pytest.raises(JpegError, match="truncated"):
+        decode_jpeg(ok[: len(ok) // 3])
+    # flip the SOF0 marker to SOF2 (progressive) — must reject loudly
+    i = ok.index(b"\xff\xc0")
+    prog = ok[:i] + b"\xff\xc2" + ok[i + 2 :]
+    with pytest.raises(JpegError, match="SOF"):
+        decode_jpeg(prog)
+    # corrupt a byte mid-entropy-stream: the decoder must fail loudly
+    # (desync -> bad Huffman code / category / run), never emit
+    # silently wrong pixels of the wrong SIZE
+    j = ok.index(b"\xff\xda") + 30
+    bad = bytearray(ok)
+    bad[j] ^= 0x5A
+    try:
+        w, h, c, pix = decode_jpeg(bytes(bad))
+        assert len(pix) == w * h * c  # if it decodes, shape holds
+    except JpegError:
+        pass
+
+
+@pytest.mark.skipif(not _HOST_JPEGS, reason="host JPEGs not present")
+def test_decode_third_party_encoded_jpegs():
+    """libjpeg-encoded files (real Huffman tables, real photos) must
+    decode end-to-end: a bit-reader or Huffman bug desyncs within a
+    few MCUs on any non-trivial image."""
+    for p in _HOST_JPEGS:
+        with open(p, "rb") as f:
+            w, h, c, pix = decode_jpeg(f.read())
+        assert w > 0 and h > 0 and len(pix) == w * h * c

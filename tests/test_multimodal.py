@@ -67,7 +67,15 @@ def test_decode_dispatches_png_and_rejects_unknown(spark):
     assert decode(blob) == (2, 1, 3, bytes([1, 2, 3, 4, 5, 6]))
     import pytest as _pytest
 
+    # a genuinely unknown container (WebM/EBML magic) — JPEG now
+    # routes to the real baseline decoder instead
     with _pytest.raises(ValueError, match="unsupported media"):
+        decode(b"\x1a\x45\xdf\xa3 webm-ish")
+    # a JPEG signature with garbage inside fails in the JPEG parser
+    # (loud), not as an unknown container
+    from diachronic_spark.functions.jpeg import JpegError
+
+    with _pytest.raises(JpegError):
         decode(b"\xff\xd8\xff\xe0 jpeg-ish")
 
 

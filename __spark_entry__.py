@@ -70,16 +70,27 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 6 for i in range(1, 26)},
     **{f"q{i}": 6 for i in range(27, 37)},
     **{"q45": 6, "q50": 6, "q96": 6},
+    # round 7 checked the six new q149-q154, the r7-stale 3
+    # (q136/q141/q147), and the rotation tail q37-q44/q46-q49/
+    # q51/q53-q71/q97-q100/q106-q109/q111 — CORRECTNESS_r07.json:
+    # 50/50 green. The r7-era stale set is retired by those rows.
+    **{f"q{i}": 7 for i in range(149, 155)},
+    **{"q136": 7, "q141": 7, "q147": 7},
+    **{f"q{i}": 7 for i in range(37, 45)},
+    **{f"q{i}": 7 for i in range(46, 50)},
+    **{"q51": 7},
+    **{f"q{i}": 7 for i in range(53, 72)},
+    **{f"q{i}": 7 for i in range(97, 101)},
+    **{f"q{i}": 7 for i in range(106, 110)},
+    **{"q111": 7},
 }
-# Changed since their last driver row (round-7 edits): q141 was
-# RE-BASED from the fixed-k=8 SemDeDup form to the k∝n policy
-# (k = max(8, ceil(n_aug/64)); new oracle unrolls k=9 at the
-# adjudication corpus) — VERDICT r6 item 1. q147's staging was
-# extracted into _q147_staged for the q153 twin (same statements,
-# code path touched). q136's index restore now byte-copies commit
-# markers instead of hardlinking them (output unchanged, restore
-# path touched).
-_STALE: tuple[str, ...] = ("q136", "q141", "q147")
+# Changed since their last driver row (round-8 edits): q154's decoder
+# gained the T.81 non-interleaved single-component-scan rule (ADVICE
+# r7 — fixture output unchanged, scan path touched); q150's BMP
+# decoder gained the pixel-offset lower-bound check (same advice);
+# q136's cross-filesystem restore fallback now copies without
+# preserving the pristine copy's read-only mode (fallback path only).
+_STALE: tuple[str, ...] = ("q136", "q150", "q154")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

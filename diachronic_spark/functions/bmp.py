@@ -68,6 +68,14 @@ def decode_bmp(blob: bytes) -> tuple[int, int, int, bytes]:
     row_bytes = width * (bpp // 8)
     stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
     need = stride * height
+    # lower bound too: a data_off pointing back into the headers or
+    # palette would silently decode those bytes as pixels (ADVICE r7)
+    min_off = 14 + hdr_size + 4 * (clr_used or (256 if bpp == 8 else 0))
+    if data_off < min_off:
+        raise BmpError(
+            f"pixel offset {data_off} inside header/palette "
+            f"(first valid byte {min_off})"
+        )
     if data_off + need > len(blob):
         raise BmpError(
             f"truncated pixel data: need {need} at {data_off}, "

@@ -274,6 +274,19 @@ def _decode_scan(blob, pos, frame, scan, qt, huff, restart):
     if w == 0 or h == 0:
         raise JpegError(f"bad dimensions {w}x{h}")
     comps = frame["comps"]
+    if len(scan) == 1:
+        # T.81 A.2: a scan with Ns=1 is NON-interleaved — its MCU is
+        # ONE data unit, walked row-major over the component's own
+        # ceil(w/8) x ceil(h/8) grid with sampling factors ignored
+        # (libjpeg agrees: jpegtran -grayscale keeps 2x2 luma factors
+        # and writes exactly this stream). Forcing effective 1x1
+        # sampling makes the interleaved MCU walk below BE that
+        # row-major block walk; restart intervals count data units,
+        # which the forced walk also preserves.
+        c0 = dict(scan[0][0])
+        c0["h"] = c0["v"] = 1
+        scan = [(c0, scan[0][1], scan[0][2])]
+        comps = [c0]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1:

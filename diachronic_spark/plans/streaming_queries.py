@@ -869,7 +869,14 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         )
     except OSError:
         shutil.rmtree(idx, ignore_errors=True)
-        shutil.copytree(_minhash_index(spark, sf), idx)
+        # copyfile, not copy2: the pristine index is stamped 0o444,
+        # and a mode-preserving copy would hand the committer
+        # read-only markers to rewrite in place — EACCES for any
+        # non-root run (ADVICE r7).
+        shutil.copytree(
+            _minhash_index(spark, sf), idx,
+            copy_function=shutil.copyfile,
+        )
     state = {"ids": []}
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:

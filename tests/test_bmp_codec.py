@@ -123,3 +123,20 @@ def test_roundtrip_property_fuzz():
         assert decode_bmp(encode_bmp(w, h, 3, pix)) == (w, h, 3, pix)
 
     check()
+
+
+def test_decode_rejects_pixel_offset_inside_headers():
+    """A data offset pointing back into the file header or palette
+    must raise, not silently decode header bytes as pixels (ADVICE
+    r7)."""
+    body = bytes(8)
+    ok = _hdr(2, 1, 24, 8) + body
+    bad = ok[:10] + struct.pack("<I", 0) + ok[14:]
+    with pytest.raises(BmpError, match="inside header"):
+        decode_bmp(bad)
+    # 8-bit: offset inside the palette region
+    pal = bytes([1, 2, 3, 0]) * 2
+    blob8 = _hdr(1, 1, 8, 4, pal=pal, clr_used=2) + bytes(4)
+    bad8 = blob8[:10] + struct.pack("<I", 14 + 40 + 4) + blob8[14:]
+    with pytest.raises(BmpError, match="inside header"):
+        decode_bmp(bad8)

@@ -127,3 +127,24 @@ def test_decode_third_party_encoded_jpegs():
         with open(p, "rb") as f:
             w, h, c, pix = decode_jpeg(f.read())
         assert w > 0 and h > 0 and len(pix) == w * h * c
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a scan with Ns=1 is NON-interleaved — one data unit
+    per MCU, row-major over the component's own ceil/8 grid, sampling
+    factors ignored. A grayscale file that declares 2x2 luma sampling
+    (what ``jpegtran -grayscale`` leaves behind) must decode to the
+    SAME pixels as its 1x1 twin: the entropy stream is identical, only
+    the SOF sampling byte differs (ADVICE r7)."""
+    for img in generate_jpegs():
+        if img["color"]:
+            continue
+        ok = img["blob"]
+        base = decode_jpeg(ok)
+        i = ok.index(b"\xff\xc0")
+        # FF C0 len(2) prec(1) h(2) w(2) nc(1) cid(1) -> hv byte
+        assert ok[i + 11] == 0x11
+        patched = ok[: i + 11] + b"\x22" + ok[i + 12 :]
+        assert decode_jpeg(patched) == base, (
+            f"img {img['img_id']}: declared 2x2 grayscale diverged"
+        )

@@ -84,13 +84,18 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 7 for i in range(106, 110)},
     **{"q111": 7},
 }
-# Changed since their last driver row (round-8 edits): q154's decoder
+# New this round (tier 0, never adjudicated): q155 (partition-pruned
+# snapshot-store refresh), q156 (incremental-agg rollup lifecycle),
+# q157 (progressive JPEG decode).
+# Changed since their last driver row (round-8 edits): q141 was
+# RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
+# new cell ids, new oracle); q154's decoder
 # gained the T.81 non-interleaved single-component-scan rule (ADVICE
 # r7 — fixture output unchanged, scan path touched); q150's BMP
 # decoder gained the pixel-offset lower-bound check (same advice);
 # q136's cross-filesystem restore fallback now copies without
 # preserving the pristine copy's read-only mode (fallback path only).
-_STALE: tuple[str, ...] = ("q136", "q150", "q154")
+_STALE: tuple[str, ...] = ("q136", "q141", "q150", "q151", "q154")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -37,17 +37,20 @@ def main() -> None:
     # is back near idle — the 15-min average is the tell. Warn (stderr,
     # so the stdout JSON contract is untouched) rather than abort: the
     # driver's own runs must still complete.
-    try:
-        load15 = os.getloadavg()[2]
-        if load15 > 2.0:
-            print(
-                f"WARNING: 15-min loadavg {load15:.1f} > 2 — host not "
-                "quiet; expect timings 20-25% above steady state "
-                "(SCALE.md quiet-bench protocol)",
-                file=sys.stderr,
-            )
-    except OSError:
-        pass
+    def _loadavg() -> list[float] | None:
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return None
+
+    load_start = _loadavg()
+    if load_start and load_start[2] > 2.0:
+        print(
+            f"WARNING: 15-min loadavg {load_start[2]:.1f} > 2 — host not "
+            "quiet; expect timings 20-25% above steady state "
+            "(SCALE.md quiet-bench protocol)",
+            file=sys.stderr,
+        )
     spark = get_spark("diachronic-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -97,12 +100,19 @@ def main() -> None:
     # line is a compact summary guaranteed to fit any tail capture.
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     queries_file = os.path.join(repo_dir, "bench_queries.json")
+    # loadavg_{start,end} land in BOTH the artifact file and the final
+    # summary line (VERDICT r7 item 5): every elevated driver run used
+    # to restart the same phantom-regression debate because the warning
+    # above only reached stderr, which the driver does not keep.
+    load_end = _loadavg()
     full = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
     }
     with open(queries_file, "w") as f:
         json.dump(full, f, indent=1, sort_keys=False)
@@ -117,6 +127,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "queries_file": "bench_queries.json",
+                "loadavg_start": load_start,
+                "loadavg_end": load_end,
             }
         )
     )

@@ -442,15 +442,26 @@ def extract_gif_frame_features(gifs: DataFrame) -> DataFrame:
 GIF_PNG_FRAMES_SCHEMA = "gif_id bigint, n_frames int, frames array<binary>"
 
 
-def gif_frames_as_png(gifs: DataFrame) -> DataFrame:
-    """Decode a GIF and re-encode every frame as a PNG, returned as a
+def gif_frames_as_png(gifs: DataFrame, stride: int = 1) -> DataFrame:
+    """Decode a GIF and re-encode its frames as PNGs, returned as a
     NESTED ``array<binary>`` column — the storage schema for
     multi-image payloads (video frame samples, document page scans):
     one row per source asset, frames as an ordered nested list that
     downstream stages explode, sample, or index positionally. PNG
     re-encode is lossless, so a later PNG decode reproduces the GIF
     frame pixels exactly (cross-codec property, adjudicated by q151).
+
+    ``stride`` pushes frame SAMPLING into the emit loop (VERDICT r7
+    item 6): every frame is still LZW-decoded (GIF frames are
+    sequentially coded — frame k needs 0..k-1's disposal state), but
+    only every ``stride``-th frame pays the PNG encode, the one
+    per-byte cost a post-explode filter cannot claw back. Element i
+    of ``frames`` is source frame ``i*stride``; ``n_frames`` stays
+    the TOTAL decoded count so consumers can recover original
+    indices and know what was skipped (the no-silent-caps rule).
     """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -462,7 +473,7 @@ def gif_frames_as_png(gifs: DataFrame) -> DataFrame:
                 arrs.append(
                     [
                         PNG.encode_png(f.width, f.height, 3, f.pixels)
-                        for f in frames
+                        for f in frames[::stride]
                     ]
                 )
             yield pd.DataFrame(

@@ -2425,17 +2425,118 @@ ORDER BY x.vec_id"""
     )
 
 
-# q141 re-based round 7 to the k∝n policy: the Spark side derives
-# k = max(8, ceil(n_aug / 64)) from the corpus at runtime — and so
-# does the ORACLE. k appears in the unrolled k-means chain only as
-# the init's LIMIT, and DuckDB accepts a scalar-subquery LIMIT, so
-# the replay computes the SAME formula over the same augmented
-# corpus (`v`) instead of freezing its value at one corpus size.
-# The oracle therefore adjudicates the POLICY at any sf (the full
-# strict audit runs it at sf0.001/0.01/0.1 where k = 9/9/33).
-EXT_ORACLE["q141"] = _semdedup_sql(
-    k="(SELECT GREATEST(8, CEIL(count(*) / 64.0))::BIGINT FROM v)"
-)
+def _semdedup_two_level_sql(
+    n_iter: int = 3, dim: int = 64, rnd: int = 6, thr: float = 0.95,
+) -> str:
+    """q141's round-8 replay: the HIERARCHICAL two-level fit.
+
+    Derives the same three policy constants the engine derives —
+    k = max(8, ceil(n/64)), k_c = ceil(√k), k_f = ceil(k/k_c) — from
+    the same augmented corpus, replays the coarse fit with the shared
+    unrolled chain (_kmeans_chain, k_c as a scalar-subquery LIMIT),
+    then unrolls the fine stage: init = the k_f lowest-id members of
+    each coarse cell (unrounded), and per iteration an argmax-cosine
+    assignment RESTRICTED to the vector's own coarse cell's fine
+    centroids (probe width 1 — the declared policy) followed by
+    6dp-rounded element-wise means over occupied fine cells. Global
+    fine ids are gcell·k_f + local rank, matching the engine exactly.
+    Pair scan / closure / keep-min are the r5–r7 tail unchanged, now
+    keyed on the fine cell.
+    """
+    aug = """aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000,
+         list_transform(range(64),
+             i -> embedding[i+1]::DOUBLE
+                  + (((vec_id + 100000)*64 + i) % 7 - 3) * 0.005)
+  FROM embeddings WHERE vec_id < 50)"""
+    params = """params AS (
+  SELECT k, CAST(CEIL(SQRT(k)) AS BIGINT) AS kc,
+         CAST(CEIL(k / CEIL(SQRT(k))) AS BIGINT) AS kf
+  FROM (SELECT GREATEST(8, CEIL(count(*) / 64.0))::BIGINT AS k FROM v))"""
+    ctes, coarse_fin = _kmeans_chain(
+        "v AS (SELECT vec_id, emb AS embedding FROM aug)",
+        "(SELECT kc FROM params)", n_iter, dim, rnd,
+    )
+    ctes.insert(0, aug)
+    ctes.insert(2, params)  # after v (params reads v)
+    ctes.append(
+        f"ac AS (SELECT vec_id, cell AS gcell FROM {coarse_fin})"
+    )
+    ctes.append("""fi AS (
+  SELECT ac.gcell, v.vec_id, v.embedding,
+         row_number() OVER (PARTITION BY ac.gcell ORDER BY v.vec_id) AS rn
+  FROM v JOIN ac USING (vec_id))""")
+    ctes.append("""f0 AS (
+  SELECT gcell, CAST(gcell * kf + rn - 1 AS BIGINT) AS fcell,
+         embedding AS c
+  FROM fi, params WHERE rn <= kf)""")
+    ctes.append(
+        "m AS (SELECT v.vec_id, v.embedding, ac.gcell"
+        " FROM v JOIN ac USING (vec_id))"
+    )
+    for it in range(n_iter):
+        cos = _COS.format(a="m.embedding", b="f.c")
+        ctes.append(f"""fa{it} AS (
+  SELECT vec_id, fcell FROM (
+    SELECT m.vec_id, f.fcell,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {cos} DESC, f.fcell ASC) AS rn
+    FROM m JOIN f{it} f ON f.gcell = m.gcell) WHERE rn = 1)""")
+        ctes.append(f"""f{it + 1} AS (
+  SELECT fcell, CAST(fcell // kf AS BIGINT) AS gcell,
+         list(mm ORDER BY i) AS c
+  FROM (
+    SELECT fa{it}.fcell AS fcell, i,
+           round(avg(v.embedding[i]::DOUBLE), {rnd}) AS mm
+    FROM v JOIN fa{it} USING (vec_id), range(1, {dim + 1}) t(i)
+    GROUP BY fa{it}.fcell, i), params
+  GROUP BY fcell, kf)""")
+    fin_cos = _COS.format(a="m.embedding", b="f.c")
+    ctes.append(f"""fa{n_iter} AS (
+  SELECT vec_id, fcell FROM (
+    SELECT m.vec_id, f.fcell,
+           row_number() OVER (PARTITION BY m.vec_id
+                              ORDER BY {fin_cos} DESC, f.fcell ASC) AS rn
+    FROM m JOIN f{n_iter} f ON f.gcell = m.gcell) WHERE rn = 1)""")
+    fin = f"fa{n_iter}"
+    ctes.append(f"""pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM v a JOIN {fin} xa ON xa.vec_id = a.vec_id
+       JOIN v b ON a.vec_id < b.vec_id
+       JOIN {fin} xb ON xb.vec_id = b.vec_id AND xb.fcell = xa.fcell
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {thr})""")
+    ctes.append("""edges AS (
+  SELECT va AS src, vb AS dst FROM pairs
+  UNION ALL
+  SELECT vb AS src, va AS dst FROM pairs)""")
+    ctes.append("""reach(a, b) AS (
+  SELECT vec_id, vec_id FROM v
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)""")
+    ctes.append(
+        "lab AS (SELECT a AS vec_id, min(b) AS component FROM reach GROUP BY a)"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT x.vec_id, CAST(x.fcell AS INTEGER) AS cell,
+       l.component AS keeper, (l.component = x.vec_id) AS is_kept
+FROM {fin} x JOIN lab l ON l.vec_id = x.vec_id
+ORDER BY x.vec_id"""
+    )
+
+
+# q141 re-based round 8 to the hierarchical two-level fit (VERDICT r7
+# item 1): the replay derives k, k_c = ceil(√k), and k_f = ceil(k/k_c)
+# from the corpus exactly as the engine does, so the oracle
+# adjudicates the POLICY — including the probe-width-1 candidate
+# restriction — at any sf (k/kc/kf = 9/3/3 at the driver corpus,
+# 33/6/6 at sf0.1). The r7 flat k∝n replay generator (_semdedup_sql)
+# is kept for the scaling tool's retired-reference row.
+EXT_ORACLE["q141"] = _semdedup_two_level_sql()
 
 # q142: bigram count-LM replay — same tokenization, corpus bigram/
 # unigram counts, vocabulary size, add-one smoothing, per-doc mean.
@@ -2539,6 +2640,12 @@ FROM read_parquet('{_JPEG_TRUTH}')
 ORDER BY img_id
 """
 
+# q157: progressive JPEG — the committed SOF2 twins carry the SAME
+# quantized coefficients as the baseline fixtures, so the oracle is
+# the SAME independent loop-math truth: a green row certifies the
+# multi-scan entropy layer reconstructs every coefficient exactly.
+EXT_ORACLE["q157"] = EXT_ORACLE["q154"]
+
 EXT_ORACLE["q151"] = f"""
 SELECT gif_id, frame_idx, width, height, 3 AS channels,
        pix_sha, sum_r, sum_g, sum_b
@@ -2579,6 +2686,32 @@ SELECT page_id, CAST(CAST(timestamp AS DATE) AS VARCHAR) AS day,
        coalesce(text, '') AS text
 FROM w WHERE rn = 1
 ORDER BY page_id, day
+"""
+
+# q155: the STORAGE half of q152 — the Spark side writes the base
+# snapshot state partitionBy(day), refreshes ONLY the delta-touched
+# day partitions (pruned scan in, dynamic partition overwrite out),
+# and returns the store read back from disk; the oracle stays the
+# FULL RECOMPUTE, so the green row is refresh ≡ recompute INCLUDING
+# the disk round-trip. Untouched-file byte-identity is pinned in
+# tests/test_snapshot.py (an IO fact SQL cannot see).
+EXT_ORACLE["q155"] = EXT_ORACLE["q152"]
+
+# q156: incremental-agg rollup lifecycle — the Spark side folds four
+# event batches into an at-rest state table via three successive
+# disk → merge_states → disk refreshes; the oracle is one GROUP BY
+# over all events (merge ≡ recompute for algebraic aggregates).
+EXT_ORACLE["q156"] = """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       count(*) AS state_n,
+       round(sum(value), 2) + 0.0 AS sum_value,
+       round(min(value), 2) + 0.0 AS min_value,
+       round(max(value), 2) + 0.0 AS max_value,
+       floor(round(sum(value), 2) / count(*) * 100 + 0.5) / 100.0
+         AS avg_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+ORDER BY event_type, day
 """
 
 # q147: schema-evolution replay — three differently-shaped batches

@@ -441,6 +441,335 @@ def _assemble(
     return bytes(blob)
 
 
+# --- progressive (SOF2) assembly ---------------------------------------------
+# Every baseline fixture gets a PROGRESSIVE TWIN: the SAME quantized
+# coefficient planes shipped as a T.81 annex-G scan script (DC first
+# at Al=1 → per-component AC bands 1-5 / 6-63 at Al=1 → DC refinement
+# → per-component AC refinements at Al=0). One level of successive
+# approximation reconstructs the coefficients EXACTLY (DC: arithmetic
+# shift + low bit; AC: magnitude>>1 with sign + magnitude bit 0), so
+# the progressive twin must decode bit-identically to the baseline
+# file and to the shared loop-math truth — the entropy layers differ,
+# the coefficients do not.
+
+
+def _prog_geometry(samp, tw, th, w, h):
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = tw // (8 * hmax), th // (8 * vmax)
+    grids, nb = [], []
+    for sh, sv in samp:
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        nb.append(((cw + 7) // 8, (ch + 7) // 8))  # (nbx, nby)
+    return hmax, vmax, mcux, mcuy, nb
+
+
+def _zz(q):
+    return [q[ZIGZAG[z] // 8][ZIGZAG[z] % 8] for z in range(64)]
+
+
+def _dc_first_events(quant, samp, tw, th, w, h, rst, al):
+    """('SYM', table_id, category, pattern, length) / ('RST',) in the
+    scan's block order (interleaved MCU order, or the component's own
+    row-major grid when the frame has one component)."""
+    hmax, vmax, mcux, mcuy, nb = _prog_geometry(samp, tw, th, w, h)
+    grids = []
+    for qb in quant:
+        grids.append({(by, bx): q for by, bx, q in qb})
+    pred = [0] * len(samp)
+    if len(samp) > 1:
+        def blocks():
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, grids[ci][(my * sv + by, mx * sh + bx)]
+        per_mcu = sum(sh * sv for sh, sv in samp)
+    else:
+        nbx, nby = nb[0]
+        def blocks():
+            for m in range(nbx * nby):
+                by, bx = divmod(m, nbx)
+                yield 0, grids[0][(by, bx)]
+        per_mcu = 1
+    n_blocks = 0
+    for ci, q in blocks():
+        if rst and n_blocks and n_blocks % (per_mcu * rst) == 0:
+            yield ("RST",)
+            pred = [0] * len(samp)
+        dc = _zz(q)[0] >> al  # arithmetic shift: the DC point transform
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        t, pat = _category(diff)
+        yield ("SYM", min(ci, 1), t, pat, t)
+        n_blocks += 1
+
+
+def _dc_refine_events(quant, samp, tw, th, w, h, rst, al):
+    """('BIT', b) / ('RST',) — DC refinement is raw bits, no Huffman."""
+    hmax, vmax, mcux, mcuy, nb = _prog_geometry(samp, tw, th, w, h)
+    grids = [({(by, bx): q for by, bx, q in qb}) for qb in quant]
+    if len(samp) > 1:
+        def blocks():
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield grids[ci][(my * sv + by, mx * sh + bx)]
+        per_mcu = sum(sh * sv for sh, sv in samp)
+    else:
+        nbx, nby = nb[0]
+        def blocks():
+            for m in range(nbx * nby):
+                by, bx = divmod(m, nbx)
+                yield grids[0][(by, bx)]
+        per_mcu = 1
+    n = 0
+    for q in blocks():
+        if rst and n and n % (per_mcu * rst) == 0:
+            yield ("RST",)
+        yield ("BIT", (_zz(q)[0] >> al) & 1)
+        n += 1
+
+
+def _eob_sym(run):
+    """EOBn: symbol (r<<4) with run = (1<<r) + extra(r bits)."""
+    r = run.bit_length() - 1
+    return (r << 4), run - (1 << r), r
+
+
+def _ac_first_events(quant, samp, ci, ss, se, al, tw, th, w, h, rst):
+    """Non-interleaved AC first scan for component ``ci``: sent values
+    are sign * (|coef| >> al); EOB runs batched across blocks."""
+    hmax, vmax, mcux, mcuy, nb = _prog_geometry(samp, tw, th, w, h)
+    grid = {(by, bx): q for by, bx, q in quant[ci]}
+    nbx, nby = nb[ci]
+    tid = min(ci, 1)
+    pending = 0
+
+    def flush():
+        nonlocal pending
+        if pending:
+            sym, extra, elen = _eob_sym(pending)
+            yield ("SYM", tid, sym, extra, elen)
+            pending = 0
+
+    for m in range(nbx * nby):
+        if rst and m and m % rst == 0:
+            yield from flush()
+            yield ("RST",)
+        by, bx = divmod(m, nbx)
+        zz = _zz(grid[(by, bx)])
+        syms = []
+        r = 0
+        for k in range(ss, se + 1):
+            v = zz[k]
+            sv = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if sv == 0:
+                r += 1
+                continue
+            while r > 15:
+                syms.append((0xF0, 0, 0))  # ZRL
+                r -= 16
+            s, pat = _category(sv)
+            syms.append(((r << 4) | s, pat, s))
+            r = 0
+        if not syms:
+            pending += 1
+            if pending == 0x7FFF:
+                yield from flush()
+            continue
+        yield from flush()
+        for sym, pat, s in syms:
+            yield ("SYM", tid, sym, pat, s)
+        if r:  # trailing zeros: this block starts a new EOB run
+            pending = 1
+    yield from flush()
+
+
+def _ac_refine_events(quant, samp, ci, ss, se, al, tw, th, w, h, rst):
+    """Non-interleaved AC refinement scan: newly-significant coefs
+    (|coef| == 1 after the Al=1 first pass) arrive as run/1 symbols
+    with a sign bit; already-significant coefs contribute magnitude
+    bit ``al`` positionally interleaved exactly where the decoder's
+    skip loop reads them; EOB runs carry the run's correction bits."""
+    hmax, vmax, mcux, mcuy, nb = _prog_geometry(samp, tw, th, w, h)
+    grid = {(by, bx): q for by, bx, q in quant[ci]}
+    nbx, nby = nb[ci]
+    tid = min(ci, 1)
+    pending = 0
+    pend_bits: list = []
+
+    def flush():
+        nonlocal pending, pend_bits
+        if pending:
+            sym, extra, elen = _eob_sym(pending)
+            yield ("SYM", tid, sym, extra, elen)
+            for b in pend_bits:
+                yield ("BIT", b)
+            pending = 0
+            pend_bits = []
+
+    for m in range(nbx * nby):
+        if rst and m and m % rst == 0:
+            yield from flush()
+            yield ("RST",)
+        by, bx = divmod(m, nbx)
+        zz = _zz(grid[(by, bx)])
+        newks = [k for k in range(ss, se + 1) if abs(zz[k]) == 1]
+        if not newks:
+            pending += 1
+            pend_bits.extend(
+                abs(zz[k]) & 1
+                for k in range(ss, se + 1)
+                if abs(zz[k]) >= 2
+            )
+            if pending == 0x7FFF:
+                yield from flush()
+            continue
+        yield from flush()
+        pos = ss
+        for nk in newks:
+            zcount = sum(1 for i in range(pos, nk) if abs(zz[i]) <= 1)
+            while zcount > 15:
+                yield ("SYM", tid, 0xF0, 0, 0)  # ZRL: 16 zero-history
+                consumed = 0
+                while consumed < 16:
+                    if abs(zz[pos]) >= 2:
+                        yield ("BIT", abs(zz[pos]) & 1)
+                    else:
+                        consumed += 1
+                    pos += 1
+                zcount -= 16
+            yield ("SYM", tid, (zcount << 4) | 1, 0, 0)
+            yield ("BIT", 1 if zz[nk] > 0 else 0)  # sign
+            for i in range(pos, nk):
+                if abs(zz[i]) >= 2:
+                    yield ("BIT", abs(zz[i]) & 1)
+            pos = nk + 1
+        tail = [
+            abs(zz[i]) & 1 for i in range(pos, se + 1) if abs(zz[i]) >= 2
+        ]
+        if pos <= se:  # band remainder → this block opens an EOB run
+            pending = 1
+            pend_bits.extend(tail)
+    yield from flush()
+
+
+def _assemble_progressive(img: dict) -> bytes:
+    """SOF2 stream from the SAME quantized planes as ``_assemble``."""
+    w, h = img["width"], img["height"]
+    samp, quant = img["samp"], img["quant"]
+    qlum, qchr = img["qlum"], img["qchr"]
+    rst, tw, th = img["restart"], img["tw"], img["th"]
+    color = img["color"]
+    pq16 = any(v > 255 for row in qlum for v in row)
+    nc = 3 if color else 1
+
+    def scans():
+        yield ("dc1", _dc_first_events(quant, samp, tw, th, w, h, rst, 1),
+               list(range(nc)), 0, 0, 0, 1)
+        for ci in range(nc):
+            for (ss, se) in ((1, 5), (6, 63)):
+                yield (
+                    f"ac1_{ci}_{ss}",
+                    _ac_first_events(
+                        quant, samp, ci, ss, se, 1, tw, th, w, h, rst
+                    ),
+                    [ci], ss, se, 0, 1,
+                )
+        yield ("dcr", _dc_refine_events(quant, samp, tw, th, w, h, rst, 0),
+               list(range(nc)), 0, 0, 1, 0)
+        for ci in range(nc):
+            for (ss, se) in ((1, 5), (6, 63)):
+                yield (
+                    f"acr_{ci}_{ss}",
+                    _ac_refine_events(
+                        quant, samp, ci, ss, se, 0, tw, th, w, h, rst
+                    ),
+                    [ci], ss, se, 1, 0,
+                )
+
+    # pass 1: symbol sets per (class, table id) across ALL scans
+    dc_syms: list = [set(), set()]
+    ac_syms: list = [set(), set()]
+    scan_events = []
+    for name, ev_gen, cis, ss, se, ah, al in scans():
+        evs = list(ev_gen)
+        scan_events.append((name, evs, cis, ss, se, ah, al))
+        for ev in evs:
+            if ev[0] == "SYM":
+                (dc_syms if ss == 0 else ac_syms)[ev[1]].add(ev[2])
+    n_tables = 2 if color else 1
+    dc_tabs = [_canonical_huff(dc_syms[i] or {0}) for i in range(n_tables)]
+    ac_tabs = [_canonical_huff(ac_syms[i] or {0}) for i in range(n_tables)]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt_body(tq, q, wide):
+        zz = [q[ZIGZAG[z] // 8][ZIGZAG[z] % 8] for z in range(64)]
+        if wide:
+            return bytes([0x10 | tq]) + b"".join(
+                struct.pack(">H", v) for v in zz
+            )
+        return bytes([tq]) + bytes(zz)
+
+    blob = bytearray(b"\xff\xd8")
+    blob += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    blob += seg(0xFE, f"diachronic progressive fixture {img['img_id']}".encode())
+    blob += seg(0xDB, dqt_body(0, qlum, pq16))
+    if color:
+        blob += seg(0xDB, dqt_body(1, qchr, False))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    blob += seg(0xC2, sof)
+    for i, (counts, syms, _t) in enumerate(dc_tabs):
+        blob += seg(0xC4, bytes([0x00 | i]) + bytes(counts) + bytes(syms))
+    for i, (counts, syms, _t) in enumerate(ac_tabs):
+        blob += seg(0xC4, bytes([0x10 | i]) + bytes(counts) + bytes(syms))
+    if rst:
+        blob += seg(0xDD, struct.pack(">H", rst))
+
+    for name, evs, cis, ss, se, ah, al in scan_events:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            t = min(ci, 1)
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([ss, se, (ah << 4) | al])
+        blob += seg(0xDA, sos)
+        tabs = dc_tabs if ss == 0 and ah == 0 else ac_tabs
+        bw = _BitWriter()
+        n_rst = 0
+        for ev in evs:
+            if ev[0] == "RST":
+                bw.pad_align()
+                blob += bw.out
+                bw = _BitWriter()
+                blob += bytes([0xFF, 0xD0 + (n_rst & 7)])
+                n_rst += 1
+            elif ev[0] == "SYM":
+                _, tid, sym, pat, plen = ev
+                L, code = tabs[tid][2][sym]
+                bw.bits(code, L)
+                if plen:
+                    bw.bits(pat, plen)
+            else:  # BIT
+                bw.bits(ev[1], 1)
+        bw.pad_align()
+        blob += bw.out
+    blob += b"\xff\xd9"
+    return bytes(blob)
+
+
+PROG_DIR = os.path.join(_HERE, "fixtures", "jpeg_prog")
+
+
 def truth_row(img: dict) -> dict:
     """Decode the quantized coefficients with pure loop math (shared
     COS_BASIS, same term order as the engine's cumsum) and compute

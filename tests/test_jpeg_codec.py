@@ -100,11 +100,12 @@ def test_decode_rejects_malformed():
         decode_jpeg(b"GIF89a" + ok)
     with pytest.raises(JpegError, match="truncated"):
         decode_jpeg(ok[: len(ok) // 3])
-    # flip the SOF0 marker to SOF2 (progressive) — must reject loudly
+    # flip the SOF0 marker to SOF3 (lossless) — must reject loudly
+    # (SOF2 progressive decodes for real since round 8)
     i = ok.index(b"\xff\xc0")
-    prog = ok[:i] + b"\xff\xc2" + ok[i + 2 :]
+    lossless = ok[:i] + b"\xff\xc3" + ok[i + 2 :]
     with pytest.raises(JpegError, match="SOF"):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
     # corrupt a byte mid-entropy-stream: the decoder must fail loudly
     # (desync -> bad Huffman code / category / run), never emit
     # silently wrong pixels of the wrong SIZE
@@ -148,3 +149,90 @@ def test_single_component_scan_ignores_sampling_factors():
         assert decode_jpeg(patched) == base, (
             f"img {img['img_id']}: declared 2x2 grayscale diverged"
         )
+
+
+# --- progressive (SOF2) --------------------------------------------------
+
+_HOST_PROG = [
+    p
+    for pat in (
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/grayscale.jpg",
+        "/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu/"
+        "share/doc/rust/html/embedded-book/assets/f3.jpg",
+    )
+    for p in glob.glob(pat)
+]
+
+
+def test_progressive_twins_bit_exact_vs_truth_and_baseline():
+    """Each committed progressive twin carries the SAME quantized
+    coefficients as its baseline fixture via a full SOF2 scan script
+    (DC first/refine, AC bands 1-5/6-63 first + refinement, EOBn
+    runs, restarts) — decode must be bit-identical BOTH to the
+    loop-math truth and to the baseline decode: the entropy layers
+    differ, the coefficients must not."""
+    from diachronic_spark.sources.jpeg_fixture import (
+        _assemble_progressive,
+    )
+
+    for img in generate_jpegs():
+        t = truth_row(img)
+        w, h, c, pix = decode_jpeg(_assemble_progressive(img))
+        assert (w, h, c) == (t["width"], t["height"], t["channels"])
+        assert hashlib.sha256(pix).hexdigest() == t["pix_sha"], (
+            f"img {img['img_id']} progressive diverged from truth"
+        )
+        assert (w, h, c, pix) == decode_jpeg(img["blob"]), (
+            f"img {img['img_id']} progressive != baseline"
+        )
+
+
+def test_committed_progressive_fixtures_are_regenerable():
+    from diachronic_spark.sources.jpeg_fixture import (
+        PROG_DIR,
+        _assemble_progressive,
+    )
+
+    for img in generate_jpegs():
+        path = os.path.join(PROG_DIR, f"prog_{img['img_id']:03d}.jpg")
+        with open(path, "rb") as f:
+            assert f.read() == _assemble_progressive(img), (
+                f"fixture drift: {path}"
+            )
+
+
+def test_progressive_rejects_malformed():
+    from diachronic_spark.sources.jpeg_fixture import (
+        _assemble_progressive,
+    )
+
+    ok = _assemble_progressive(generate_jpegs()[0])
+    # truncate mid-scan: loud, never silent garbage
+    with pytest.raises(JpegError):
+        decode_jpeg(ok[: int(len(ok) * 0.6)])
+    # drop the EOI: a progressive stream without EOI never
+    # reconstructed — loud
+    with pytest.raises(JpegError, match="truncated"):
+        decode_jpeg(ok[:-2] + b"\x00\x00")
+    # baseline scan header (Ss=0..Se=63) under a progressive frame
+    # mixes DC and AC bands — loud
+    i = generate_jpegs()[0]["blob"].index(b"\xff\xc0")
+    prog_hdr = generate_jpegs()[0]["blob"]
+    bad = prog_hdr[:i] + b"\xff\xc2" + prog_hdr[i + 2 :]
+    with pytest.raises(JpegError, match="mixing DC and AC"):
+        decode_jpeg(bad)
+
+
+@pytest.mark.skipif(not _HOST_PROG, reason="host progressive JPEGs absent")
+def test_decode_third_party_progressive_jpegs():
+    """libjpeg/mozjpeg-encoded progressive files (optimized per-scan
+    Huffman tables, real scan scripts, real photos — including a
+    grayscale one) must decode end-to-end: any error in the EOBn or
+    refinement bit accounting desyncs within a few blocks."""
+    for p in _HOST_PROG:
+        with open(p, "rb") as f:
+            w, h, c, pix = decode_jpeg(f.read())
+        assert w > 0 and h > 0 and len(pix) == w * h * c

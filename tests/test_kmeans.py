@@ -127,3 +127,81 @@ def test_pairwise_cosine_np_bit_equals_hof(spark, sf_dir):
     assert got, "no pairs?"
     bad = [(r.ia, r.ib, r.h, r.n) for r in got if r.h != r.n]
     assert not bad, bad[:5]
+
+
+def _py_two_level(vecs: dict[int, list[float]], k: int, n_iter: int, rnd: int = 6):
+    """Executable spec of kmeans_two_level: coarse = _py_kmeans at
+    k_c = ceil(sqrt(k)); fine = per-coarse-cell Lloyd with UNROUNDED
+    lowest-id init, argmax-cosine assignment (ties -> lowest cell),
+    half-up-rounded means; global id = gcell * k_f + local."""
+    k_c = max(2, math.ceil(math.sqrt(k)))
+    k_f = -(-k // k_c)
+    ca, _ = _py_kmeans(vecs, k_c, n_iter, rnd)
+    p = 10.0 ** rnd
+    out = {}
+    for g in sorted(set(ca.values())):
+        members = sorted(i for i in vecs if ca[i] == g)
+        cents = {
+            loc: list(vecs[i]) for loc, i in enumerate(members[:k_f])
+        }
+
+        def assign():
+            return {
+                i: max(cents, key=lambda c: (_cos(vecs[i], cents[c]), -c))
+                for i in members
+            }
+
+        for _ in range(n_iter):
+            a = assign()
+            new = {}
+            for c in sorted(set(a.values())):
+                ms = [vecs[i] for i in members if a[i] == c]
+                new[c] = [
+                    math.floor((sum(col) / len(ms)) * p + 0.5) / p
+                    for col in zip(*ms)
+                ]
+            cents = new
+        for i, loc in assign().items():
+            out[i] = g * k_f + loc
+    return out, k_c, k_f
+
+
+def test_two_level_matches_python_replay(spark, sf_dir):
+    """The hierarchical fit (coarse flat kmeans + per-cell numpy fine
+    Lloyd inside applyInPandas) must reproduce the pure-Python spec
+    exactly — pinning init choice, candidate restriction (probe width
+    1), tie-breaks, empty-cell drops, and the global id arithmetic."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for k in (8, 9, 33):
+        want, k_c, k_f = _py_two_level(vecs, k=k, n_iter=3)
+        assign, got_kc, got_kf = S.kmeans_two_level(
+            emb, k=k, n_iter=3, cache_key=f"t2l{k}"
+        )
+        assert (got_kc, got_kf) == (k_c, k_f)
+        got = {r["vec_id"]: r["cell"] for r in assign.collect()}
+        assert got == want, f"k={k}: {sum(got[i] != want[i] for i in got)} diverge"
+
+
+def test_two_level_cell_shape(spark, sf_dir):
+    """Structural invariants: ids stay inside their coarse block
+    (cell // k_f is a valid coarse id), every vector is assigned, and
+    the mean occupied-cell size is within a small factor of the n/k
+    policy target."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(8, -(-n // 8))  # force a multi-cell hierarchy on the fixture
+    assign, k_c, k_f = S.kmeans_two_level(
+        emb, k=k, n_iter=3, cache_key="t2lshape"
+    )
+    rows = assign.collect()
+    assert len(rows) == n
+    cells = [r["cell"] for r in rows]
+    assert all(0 <= c // k_f < k_c for c in cells)
+    occupied = len(set(cells))
+    assert occupied <= k_c * k_f
+    mean_sz = n / occupied
+    assert mean_sz <= 8 * 4, f"mean cell size {mean_sz} vs target 8"

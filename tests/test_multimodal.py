@@ -297,3 +297,22 @@ def test_gif_frame_fanout_and_nested_png_pipeline(spark):
     assert {(r.gif_id, r.frame_idx) for r in out} == want
     for r in out:
         assert r.pix_sha == truth[(r.gif_id, r.frame_idx)]["pix_sha"]
+
+    # stride pushed into the emit loop must equal explode-then-filter:
+    # element pos is source frame pos*stride, n_frames stays the TOTAL
+    strided = gif_frames_as_png(gifs, stride=2)
+    assert {(r.gif_id, r.n_frames) for r in strided.collect()} == {
+        (r.gif_id, r.n_frames) for r in nested.collect()
+    }
+    out2 = decode_frame_features(
+        strided.select(
+            "gif_id", F.posexplode("frames").alias("pos", "png")
+        ).select(
+            "gif_id",
+            (F.col("pos") * 2).cast("int").alias("frame_idx"),
+            "png",
+        )
+    ).collect()
+    assert {(r.gif_id, r.frame_idx, r.pix_sha) for r in out2} == {
+        (r.gif_id, r.frame_idx, r.pix_sha) for r in out
+    }

@@ -258,3 +258,115 @@ def test_incremental_merge_never_shuffles_the_state(spark):
     # no sort-merge join anywhere: an SMJ would mean a membership
     # join fell back to shuffling the state side
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_store_refresh_prunes_and_preserves_untouched_partitions(
+    spark, tmp_path
+):
+    """The STORAGE half (q155): refreshing the at-rest day-partitioned
+    state must (1) equal a full recompute, (2) leave every untouched
+    day partition's files BYTE-IDENTICAL (dynamic overwrite never
+    lists them), and (3) plan the affected-state scan with a
+    day-IN-literals partition filter — pruned at planning time."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.snapshot import (
+        refresh_snapshot_store,
+        snapshot_state,
+    )
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+    base = revs.filter(F.col("rev_seq") % 5 != 0)
+    delta = revs.filter(F.col("rev_seq") % 5 == 0)
+    path = str(tmp_path / "snapstore")
+    snapshot_state(base).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+
+    def file_shas():
+        out = {}
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = file_shas()
+    touched = refresh_snapshot_store(spark, path, delta)
+    assert touched, "fixture delta must touch at least one day"
+    after = file_shas()
+
+    tset = {f"day={d}" for d in touched}
+    untouched_before = {
+        k: v for k, v in before.items() if k.split(os.sep)[0] not in tset
+    }
+    untouched_after = {
+        k: v for k, v in after.items() if k.split(os.sep)[0] not in tset
+    }
+    assert untouched_before and untouched_before == untouched_after, (
+        "untouched day partitions changed on disk"
+    )
+    # at least one touched partition actually rewrote its files
+    assert any(
+        k not in before or before[k] != after[k]
+        for k in after
+        if k.split(os.sep)[0] in tset
+    )
+
+    # refresh ≡ recompute, including the disk round-trip
+    got = sorted(
+        (r.page_id, str(r.day), r.rev_seq, str(r.timestamp), r.text)
+        for r in spark.read.parquet(path).collect()
+    )
+    want = sorted(
+        (r.page_id, str(r.day), r.rev_seq, str(r.timestamp), r.text)
+        for r in snapshot_state(revs).collect()
+    )
+    assert got == want
+
+    # the affected-state scan is partition-pruned at planning time:
+    # the scan node carries a day-IN-literals PartitionFilter and
+    # pushes nothing to DataFilters (day is purely a directory choice)
+    pruned = spark.read.parquet(path).filter(F.col("day").isin(touched))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [day#" in plan and (
+        " IN (" in plan or " INSET " in plan
+    ), plan
+
+
+def test_store_refresh_empty_delta_is_a_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.snapshot import (
+        refresh_snapshot_store,
+        snapshot_state,
+    )
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+    path = str(tmp_path / "snapstore2")
+    snapshot_state(revs).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(path)
+    import os
+
+    mtimes = {}
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            mtimes[p] = os.stat(p).st_mtime_ns
+    touched = refresh_snapshot_store(
+        spark, path, revs.filter(F.lit(False))
+    )
+    assert touched == []
+    for p, m in mtimes.items():
+        assert os.stat(p).st_mtime_ns == m

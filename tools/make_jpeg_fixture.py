@@ -22,7 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from diachronic_spark.sources.jpeg_fixture import (
     JPEGS_DIR,
+    PROG_DIR,
     TRUTH_PATH,
+    _assemble_progressive,
     generate_jpegs,
     truth_row,
 )
@@ -45,11 +47,17 @@ SCHEMA = pa.schema(
 
 def main() -> None:
     os.makedirs(JPEGS_DIR, exist_ok=True)
+    os.makedirs(PROG_DIR, exist_ok=True)
     rows = []
     for img in generate_jpegs():
         path = os.path.join(JPEGS_DIR, f"img_{img['img_id']:03d}.jpg")
         with open(path, "wb") as f:
             f.write(img["blob"])
+        # progressive twin: SAME quantized coefficients, SOF2 scan
+        # script — decodes to the SAME truth row (no separate truth)
+        ppath = os.path.join(PROG_DIR, f"prog_{img['img_id']:03d}.jpg")
+        with open(ppath, "wb") as f:
+            f.write(_assemble_progressive(img))
         rows.append(truth_row(img))
     cols = {k: [r[k] for r in rows] for k in SCHEMA.names}
     table = pa.Table.from_arrays(
@@ -57,7 +65,10 @@ def main() -> None:
         schema=SCHEMA,
     )
     pq.write_table(table, TRUTH_PATH, compression="zstd")
-    print(f"wrote {len(rows)} jpegs -> {JPEGS_DIR}, truth -> {TRUTH_PATH}")
+    print(
+        f"wrote {len(rows)} jpegs -> {JPEGS_DIR}, progressive twins -> "
+        f"{PROG_DIR}, truth -> {TRUTH_PATH}"
+    )
 
 
 if __name__ == "__main__":

@@ -200,104 +200,111 @@ def generate_jpegs() -> list:
     """One dict per image: geometry, the assembled ``blob``, and the
     per-component quantized coefficient planes + metadata the truth
     decoder consumes."""
-    out = []
-    for img_id, (w, h, color, (h1, v1), qv, rst, pq16) in enumerate(
-        _CONFIGS
-    ):
-        hmax, vmax = (h1, v1) if color else (1, 1)
-        mcu_w, mcu_h = 8 * hmax, 8 * vmax
-        tw = (w + mcu_w - 1) // mcu_w * mcu_w
-        th = (h + mcu_h - 1) // mcu_h * mcu_h
-        if color:
-            # JFIF forward transform (encoder-side only)
-            rgb = [
-                [
-                    tuple(_rgb_at(img_id, x, y, k) for k in range(3))
-                    for x in range(w)
-                ]
-                for y in range(h)
-            ]
-            ycc = [[None] * w for _ in range(h)]
-            for y in range(h):
-                for x in range(w):
-                    r, g, b = rgb[y][x]
-                    yy = 0.299 * r + 0.587 * g + 0.114 * b
-                    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-                    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-                    ycc[y][x] = (yy, cb, cr)
-            # luma at full res; chroma box-averaged by (h1, v1)
-            cw, ch = (w + h1 - 1) // h1, (h + v1 - 1) // v1
-            planes = [
-                _pad_replicate(
-                    [[ycc[y][x][0] for x in range(w)] for y in range(h)],
-                    w, h, tw, th,
-                )
-            ]
-            for k in (1, 2):
-                sub = [
-                    [
-                        (
-                            lambda vals: sum(vals) / len(vals)
-                        )(
-                            [
-                                ycc[min(cy * v1 + dy, h - 1)][
-                                    min(cx * h1 + dx, w - 1)
-                                ][k]
-                                for dy in range(v1)
-                                for dx in range(h1)
-                            ]
-                        )
-                        for cx in range(cw)
-                    ]
-                    for cy in range(ch)
-                ]
-                planes.append(
-                    _pad_replicate(sub, cw, ch, tw // h1, th // v1)
-                )
-            samp = [(h1, v1), (1, 1), (1, 1)]
-        else:
-            planes = [
-                _pad_replicate(
-                    [
-                        [float(_gray_at(img_id, x, y)) for x in range(w)]
-                        for y in range(h)
-                    ],
-                    w, h, tw, th,
-                )
-            ]
-            samp = [(1, 1)]
-        qlum = _qtable(qv, False)
-        qchr = _qtable(qv, True)
-        if pq16:
-            qlum = [[q + 256 if (u + v) >= 13 else q for v, q in
-                     enumerate(row)] for u, row in enumerate(qlum)]
-        qts = [qlum] + ([qchr, qchr] if color else [])
-        comp_blocks = [
-            list(_blocks_of(p, len(p[0]), len(p))) for p in planes
-        ]
-        quant = [
+    return [
+        build_img(img_id, w, h, color, (h1, v1), qv, rst, pq16)
+        for img_id, (w, h, color, (h1, v1), qv, rst, pq16) in enumerate(
+            _CONFIGS
+        )
+    ]
+
+
+def build_img(img_id, w, h, color, hv, qv, rst, pq16) -> dict:
+    """Build ONE image dict for an arbitrary configuration — the
+    committed fixtures use _CONFIGS; the hypothesis fuzz drives this
+    directly with generated configs (same pixel formulas seeded by
+    img_id, same loop-math encoder)."""
+    h1, v1 = hv
+    hmax, vmax = (h1, v1) if color else (1, 1)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    tw = (w + mcu_w - 1) // mcu_w * mcu_w
+    th = (h + mcu_h - 1) // mcu_h * mcu_h
+    if color:
+        # JFIF forward transform (encoder-side only)
+        rgb = [
             [
-                (by, bx, _quantize(_fdct(
-                    [[b[r][c] - 128.0 for c in range(8)]
-                     for r in range(8)]
-                ), qts[ci]))
-                for by, bx, b in comp_blocks[ci]
+                tuple(_rgb_at(img_id, x, y, k) for k in range(3))
+                for x in range(w)
             ]
-            for ci in range(len(planes))
+            for y in range(h)
         ]
-        blob = _assemble(
-            img_id, w, h, color, samp, qlum, qchr, pq16, rst, quant,
-            tw, th,
-        )
-        out.append(
-            {
-                "img_id": img_id, "width": w, "height": h,
-                "color": color, "samp": samp, "qlum": qlum,
-                "qchr": qchr, "restart": rst, "blob": blob,
-                "quant": quant, "tw": tw, "th": th,
-            }
-        )
-    return out
+        ycc = [[None] * w for _ in range(h)]
+        for y in range(h):
+            for x in range(w):
+                r, g, b = rgb[y][x]
+                yy = 0.299 * r + 0.587 * g + 0.114 * b
+                cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+                cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+                ycc[y][x] = (yy, cb, cr)
+        # luma at full res; chroma box-averaged by (h1, v1)
+        cw, ch = (w + h1 - 1) // h1, (h + v1 - 1) // v1
+        planes = [
+            _pad_replicate(
+                [[ycc[y][x][0] for x in range(w)] for y in range(h)],
+                w, h, tw, th,
+            )
+        ]
+        for k in (1, 2):
+            sub = [
+                [
+                    (
+                        lambda vals: sum(vals) / len(vals)
+                    )(
+                        [
+                            ycc[min(cy * v1 + dy, h - 1)][
+                                min(cx * h1 + dx, w - 1)
+                            ][k]
+                            for dy in range(v1)
+                            for dx in range(h1)
+                        ]
+                    )
+                    for cx in range(cw)
+                ]
+                for cy in range(ch)
+            ]
+            planes.append(
+                _pad_replicate(sub, cw, ch, tw // h1, th // v1)
+            )
+        samp = [(h1, v1), (1, 1), (1, 1)]
+    else:
+        planes = [
+            _pad_replicate(
+                [
+                    [float(_gray_at(img_id, x, y)) for x in range(w)]
+                    for y in range(h)
+                ],
+                w, h, tw, th,
+            )
+        ]
+        samp = [(1, 1)]
+    qlum = _qtable(qv, False)
+    qchr = _qtable(qv, True)
+    if pq16:
+        qlum = [[q + 256 if (u + v) >= 13 else q for v, q in
+                 enumerate(row)] for u, row in enumerate(qlum)]
+    qts = [qlum] + ([qchr, qchr] if color else [])
+    comp_blocks = [
+        list(_blocks_of(p, len(p[0]), len(p))) for p in planes
+    ]
+    quant = [
+        [
+            (by, bx, _quantize(_fdct(
+                [[b[r][c] - 128.0 for c in range(8)]
+                 for r in range(8)]
+            ), qts[ci]))
+            for by, bx, b in comp_blocks[ci]
+        ]
+        for ci in range(len(planes))
+    ]
+    blob = _assemble(
+        img_id, w, h, color, samp, qlum, qchr, pq16, rst, quant,
+        tw, th,
+    )
+    return {
+        "img_id": img_id, "width": w, "height": h,
+        "color": color, "samp": samp, "qlum": qlum,
+        "qchr": qchr, "restart": rst, "blob": blob,
+        "quant": quant, "tw": tw, "th": th,
+    }
 
 
 def _mcu_order(quant, samp, tw, th):

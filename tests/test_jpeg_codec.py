@@ -236,3 +236,42 @@ def test_decode_third_party_progressive_jpegs():
         with open(p, "rb") as f:
             w, h, c, pix = decode_jpeg(f.read())
         assert w > 0 and h > 0 and len(pix) == w * h * c
+
+
+def test_fuzz_baseline_and_progressive_agree():
+    """Property fuzz over GENERATED configurations (dims off every
+    grid, all sampling layouts, all quant variants, restart
+    intervals): the baseline stream, the progressive twin, and the
+    loop-math truth must agree bit-for-bit. Exercises EOBn run
+    batching, the refinement correction-bit interleave, ZRL-in-
+    refinement, and restart resets far beyond the 12 committed
+    configs."""
+    from hypothesis import given, settings, strategies as st
+
+    from diachronic_spark.sources.jpeg_fixture import build_img
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        seed=st.integers(min_value=0, max_value=10**6),
+        w=st.integers(min_value=1, max_value=40),
+        h=st.integers(min_value=1, max_value=40),
+        color=st.booleans(),
+        samp=st.sampled_from([(1, 1), (2, 1), (1, 2), (2, 2)]),
+        qv=st.integers(min_value=0, max_value=2),
+        rst=st.sampled_from([0, 1, 2, 5]),
+    )
+    def check(seed, w, h, color, samp, qv, rst):
+        from diachronic_spark.sources.jpeg_fixture import (
+            _assemble_progressive,
+        )
+
+        img = build_img(seed, w, h, color, samp, qv, rst, False)
+        t = truth_row(img)
+        base = decode_jpeg(img["blob"])
+        prog = decode_jpeg(_assemble_progressive(img))
+        assert base == prog, "baseline != progressive"
+        bw, bh, bc, bpix = base
+        assert (bw, bh, bc) == (t["width"], t["height"], t["channels"])
+        assert hashlib.sha256(bpix).hexdigest() == t["pix_sha"]
+
+    check()

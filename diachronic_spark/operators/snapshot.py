@@ -258,7 +258,12 @@ def refresh_snapshot_store(
         .drop("__rn")
     )
     (
-        merged.write.mode("overwrite")
+        # one shuffle on day (≤ touched-day tasks — delta-sized) so
+        # each rewritten partition is ONE file per refresh, not one
+        # shard per upstream partition: repeated refreshes otherwise
+        # accrete small-file shrapnel that degrades every later scan
+        merged.repartition("day")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(path)

@@ -3581,20 +3581,34 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
     from ..schemas import WIKI_REVISIONS
     from ..sources.wiki_fixture import FIXTURE_PATH
 
+    import shutil
+
+    from .streaming_queries import _link_data_copy_markers
+
     ensure_confs(spark)
     revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
     base = revs.filter(F.col("rev_seq") % 5 != 0)
     delta = revs.filter(F.col("rev_seq") % 5 == 0)
     # one dir per sf reused across runs (the q124 rule: a fresh
-    # mkdtemp per call would accumulate store copies); the base store
-    # is rebuilt with a STATIC overwrite each run so every run
-    # exercises the pristine-base → pruned-refresh lifecycle
+    # mkdtemp per call would accumulate store copies). The PRISTINE
+    # base store is computed once per sf; each run restores it with
+    # the q136 hardlink trick (data files link — the refresh's
+    # dynamic overwrite UNLINKS touched files, never mutates the
+    # pristine inodes; commit markers byte-copy) so every run
+    # exercises the pristine-base → pruned-refresh lifecycle at
+    # metadata-only restore cost.
     if sf not in _Q155_DIRS:
-        _Q155_DIRS[sf] = tempfile.mkdtemp(prefix="diachronic_snapstore_q155_")
-    path = _Q155_DIRS[sf]
-    snapshot_state(base).write.mode("overwrite").partitionBy(
-        "day"
-    ).parquet(path)
+        root = tempfile.mkdtemp(prefix="diachronic_snapstore_q155_")
+        snapshot_state(base).repartition("day").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(f"{root}/pristine")
+        _Q155_DIRS[sf] = root
+    root = _Q155_DIRS[sf]
+    path = f"{root}/store"
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.copytree(
+        f"{root}/pristine", path, copy_function=_link_data_copy_markers
+    )
     refresh_snapshot_store(spark, path, delta)
     back = spark.read.parquet(path)
     return back.select(

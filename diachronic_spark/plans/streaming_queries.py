@@ -148,6 +148,19 @@ def _checkpoint_dir(sink_key: str) -> str:
     return path
 
 
+def _link_data_copy_markers(src: str, dst: str) -> None:
+    """copytree copy_function for restoring a pristine parquet layout:
+    DATA files hardlink (metadata-only restore at any size — later
+    deletes/rewrites unlink the copy, never mutate the pristine
+    inode), while commit MARKERS (_SUCCESS, .crc) get real writable
+    byte copies because Hadoop's committer rewrites them IN PLACE
+    (measured on q136: mtime+mode flipped through a hardlink)."""
+    if os.path.basename(src).startswith(("_", ".")):
+        shutil.copyfile(src, dst)
+    else:
+        os.link(src, dst)
+
+
 def _drain_to_table(
     stream: DataFrame,
     mode: str,
@@ -856,11 +869,6 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     # rewrite without touching the pristine inode (ADVICE r6; the
     # invariance test pins the pristine tree bit-for-bit). Falls back
     # to a full byte copy across filesystems.
-    def _link_data_copy_markers(s: str, d: str) -> None:
-        if os.path.basename(s).startswith(("_", ".")):
-            shutil.copyfile(s, d)  # fresh writable inode for markers
-        else:
-            os.link(s, d)
 
     try:
         shutil.copytree(
@@ -956,6 +964,138 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
 _EPHEMERAL_DIRS: list[str] = []
 
 
+def _stage_revision_stream(spark, sf: str) -> tuple[str, str]:
+    """Split the committed wiki-revision fixture into a BASE slice
+    (founds the store) and three DELTA files staged for the file
+    stream source — one file per micro-batch via maxFilesPerTrigger=1,
+    mtime-ordered (the q117 staging trick). Cached per sf (immutable
+    input)."""
+    key = f"{sf}:revstream"
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        from ..schemas import WIKI_REVISIONS
+        from ..sources.wiki_fixture import FIXTURE_PATH
+
+        root = tempfile.mkdtemp(prefix="diachronic_revstream_")
+        revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+        revs.filter(F.col("rev_seq") % 4 == 3).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/base")
+        os.makedirs(f"{root}/deltas", exist_ok=True)
+        now = _time.time()
+        for i in range(3):
+            d = f"{root}/tmp_{i}"
+            revs.filter(F.col("rev_seq") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(d)
+            (part,) = [
+                f for f in os.listdir(d) if f.endswith(".parquet")
+            ]
+            dst = f"{root}/deltas/delta_{i}.parquet"
+            shutil.move(os.path.join(d, part), dst)
+            shutil.rmtree(d, ignore_errors=True)
+            os.utime(dst, (now + i * 10, now + i * 10))
+        _STAGE_CACHE[key] = root
+    root = _STAGE_CACHE[key]
+    return f"{root}/base", f"{root}/deltas"
+
+
+def q158(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTINUOUSLY-MAINTAINED snapshot store: the reference's W1
+    daily snapshot kept as a day-partitioned materialized view AT
+    REST while a revision stream flows in — the production
+    composition of q152 (incremental merge semantics), q155 (the
+    partition-pruned storage refresh), and q117's foreachBatch shape.
+    Each micro-batch calls snapshot.refresh_snapshot_store: touched
+    day partitions are pruned into the scan at planning time,
+    re-argmined against the batch's winners, and rewritten with
+    dynamic partition overwrite; untouched partitions are never
+    opened. Per-batch cost is O(batch + touched partitions),
+    independent of store size — the 100 TB ingest invariant, now for
+    the engine's own core operator.
+
+    Crash-replay safety comes from the operator's ALGEBRA, not a
+    transactional format: re-applying a delta batch is a semantic
+    no-op (argmin(S ∪ D ∪ D) = argmin(S ∪ D) — idempotence of the
+    merge), so an at-least-once foreachBatch delivers exactly-once
+    table content.
+
+    The adjudicated result is the FINAL STORE read back from disk;
+    the oracle recomputes the snapshot from ALL revisions in one
+    pass (q152's SQL) — stream-maintained ≡ recomputed, including
+    the disk round-trip.
+    """
+    from ..functions import ts_str
+    from ..operators.snapshot import (
+        refresh_snapshot_store,
+        snapshot_state,
+    )
+    from ..schemas import WIKI_REVISIONS
+
+    base_path, delta_path = _stage_revision_stream(spark, sf)
+    wkey = f"{sf}:revstream_store"
+    if wkey not in _STAGE_CACHE:
+        root = tempfile.mkdtemp(prefix="diachronic_snapstream_")
+        base = spark.read.schema(WIKI_REVISIONS).parquet(base_path)
+        snapshot_state(base).repartition("day").write.mode(
+            "overwrite"
+        ).partitionBy("day").parquet(f"{root}/pristine")
+        _STAGE_CACHE[wkey] = root
+    root = _STAGE_CACHE[wkey]
+    store = f"{root}/store"
+    # per-run restore of the pristine base store: data files hardlink
+    # (dynamic overwrite unlinks, never mutates), markers byte-copy
+    shutil.rmtree(store, ignore_errors=True)
+    shutil.copytree(
+        f"{root}/pristine", store, copy_function=_link_data_copy_markers
+    )
+    state = {"n": 0, "touched": 0}
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        state["touched"] += len(
+            refresh_snapshot_store(spark, store, batch)
+        )
+        state["n"] += 1
+
+    ckpt = _checkpoint_dir("q158")
+    stream = (
+        spark.readStream.schema(WIKI_REVISIONS)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    if state["n"] != 3 or state["touched"] == 0:
+        raise RuntimeError(
+            f"q158: expected 3 refresh batches touching partitions, "
+            f"got n={state['n']} touched={state['touched']} — "
+            "file-per-trigger staging changed"
+        )
+    return (
+        spark.read.parquet(store)
+        .select(
+            "page_id",
+            F.col("day").cast("string").alias("day"),
+            "rev_seq",
+            "title",
+            ts_str("timestamp").alias("ts_s"),
+            "text",
+        )
+        .orderBy("page_id", "day")
+    )
+
+
 @atexit.register
 def _cleanup_ephemeral_dirs() -> None:
     for path in _EPHEMERAL_DIRS:
@@ -967,6 +1107,7 @@ STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
     "q117": q117, "q134": q134, "q136": q136, "q137": q137,
+    "q158": q158,
 }
 
 STREAM_ORACLE = {
@@ -1247,4 +1388,27 @@ SELECT CAST(1 AS INTEGER) AS batch, n.doc_id,
        (a.mx IS NULL OR a.mx < 0.5) AS survived
 FROM b2 n LEFT JOIN agg2 a ON a.new_id = n.doc_id
 ORDER BY batch, doc_id
+"""
+
+from ..sources.wiki_fixture import FIXTURE_PATH as _WIKI_FIXTURE  # noqa: E402
+
+# q158: stream-maintained snapshot store ≡ one-pass recompute over
+# ALL revisions — the q152 oracle verbatim (the adjudicated relation
+# is identical; only the maintenance path differs).
+STREAM_ORACLE["q158"] = f"""
+WITH f AS (
+  SELECT * FROM read_parquet('{_WIKI_FIXTURE}')
+  WHERE namespace = '0' AND timestamp >= TIMESTAMP '2001-01-15 00:00:00'
+),
+w AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY page_id, CAST(timestamp AS DATE)
+      ORDER BY timestamp, rev_seq) AS rn
+  FROM f)
+SELECT page_id, CAST(CAST(timestamp AS DATE) AS VARCHAR) AS day,
+       rev_seq, title,
+       strftime(timestamp, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       coalesce(text, '') AS text
+FROM w WHERE rn = 1
+ORDER BY page_id, day
 """

@@ -241,31 +241,38 @@ def refresh_snapshot_store(
     """
     keys = [key] if isinstance(key, str) else list(key)
     on = [*keys, "day"]
-    dstate = snapshot_state(delta, epoch, key, ts)
-    touched = sorted(
-        r["day"] for r in dstate.select("day").distinct().collect()
-    )
-    if not touched:
-        return []
-    affected = spark.read.parquet(path).filter(
-        F.col("day").isin(touched)
-    )
-    w = Window.partitionBy(*on).orderBy(ts, "rev_seq")
-    merged = (
-        affected.unionByName(dstate.select(*affected.columns))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-    (
-        # one shuffle on day (≤ touched-day tasks — delta-sized) so
-        # each rewritten partition is ONE file per refresh, not one
-        # shard per upstream partition: repeated refreshes otherwise
-        # accrete small-file shrapnel that degrades every later scan
-        merged.repartition("day")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(path)
-    )
+    # the delta's winners feed BOTH the touched-day collect and the
+    # re-argmin union; persisting the delta-sized frame makes the
+    # second reference a cache hit instead of a re-windowed delta scan
+    dstate = snapshot_state(delta, epoch, key, ts).persist()
+    try:
+        touched = sorted(
+            r["day"] for r in dstate.select("day").distinct().collect()
+        )
+        if not touched:
+            return []
+        affected = spark.read.parquet(path).filter(
+            F.col("day").isin(touched)
+        )
+        w = Window.partitionBy(*on).orderBy(ts, "rev_seq")
+        merged = (
+            affected.unionByName(dstate.select(*affected.columns))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        (
+            # one shuffle on day (≤ touched-day tasks — delta-sized)
+            # so each rewritten partition is ONE file per refresh, not
+            # one shard per upstream partition: repeated refreshes
+            # otherwise accrete small-file shrapnel that degrades
+            # every later scan
+            merged.repartition("day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(path)
+        )
+    finally:
+        dstate.unpersist()
     return touched

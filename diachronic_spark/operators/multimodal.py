@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import bmp as BMP
 from ..functions import gif as GIF
+from ..functions import ico as ICO
 from ..functions import jpeg as JPEG
 from ..functions import png as PNG
 
@@ -41,9 +42,10 @@ def decode(blob: bytes) -> tuple[int, int, int, bytes]:
     REAL multi-format routing by container signature.
 
     PNG, BMP, GIF (first frame; ``extract_gif_frame_features`` for
-    the rest), and baseline JPEG decode for real via the pure
-    stdlib+numpy codecs. Other containers raise ``ValueError`` —
-    audio rides ``extract_audio_features``; video/progressive-JPEG
+    the rest), JPEG (baseline SOF0 AND progressive SOF2 since r8),
+    and ICO (favicons — largest entry, PNG or DIB payload) decode for
+    real via the pure stdlib+numpy codecs. Other containers raise
+    ``ValueError`` — audio rides ``extract_audio_features``; video
     would need ffmpeg-class machinery this container lacks, and
     silently faking pixels would poison downstream features.
     """
@@ -57,9 +59,11 @@ def decode(blob: bytes) -> tuple[int, int, int, bytes]:
         return f.width, f.height, 3, f.pixels
     if blob[:2] == b"\xff\xd8":
         return JPEG.decode_jpeg(blob)
+    if blob[:4] == ICO.ICO_SIGNATURE:
+        return ICO.decode_ico(blob)
     raise ValueError(
-        "unsupported media container (PNG/BMP/GIF/baseline-JPEG "
-        "decode in this environment; video codecs are not installed)"
+        "unsupported media container (PNG/BMP/GIF/JPEG/ICO decode in "
+        "this environment; video codecs are not installed)"
     )
 
 

@@ -2640,6 +2640,17 @@ FROM read_parquet('{_JPEG_TRUTH}')
 ORDER BY img_id
 """
 
+from ..sources.ico_fixture import TRUTH_PATH as _ICO_TRUTH  # noqa: E402
+
+# q159: ICO/favicon decode — truth from raw RGBA arrays before
+# container assembly (loop math, no codec, no numpy).
+EXT_ORACLE["q159"] = f"""
+SELECT ico_id, width, height, channels, pix_sha,
+       sum_r, sum_g, sum_b, sum_a
+FROM read_parquet('{_ICO_TRUTH}')
+ORDER BY ico_id
+"""
+
 # q157: progressive JPEG — the committed SOF2 twins carry the SAME
 # quantized coefficients as the baseline fixtures, so the oracle is
 # the SAME independent loop-math truth: a green row certifies the

@@ -3558,6 +3558,45 @@ def q157(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q159: ICO/favicon decode (L5) — container COMPOSITION under oracle ----
+# The sixth image container, and the first whose payloads are
+# themselves other containers: an ICO directory holds PNG streams or
+# headerless DIBs (doubled height, XOR rows + 1-bit AND transparency
+# mask). functions/ico.py routes per entry by signature, reuses the
+# PNG decoder, implements the documented alpha rules (embedded
+# 32bpp alpha unless legacy all-zero → AND mask; mask for 8/24bpp),
+# and decodes the LARGEST entry (lowest index on area ties) — all
+# DECLARED policies the truth replays. Output is always RGBA, so this
+# is also the family's first 4-channel row through the shared
+# feature extractor (sum_a live). Truth = loop math over the raw RGBA
+# arrays BEFORE assembly (fixtures/ico_truth.parquet).
+def q159(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.ico_fixture import ICOS_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.ico")
+        .load(ICOS_DIR)
+    )
+    icos = raw.select(
+        F.regexp_extract(F.col("path"), r"icon_(\d+)\.ico$", 1)
+        .cast("bigint")
+        .alias("img_id"),
+        F.col("content").alias("ico"),
+    )
+    return (
+        M.extract_image_features(icos, payload_col="ico")
+        .select(
+            F.col("img_id").alias("ico_id"),
+            "width", "height", "channels", "pix_sha",
+            "sum_r", "sum_g", "sum_b", "sum_a",
+        )
+        .orderBy("ico_id")
+    )
+
+
 # --- q155: partition-pruned snapshot-store refresh (VERDICT r7 item 2) -----
 # The STORAGE half of q152's materialized-view theorem: the W1 state
 # lives AT REST partitioned by day; applying the delta reads and
@@ -3708,5 +3747,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q132": q132, "q133": q133, "q135": q135, "q138": q138, "q139": q139,
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
-    "q154": q154, "q155": q155, "q156": q156, "q157": q157,
+    "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
 }

@@ -88,7 +88,8 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # snapshot-store refresh), q156 (incremental-agg rollup lifecycle),
 # q157 (progressive JPEG decode), q158 (stream-maintained snapshot
 # store — the q152+q155+q117 composition), q159 (ICO/favicon decode —
-# container composition, the first 4-channel feature row).
+# container composition, the first 4-channel feature row), q160
+# (G.711 A-law/ulaw telephony audio decode, audioop-pinned).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

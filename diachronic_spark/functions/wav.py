@@ -3,8 +3,13 @@ multimodal operators, the audio sibling of ``png.py``.
 
 PCM WAV is a length-prefixed RIFF container around raw integer
 samples; parsing it needs only ``struct``. Supported: PCM
-(format tag 1) at 8-bit unsigned and 16-bit signed, any channel
-count/sample rate, arbitrary extra chunks (LIST/fact/cue) skipped by
+(format tag 1) at 8-bit unsigned and 16-bit signed, plus the G.711
+COMPANDED telephony formats — A-law (tag 6) and µ-law (tag 7), the
+standard encodings of call-center/voicemail audio in real corpora —
+expanded to 16-bit signed PCM through the ITU G.711 segment tables
+(pinned bit-exact against the stdlib ``audioop`` reference for all
+256 codes of both laws, tests/test_wav_codec.py). Any channel
+count/sample rate; arbitrary extra chunks (LIST/fact/cue) skipped by
 their declared length. Rejected loudly (``WavError``): float/ADPCM/
 extensible formats, other bit depths, truncated chunks, a data chunk
 whose byte length doesn't divide into whole frames.
@@ -30,6 +35,31 @@ import numpy as np
 
 class WavError(ValueError):
     """Malformed or unsupported WAV payload."""
+
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(alaw, ulaw) 256-entry int16 expansion tables — the ITU G.711
+    segment formulas (Sun g711.c polarity, audioop-pinned)."""
+    alaw = np.empty(256, dtype=np.int16)
+    ulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = t if (a & 0x80) else -t
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    return alaw, ulaw
+
+
+_ALAW, _ULAW = _g711_tables()
 
 
 def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
@@ -75,14 +105,31 @@ def decode_wav(blob: bytes) -> tuple[int, int, int, bytes]:
     if fmt is None or data is None:
         raise WavError("missing fmt or data chunk")
     tag, channels, rate, _byte_rate, block_align, bits = fmt
-    if tag != 1:
+    if tag not in (1, 6, 7):
         raise WavError(
-            f"only PCM (format 1) supported, got format tag {tag}"
+            "only PCM (format 1) and G.711 A-law/µ-law (6/7) "
+            f"supported, got format tag {tag}"
         )
-    if bits not in (8, 16):
-        raise WavError(f"only 8/16-bit PCM supported, got {bits}")
     if channels < 1:
         raise WavError("zero channels")
+    if tag in (6, 7):
+        # G.711: 8-bit companded codes, expanded to 16-bit signed PCM
+        if bits != 8:
+            raise WavError(f"G.711 streams are 8-bit, got {bits}")
+        if block_align != channels:
+            raise WavError(
+                f"block align {block_align} != channels {channels}"
+            )
+        if len(data) % block_align:
+            raise WavError(
+                f"data length {len(data)} is not whole frames of "
+                f"{block_align}"
+            )
+        table = _ALAW if tag == 6 else _ULAW
+        codes = np.frombuffer(data, dtype=np.uint8)
+        return rate, channels, 2, table[codes].astype("<i2").tobytes()
+    if bits not in (8, 16):
+        raise WavError(f"only 8/16-bit PCM supported, got {bits}")
     width = bits // 8
     if block_align != channels * width:
         raise WavError(

@@ -2641,6 +2641,16 @@ ORDER BY img_id
 """
 
 from ..sources.ico_fixture import TRUTH_PATH as _ICO_TRUTH  # noqa: E402
+from ..sources.wav_fixture import G711_TRUTH_PATH as _G711_TRUTH  # noqa: E402
+
+# q160: G.711 A-law/ulaw decode — truth expanded from the code bytes
+# with independent pure-Python ITU formulas (loop math, no codec).
+EXT_ORACLE["q160"] = f"""
+SELECT clip_id, sample_rate, n_channels, sample_width, n_frames,
+       frames_sha, sumsq_c0, sumsq_c1, zero_cross
+FROM read_parquet('{_G711_TRUTH}')
+ORDER BY clip_id
+"""
 
 # q159: ICO/favicon decode — truth from raw RGBA arrays before
 # container assembly (loop math, no codec, no numpy).

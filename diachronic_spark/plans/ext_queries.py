@@ -3198,6 +3198,36 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q160: G.711 companded audio decode (L5, round 8) ----------------------
+# A-law/µ-law WAV (format tags 6/7) — the standard telephony audio
+# encodings a real speech corpus carries. functions/wav.py expands
+# the 8-bit code streams to 16-bit PCM through the ITU segment
+# tables (audioop-pinned for all 256 codes of both laws); the truth
+# expands the same code bytes with independent pure-Python loop
+# formulas, so a green row certifies the companding math bit-for-bit
+# through the full Spark path. Same single-Arrow-stage plan as q145.
+def q160(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.wav_fixture import G711_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(G711_DIR)
+    )
+    clips = raw.select(
+        F.regexp_extract(F.col("path"), r"g711_(\d+)\.wav$", 1)
+        .cast("bigint")
+        .alias("clip_id"),
+        F.col("content").alias("wav"),
+    )
+    return (
+        M.extract_audio_features(clips)
+        .orderBy("clip_id")
+    )
+
+
 def q146(spark: SparkSession, sf: str) -> DataFrame:
     from ..catalog import ensure_confs
     from ..sources.wav_fixture import EVERY_N
@@ -3748,4 +3778,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
+    "q160": q160,
 }

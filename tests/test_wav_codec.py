@@ -182,3 +182,85 @@ def test_decode_rejects_chunk_past_declared_riff_size():
     bad = ok[:4] + struct.pack("<I", 36) + ok[8:]
     with pytest.raises(WavError, match="truncated|missing"):
         decode_wav(bad)
+
+
+# --- G.711 A-law / µ-law (round 8) ----------------------------------------
+
+def test_g711_tables_match_audioop_all_codes():
+    """The ITU segment-table expansion must agree with the stdlib
+    audioop reference (an independent C implementation) for every
+    code of both laws — the strongest available in-container pin."""
+    audioop = pytest.importorskip("audioop")
+    import struct as _s
+
+    from diachronic_spark.functions.wav import _ALAW, _ULAW
+
+    for code in range(256):
+        (a_ref,) = _s.unpack("<h", audioop.alaw2lin(bytes([code]), 2))
+        (u_ref,) = _s.unpack("<h", audioop.ulaw2lin(bytes([code]), 2))
+        assert int(_ALAW[code]) == a_ref, f"alaw code {code}"
+        assert int(_ULAW[code]) == u_ref, f"ulaw code {code}"
+
+
+def test_g711_fixture_bit_exact_vs_loop_truth():
+    import hashlib
+
+    from diachronic_spark.sources.wav_fixture import (
+        g711_truth_row,
+        generate_g711_clips,
+    )
+
+    for clip in generate_g711_clips():
+        t = g711_truth_row(clip)
+        rate, ch, width, frames = decode_wav(clip["blob"])
+        assert (rate, ch, width) == (
+            t["sample_rate"], t["n_channels"], 2,
+        )
+        assert hashlib.sha256(frames).hexdigest() == t["frames_sha"], (
+            f"clip {clip['clip_id']} diverged from loop truth"
+        )
+
+
+def test_committed_g711_fixtures_are_regenerable():
+    import os
+
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.wav_fixture import (
+        G711_DIR,
+        G711_TRUTH_PATH,
+        g711_truth_row,
+        generate_g711_clips,
+    )
+
+    clips = generate_g711_clips()
+    assert len(clips) == 6
+    for clip in clips:
+        path = os.path.join(G711_DIR, f"g711_{clip['clip_id']:03d}.wav")
+        with open(path, "rb") as f:
+            assert f.read() == clip["blob"], f"fixture drift: {path}"
+    stored = {
+        r["clip_id"]: r
+        for r in pq.read_table(G711_TRUTH_PATH).to_pylist()
+    }
+    for clip in clips:
+        assert g711_truth_row(clip) == stored[clip["clip_id"]]
+
+
+def test_g711_rejects_malformed():
+    import struct as _s
+
+    from diachronic_spark.sources.wav_fixture import generate_g711_clips
+
+    ok = generate_g711_clips()[0]["blob"]
+    # G.711 with 16-bit samples is contradictory — loud
+    i = ok.index(b"fmt ")
+    bad = bytearray(ok)
+    _s.pack_into("<H", bad, i + 8 + 14, 16)  # bits field
+    with pytest.raises(WavError, match="8-bit"):
+        decode_wav(bytes(bad))
+    # float format still rejected
+    bad = bytearray(ok)
+    _s.pack_into("<H", bad, i + 8, 3)
+    with pytest.raises(WavError, match="format tag"):
+        decode_wav(bytes(bad))

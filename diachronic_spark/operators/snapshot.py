@@ -251,13 +251,32 @@ def refresh_snapshot_store(
         )
         if not touched:
             return []
-        affected = spark.read.parquet(path).filter(
-            F.col("day").isin(touched)
-        )
+        # read ONLY the touched day directories (basePath keeps the
+        # partition column). spark.read.parquet(root) would prune the
+        # SCAN at planning, but first pays a file-listing job over
+        # EVERY partition directory — measured: one task per dir,
+        # O(total partitions) per refresh, 2.14x wall at 10x state
+        # (SCALING_STORE10X pre-fix). The touched-day list is already
+        # driver-side metadata, so the path list IS the partition
+        # predicate and listing cost drops to O(touched). Days new to
+        # the store have no directory yet — they need no affected
+        # rows (the delta winners found them via dynamic overwrite).
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        existing = {
+            f.getPath().getName() for f in fs.listStatus(jvm_path)
+        }
+        dirs = [
+            f"{path}/day={d}" for d in touched if f"day={d}" in existing
+        ]
         w = Window.partitionBy(*on).orderBy(ts, "rev_seq")
+        if dirs:
+            affected = spark.read.option("basePath", path).parquet(*dirs)
+            merged = affected.unionByName(dstate.select(*affected.columns))
+        else:
+            merged = dstate  # every touched day is new to the store
         merged = (
-            affected.unionByName(dstate.select(*affected.columns))
-            .withColumn("__rn", F.row_number().over(w))
+            merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )

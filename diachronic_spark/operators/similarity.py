@@ -726,6 +726,15 @@ def ivf_store_topk(
     Spark's datasource can push into partition pruning at PLANNING
     time (check PartitionFilters in the explain output;
     tests/test_layout.py asserts it).
+
+    Scale note (measured on the snapshot store, SCALING_STORE10X):
+    a root-path read prunes the SCAN but still pays a distributed
+    file-LISTING job over every partition directory before planning —
+    O(total cells) per probe. At cell counts where that matters
+    (≥ ~10³), read the probe cells as explicit
+    ``{path}/cell=<id>`` paths with ``basePath`` instead, exactly as
+    ``snapshot.refresh_snapshot_store`` does; the probe list is
+    already driver-side metadata.
     """
     from pyspark.sql import functions as F  # local: keep module header slim
 

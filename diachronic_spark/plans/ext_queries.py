@@ -3630,8 +3630,9 @@ def q159(spark: SparkSession, sf: str) -> DataFrame:
 # --- q155: partition-pruned snapshot-store refresh (VERDICT r7 item 2) -----
 # The STORAGE half of q152's materialized-view theorem: the W1 state
 # lives AT REST partitioned by day; applying the delta reads and
-# rewrites ONLY the touched day partitions (planning-time partition
-# pruning in, dynamic partition overwrite out — untouched files stay
+# rewrites ONLY the touched day partitions (explicit touched-dir
+# reads — listing and scan both O(touched), SCALING_STORE10X — in,
+# dynamic partition overwrite out; untouched files stay
 # byte-identical, test-pinned). The adjudicated equality is the full
 # refreshed STORE against a full-recompute oracle, i.e. refresh ≡
 # recompute INCLUDING the disk round-trip.

@@ -370,3 +370,55 @@ def test_store_refresh_empty_delta_is_a_noop(spark, tmp_path):
     assert touched == []
     for p, m in mtimes.items():
         assert os.stat(p).st_mtime_ns == m
+
+
+def test_store_refresh_delta_with_only_new_days(spark, tmp_path):
+    """A delta whose days are all ABSENT from the store must create
+    those partitions from its own winners without reading any state
+    (the merged = dstate branch) — and leave every existing partition
+    byte-identical."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.snapshot import (
+        refresh_snapshot_store,
+        snapshot_state,
+    )
+    from diachronic_spark.sources.wiki_fixture import FIXTURE_PATH
+
+    revs = spark.read.schema(WIKI_REVISIONS).parquet(FIXTURE_PATH)
+    path = str(tmp_path / "snapstore3")
+    snapshot_state(revs).repartition("day").write.mode(
+        "overwrite"
+    ).partitionBy("day").parquet(path)
+
+    # shift the whole fixture +4000 days: every delta day is new
+    delta = revs.withColumn(
+        "timestamp", F.col("timestamp") + F.expr("INTERVAL 4000 DAYS")
+    )
+
+    def shas():
+        out = {}
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, path)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = shas()
+    touched = refresh_snapshot_store(spark, path, delta)
+    assert touched and all(str(d) > "2010" for d in touched)
+    after = shas()
+    assert before == {k: v for k, v in after.items() if k in before}, (
+        "existing partitions changed"
+    )
+    got = spark.read.parquet(path).count()
+    want = snapshot_state(revs.unionByName(delta)).count()
+    assert got == want

@@ -89,7 +89,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # q157 (progressive JPEG decode), q158 (stream-maintained snapshot
 # store — the q152+q155+q117 composition), q159 (ICO/favicon decode —
 # container composition, the first 4-channel feature row), q160
-# (G.711 A-law/ulaw telephony audio decode, audioop-pinned).
+# (G.711 A-law/ulaw telephony audio decode, audioop-pinned), q161
+# (AVI/MJPEG video decode — RIFF demux + the q154 JPEG engine; the
+# r7 "video needs ffmpeg" gap closed for the intra-only codec).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

@@ -2652,6 +2652,23 @@ FROM read_parquet('{_G711_TRUTH}')
 ORDER BY clip_id
 """
 
+# q161: AVI/MJPEG video decode — truth is the loop-math decode of
+# each frame's quantized coefficient planes (the q154 scheme), never
+# the demuxer or JPEG codec; the stride filter mirrors the declared
+# frame-sampling policy exactly as q151's does.
+from ..sources.avi_fixture import (  # noqa: E402
+    TRUTH_PATH as _AVI_TRUTH,
+    VIDEO_EVERY_N as _AVI_EVERY,
+)
+
+EXT_ORACLE["q161"] = f"""
+SELECT video_id, frame_idx, n_frames, fps_num, fps_den,
+       width, height, channels, pix_sha, sum_r, sum_g, sum_b
+FROM read_parquet('{_AVI_TRUTH}')
+WHERE frame_idx % {_AVI_EVERY} = 0
+ORDER BY video_id, frame_idx
+"""
+
 # q159: ICO/favicon decode — truth from raw RGBA arrays before
 # container assembly (loop math, no codec, no numpy).
 EXT_ORACLE["q159"] = f"""

@@ -91,7 +91,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # container composition, the first 4-channel feature row), q160
 # (G.711 A-law/ulaw telephony audio decode, audioop-pinned), q161
 # (AVI/MJPEG video decode — RIFF demux + the q154 JPEG engine; the
-# r7 "video needs ffmpeg" gap closed for the intra-only codec).
+# r7 "video needs ffmpeg" gap closed for the intra-only codec), q162
+# (exact greedy sequence packing — whole-doc first-fit per md5
+# bucket; recursive-CTE oracle, the suite's first sequential replay).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

@@ -307,6 +307,99 @@ def pack_sequences(
     )
 
 
+def _greedy_pack_ids(toks, budget: int):
+    """The greedy first-fit fold as a searchsorted JUMP per pack over
+    the token cumsum — O(P log n) for P packs instead of a per-doc
+    Python loop; exact-equal to the naive fold (hypothesis-pinned in
+    tests/test_quality_stats.py)."""
+    import numpy as np
+
+    cs = np.asarray(toks, dtype=np.int64).cumsum()
+    n = len(cs)
+    pack = np.empty(n, dtype=np.int64)
+    start, p, base = 0, 0, 0
+    while start < n:
+        # widest prefix fitting the budget; an oversize doc at
+        # `start` yields j < start and founds a singleton pack
+        j = int(np.searchsorted(cs, base + budget, side="right")) - 1
+        if j < start:
+            j = start
+        pack[start : j + 1] = p
+        base = int(cs[j])
+        start, p = j + 1, p + 1
+    return pack
+
+
+def pack_sequences_greedy(
+    df: DataFrame,
+    bin_tokens: int = 2048,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT whole-document greedy packing — the sequential variant
+    ``pack_sequences`` declares out of scope ("run it per-bin
+    downstream if splits must not straddle"): documents never
+    straddle a pack boundary. Docs are hash-bucketed by id
+    (``md5_prefix32 % n_buckets`` — content-independent, replayable),
+    ordered by id within the bucket, and folded greedily: a doc joins
+    the open pack unless that would exceed ``bin_tokens``, in which
+    case it founds the next pack (an oversize doc therefore occupies
+    a pack alone — training-side truncation is a separate policy).
+
+    Scale shape: the shuffle carries (bucket, id, n_tokens) ONLY —
+    ~24 bytes/doc, never the text, which is the difference between a
+    packing pass and a corpus copy at 100 TB. Buckets are the
+    parallelism unit (set ``n_buckets`` ~ cluster cores); the
+    per-bucket fold is sequential BY DEFINITION, but runs as a
+    numpy searchsorted jump per PACK, not per doc — O(P log n_b)
+    with P = packs in the bucket — inside one Arrow-batched
+    ``applyInPandas`` task. Output is pack-level (one row per pack:
+    count, token sum, id span), so the result is ~budget/avg_tokens
+    smaller than the corpus.
+    """
+    if bin_tokens < 1 or n_buckets < 1:
+        raise ValueError(
+            f"bin_tokens/n_buckets must be >= 1, got "
+            f"{bin_tokens}/{n_buckets}"
+        )
+    narrow = df.select(
+        F.col(id_col).alias("doc_id"),
+        (md5_prefix32(F.col(id_col)) % n_buckets)
+        .cast("int")
+        .alias("bucket"),
+        F.size(whitespace_tokens(F.col(text_col)))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        return pd.DataFrame(
+            {
+                "bucket": pdf["bucket"],
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "pack_id": _greedy_pack_ids(
+                    pdf["n_tokens"].to_numpy(), bin_tokens
+                ),
+            }
+        )
+
+    assigned = narrow.groupBy("bucket").applyInPandas(
+        fold,
+        "bucket int, doc_id bigint, n_tokens bigint, pack_id bigint",
+    )
+    return assigned.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

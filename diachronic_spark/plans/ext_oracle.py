@@ -2652,6 +2652,39 @@ FROM read_parquet('{_G711_TRUTH}')
 ORDER BY clip_id
 """
 
+# q162: exact greedy sequence packing — the suite's first
+# sequential-semantics oracle: a RECURSIVE CTE replays the identical
+# greedy fold (same md5 bucket, same doc_id order, same
+# join-unless-overflow rule) row by row; each iteration advances
+# every bucket by one document, so depth = the largest bucket.
+EXT_ORACLE["q162"] = f"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, tok, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+  FROM (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS tok,
+           CAST(({_h32("doc_id::VARCHAR")}) % 16 AS INT) AS bucket
+    FROM documents)
+), s AS (
+  SELECT bucket, rn, doc_id, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN s.acc + d.tok > 512 THEN d.tok
+              ELSE s.acc + d.tok END,
+         CASE WHEN s.acc + d.tok > 512 THEN s.pack + 1
+              ELSE s.pack END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+)
+SELECT bucket, pack AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY bucket, pack ORDER BY bucket, pack
+"""
+
 # q161: AVI/MJPEG video decode — truth is the loop-math decode of
 # each frame's quantized coefficient planes (the q154 scheme), never
 # the demuxer or JPEG codec; the stride filter mirrors the declared

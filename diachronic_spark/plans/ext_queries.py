@@ -3754,6 +3754,22 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q162: EXACT greedy sequence packing (whole-doc, no straddle) -----------
+# The sequential half q45's operator declares out of scope: documents
+# never straddle a pack boundary. Hash-bucketed by doc_id (the
+# _h32-replayable md5 bucket), greedy first-fit fold per bucket via a
+# numpy searchsorted jump per PACK inside one applyInPandas task; the
+# shuffle carries (bucket, id, n_tokens) only — never the text. The
+# oracle replays the identical fold with a DuckDB RECURSIVE CTE (the
+# suite's first sequential-semantics oracle): same bucket hash, same
+# order, same greedy rule, row by row.
+def q162(spark: SparkSession, sf: str) -> DataFrame:
+    packed = T.pack_sequences_greedy(
+        load(spark, sf, "documents"), bin_tokens=512, n_buckets=16
+    )
+    return packed.orderBy("bucket", "pack_id")
+
+
 # --- q161: AVI/MJPEG video decode (L5) — the video container gap closed -----
 # VERDICT r7 listed video as genuinely undecodable here ("no ffmpeg")
 # — true for inter-coded codecs, but MJPEG is a RIFF index over
@@ -3814,5 +3830,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
-    "q160": q160, "q161": q161,
+    "q160": q160, "q161": q161, "q162": q162,
 }

@@ -232,3 +232,97 @@ def test_grouped_ols_known_line_and_degenerate(spark):
     assert 0.0 < got["noisy"].r2 < 1.0
     assert got["degx"].slope is None and got["degx"].r2 is None
     assert got["degy"].slope == 0.0 and got["degy"].r2 is None
+
+
+def _greedy_replay(toks, budget):
+    """Naive per-doc greedy fold — the independent truth for the
+    searchsorted jump implementation."""
+    packs, acc, p = [], 0, -1
+    for t in toks:
+        if p < 0 or acc + t > budget:
+            p, acc = p + 1, t
+        else:
+            acc += t
+        packs.append(p)
+    return packs
+
+
+def test_pack_sequences_greedy_matches_naive_replay(spark):
+    from diachronic_spark.operators import text as T
+
+    # token counts chosen to hit every branch: exact fill, overflow
+    # by one, oversize doc (> budget) mid-stream and at bucket start
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["w"] * n))
+            for i, n in enumerate(
+                [10, 20, 2, 100, 31, 1, 32, 5, 64, 40, 40, 40, 3, 7, 90]
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    budget = 32
+    out = T.pack_sequences_greedy(
+        docs, bin_tokens=budget, n_buckets=4
+    ).collect()
+    # rebuild the per-bucket doc order the operator used and replay
+    from diachronic_spark.functions import md5_prefix32
+    import pyspark.sql.functions as F
+
+    narrow = docs.select(
+        "doc_id",
+        (md5_prefix32(F.col("doc_id")) % 4).cast("int").alias("bucket"),
+        F.size(F.split("text", r"\s+")).alias("tok"),
+    ).collect()
+    by_bucket = {}
+    for r in sorted(narrow, key=lambda r: (r.bucket, r.doc_id)):
+        by_bucket.setdefault(r.bucket, []).append((r.doc_id, r.tok))
+    expect = {}
+    for b, pairs in by_bucket.items():
+        packs = _greedy_replay([t for _, t in pairs], budget)
+        for (doc, tok), p in zip(pairs, packs):
+            row = expect.setdefault((b, p), [0, 0, None, None])
+            row[0] += 1
+            row[1] += tok
+            row[2] = doc if row[2] is None else min(row[2], doc)
+            row[3] = doc if row[3] is None else max(row[3], doc)
+    got = {
+        (r.bucket, r.pack_id): [r.n_docs, r.pack_tokens, r.first_doc, r.last_doc]
+        for r in out
+    }
+    assert got == expect
+    # invariants: a pack over budget must be a singleton oversize doc
+    for r in out:
+        assert r.pack_tokens <= budget or r.n_docs == 1
+    # every doc lands exactly once
+    assert sum(r.n_docs for r in out) == 15
+
+
+def test_pack_sequences_greedy_jump_fuzz():
+    """The operator's searchsorted jump fold equals the naive per-doc
+    fold on random token streams (no Spark needed — the fold is
+    pure)."""
+    from hypothesis import given, settings, strategies as st
+
+    from diachronic_spark.operators.text import _greedy_pack_ids
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=50), max_size=60),
+        budget=st.integers(min_value=1, max_value=40),
+    )
+    def check(toks, budget):
+        assert list(_greedy_pack_ids(toks, budget)) == _greedy_replay(
+            toks, budget
+        )
+
+    check()
+
+
+def test_pack_sequences_greedy_validation(spark):
+    import pytest as _pytest
+
+    from diachronic_spark.operators import text as T
+
+    with _pytest.raises(ValueError, match="bin_tokens"):
+        T.pack_sequences_greedy(None, bin_tokens=0)

@@ -93,7 +93,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (AVI/MJPEG video decode — RIFF demux + the q154 JPEG engine; the
 # r7 "video needs ffmpeg" gap closed for the intra-only codec), q162
 # (exact greedy sequence packing — whole-doc first-fit per md5
-# bucket; recursive-CTE oracle, the suite's first sequential replay).
+# bucket; recursive-CTE oracle, the suite's first sequential replay),
+# q163 (WARC web-archive ingestion — the Common Crawl container;
+# Content-Length-driven record walk, declared HTTP text policy,
+# truth from pre-assembly record dicts).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

@@ -2652,6 +2652,17 @@ FROM read_parquet('{_G711_TRUTH}')
 ORDER BY clip_id
 """
 
+# q163: WARC web-archive ingestion — truth from the record dicts
+# before container assembly (stdlib only, no parser).
+from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
+
+EXT_ORACLE["q163"] = f"""
+SELECT file_id, rec_idx, rec_type, rec_id, target_uri,
+       http_status, mime, content_len, content_sha, text
+FROM read_parquet('{_WARC_TRUTH}')
+ORDER BY file_id, rec_idx
+"""
+
 # q162: exact greedy sequence packing — the suite's first
 # sequential-semantics oracle: a RECURSIVE CTE replays the identical
 # greedy fold (same md5 bucket, same doc_id order, same

@@ -3754,6 +3754,34 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q163: WARC web-archive ingestion — the missing FIRST pipeline stage ----
+# Everything downstream (lang-ID, quality, dedup, packing) consumes a
+# documents table that in production is EXTRACTED from WARC responses
+# (Common Crawl ships ~100 TB/month of .warc.gz). sources/files.py
+# read_warc scans the committed fixtures — plain + both gzip layouts
+# (per-record members and whole-stream), warcinfo/request/response/
+# metadata/resource records, the WARC-line-in-body boundary trap —
+# and applies the DECLARED text policy (response + text/* or
+# application/json → UTF-8 body, errors replaced) map-side. Truth =
+# stdlib math over the record dicts BEFORE container assembly
+# (fixtures/warc_truth.parquet); the parser under test never touches
+# it.
+def q163(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.files import read_warc
+    from ..sources.warc_fixture import WARCS_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, WARCS_DIR)
+    return recs.select(
+        F.regexp_extract(F.col("path"), r"crawl_(\d+)\.warc", 1)
+        .cast("bigint")
+        .alias("file_id"),
+        "rec_idx", "rec_type", "rec_id", "target_uri",
+        "http_status", "mime", "content_len", "content_sha", "text",
+    ).orderBy("file_id", "rec_idx")
+
+
 # --- q162: EXACT greedy sequence packing (whole-doc, no straddle) -----------
 # The sequential half q45's operator declares out of scope: documents
 # never straddle a pack boundary. Hash-bucketed by doc_id (the
@@ -3830,5 +3858,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140": q140, "q141": q141, "q142": q142, "q143": q143, "q144": q144, "q145": q145, "q146": q146, "q147": q147, "q148": q148,
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
-    "q160": q160, "q161": q161, "q162": q162,
+    "q160": q160, "q161": q161, "q162": q162, "q163": q163,
 }

@@ -142,3 +142,89 @@ def read_binary_files(
         ).alias("meta"),
         F.col("path").alias("src_path"),
     )
+
+
+WARC_RECORD_SCHEMA = (
+    "path string, rec_idx int, rec_type string, rec_id string, "
+    "target_uri string, http_status int, mime string, "
+    "content_len bigint, content_sha string, text string"
+)
+
+
+def read_warc(
+    spark: SparkSession, path: str, glob: str = "*.warc*"
+) -> DataFrame:
+    """WARC (web-archive) ingestion — the FIRST stage of a web-corpus
+    curation pipeline: one row per WARC record, with the declared
+    text-extraction policy applied to HTTP responses (media type
+    text/* or application/json → UTF-8 body, errors replaced; other
+    payloads keep only the integrity facts). The parse is
+    ``functions/warc.py`` (pure stdlib, loud on malformation) inside
+    an Arrow ``mapInPandas`` batch.
+
+    Scale notes: gzip WARCs are not splittable, so the parallelism
+    unit is the FILE — exactly how the format is deployed (Common
+    Crawl ships ~1 GB segments precisely so file-level parallelism
+    saturates a cluster); one task per file up to maxPartitionBytes,
+    record walk O(bytes), per-task memory bounded by one file.
+    Downstream record-level work should repartition after this scan
+    (the fan-out is map-side; hot files spread on the next
+    exchange). The text policy runs HERE, map-side, so the shuffle
+    that follows carries extracted text, not raw archives.
+    """
+    import hashlib
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..functions import warc as W
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "path", "rec_idx", "rec_type", "rec_id", "target_uri",
+            "http_status", "mime", "content_len", "content_sha",
+            "text",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                for idx, rec in enumerate(W.parse_warc(bytes(blob))):
+                    status, mime, text = None, None, None
+                    if rec.rec_type == "response":
+                        resp = W.http_response(rec.content)
+                        status = resp.status
+                        mime = W.mime_of(
+                            resp.headers.get("content-type")
+                        )
+                        if mime is not None and (
+                            mime.startswith("text/")
+                            or mime == "application/json"
+                        ):
+                            text = resp.body.decode("utf-8", "replace")
+                    out["path"].append(p)
+                    out["rec_idx"].append(idx)
+                    out["rec_type"].append(rec.rec_type)
+                    out["rec_id"].append(
+                        rec.headers.get("warc-record-id")
+                    )
+                    out["target_uri"].append(
+                        rec.headers.get("warc-target-uri")
+                    )
+                    out["http_status"].append(status)
+                    out["mime"].append(mime)
+                    out["content_len"].append(len(rec.content))
+                    out["content_sha"].append(
+                        hashlib.sha256(rec.content).hexdigest()
+                    )
+                    out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(fn, WARC_RECORD_SCHEMA)

@@ -96,7 +96,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # bucket; recursive-CTE oracle, the suite's first sequential replay),
 # q163 (WARC web-archive ingestion — the Common Crawl container;
 # Content-Length-driven record walk, declared HTTP text policy,
-# truth from pre-assembly record dicts).
+# truth from pre-assembly record dicts), q164 (baseline TIFF decode
+# — II/MM, strips, PackBits + TIFF-LZW early change, predictor 2,
+# five photometrics; CPython's python.tiff ≡ its PPM twin).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

@@ -33,6 +33,7 @@ from ..functions import gif as GIF
 from ..functions import ico as ICO
 from ..functions import jpeg as JPEG
 from ..functions import png as PNG
+from ..functions import tiff as TIFF
 
 FEATURE_SCHEMA = (
     "doc_id bigint, byte_len int, sha_hex string, width int, height int"
@@ -64,6 +65,8 @@ def decode(blob: bytes) -> tuple[int, int, int, bytes]:
         return JPEG.decode_jpeg(blob)
     if blob[:4] == ICO.ICO_SIGNATURE:
         return ICO.decode_ico(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        return TIFF.decode_tiff(blob)
     raise ValueError(
         "unsupported media container (PNG/BMP/GIF/JPEG/ICO decode in "
         "this environment; video codecs are not installed)"

@@ -2652,6 +2652,18 @@ FROM read_parquet('{_G711_TRUTH}')
 ORDER BY clip_id
 """
 
+# q164: baseline TIFF decode — truth from the display-pixel formulas
+# before container assembly (loop math, no codec).
+from ..sources.tiff_fixture import TRUTH_PATH as _TIFF_TRUTH  # noqa: E402
+
+EXT_ORACLE["q164"] = f"""
+SELECT img_id, width, height, channels, pix_sha,
+       sum_c0 AS sum_r, sum_c1 AS sum_g, sum_c2 AS sum_b,
+       sum_c3 AS sum_a
+FROM read_parquet('{_TIFF_TRUTH}')
+ORDER BY img_id
+"""
+
 # q163: WARC web-archive ingestion — truth from the record dicts
 # before container assembly (stdlib only, no parser).
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402

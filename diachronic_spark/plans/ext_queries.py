@@ -3754,6 +3754,44 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q164: baseline TIFF decode (L5) — the scanned-document container -------
+# Eighth image container, riding the same generic signature dispatch
+# (II*/MM* → functions/tiff.py): both byte orders, strip layout
+# (multi-strip RowsPerStrip), Compression none/PackBits/TIFF-LZW
+# (MSB-first with the EARLY code-width change — the documented
+# divergence from GIF's LSB LZW), Predictor 2, photometrics
+# WhiteIsZero/gray/RGB/RGBA-extra-sample/palette (16-bit ColorMap,
+# high byte pinned by junk low bytes). Multi-page files keep the
+# FIRST IFD by declared policy (page_count reported; test-pinned).
+# Truth = loop math over the display-pixel formulas BEFORE assembly;
+# external validation: CPython's python.tiff decodes bit-identically
+# to its independently-shipped PPM twin (tests/test_tiff_codec.py).
+def q164(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.tiff_fixture import TIFFS_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tif")
+        .load(TIFFS_DIR)
+    )
+    tifs = raw.select(
+        F.regexp_extract(F.col("path"), r"scan_(\d+)\.tif$", 1)
+        .cast("bigint")
+        .alias("img_id"),
+        F.col("content").alias("tif"),
+    )
+    return (
+        M.extract_image_features(tifs, payload_col="tif")
+        .select(
+            "img_id", "width", "height", "channels", "pix_sha",
+            "sum_r", "sum_g", "sum_b", "sum_a",
+        )
+        .orderBy("img_id")
+    )
+
+
 # --- q163: WARC web-archive ingestion — the missing FIRST pipeline stage ----
 # Everything downstream (lang-ID, quality, dedup, packing) consumes a
 # documents table that in production is EXTRACTED from WARC responses
@@ -3859,4 +3897,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
+    "q164": q164,
 }

@@ -98,7 +98,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # Content-Length-driven record walk, declared HTTP text policy,
 # truth from pre-assembly record dicts), q164 (baseline TIFF decode
 # — II/MM, strips, PackBits + TIFF-LZW early change, predictor 2,
-# five photometrics; CPython's python.tiff ≡ its PPM twin).
+# five photometrics; CPython's python.tiff ≡ its PPM twin), q165
+# (web-corpus capstone: WARC → quality floor → exact dedup → greedy
+# packing, every stage oracle-replayed from the pre-assembly truth).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

@@ -2652,6 +2652,47 @@ FROM read_parquet('{_G711_TRUTH}')
 ORDER BY clip_id
 """
 
+from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
+
+# q165: web-corpus capstone — every stage replayed from the
+# pre-assembly WARC truth: text-bearing responses → quality floor →
+# exact dedup (GROUP BY text, keep-min key) → the q162 recursive-CTE
+# greedy fold at budget 16 over 2 md5 buckets.
+EXT_ORACLE["q165"] = f"""
+WITH RECURSIVE raw AS (
+  SELECT file_id * 100 + rec_idx AS key, text,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS tok
+  FROM read_parquet('{_WARC_TRUTH}')
+  WHERE rec_type = 'response' AND text IS NOT NULL
+), dedup AS (
+  SELECT min(key) AS doc_id, min(tok) AS tok
+  FROM raw WHERE tok >= 4 GROUP BY text
+), d AS (
+  SELECT doc_id, tok,
+         CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT) AS bucket,
+         row_number() OVER (
+           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT)
+           ORDER BY doc_id) AS rn
+  FROM dedup
+), s AS (
+  SELECT bucket, rn, doc_id, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN s.acc + d.tok > 16 THEN d.tok
+              ELSE s.acc + d.tok END,
+         CASE WHEN s.acc + d.tok > 16 THEN s.pack + 1
+              ELSE s.pack END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+)
+SELECT bucket, pack AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY bucket, pack ORDER BY bucket, pack
+"""
+
 # q164: baseline TIFF decode — truth from the display-pixel formulas
 # before container assembly (loop math, no codec).
 from ..sources.tiff_fixture import TRUTH_PATH as _TIFF_TRUTH  # noqa: E402
@@ -2666,8 +2707,6 @@ ORDER BY img_id
 
 # q163: WARC web-archive ingestion — truth from the record dicts
 # before container assembly (stdlib only, no parser).
-from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
-
 EXT_ORACLE["q163"] = f"""
 SELECT file_id, rec_idx, rec_type, rec_id, target_uri,
        http_status, mime, content_len, content_sha, text

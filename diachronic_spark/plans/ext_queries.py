@@ -3754,6 +3754,46 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q165: web-corpus capstone — WARC → text → quality → dedup → packing ----
+# The end-to-end composition the round-8 pieces exist for: ingest the
+# committed web archives (q163's reader, text policy map-side),
+# gate on a declared quality floor (>= 4 ws tokens), exact-dedup by
+# content (keep-min key — file 4 carries cross-file duplicates of
+# file 0/1 bodies, so the stage is load-bearing), then pack the
+# surviving docs into fixed token budgets with the exact greedy
+# packer (q162). Every stage is oracle-replayed from the
+# pre-assembly truth table: filter + GROUP BY + the recursive-CTE
+# greedy fold. At 100 TB the shape is: file-parallel ingest, all
+# gates map-side, ONE narrow dedup shuffle (text hash), one narrow
+# (bucket, id, tokens) packing shuffle.
+def q165(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..functions import whitespace_tokens
+    from ..sources.files import read_warc
+    from ..sources.warc_fixture import WARCS_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, WARCS_DIR)
+    docs = recs.filter(
+        (F.col("rec_type") == "response") & F.col("text").isNotNull()
+    ).select(
+        (
+            F.regexp_extract(F.col("path"), r"crawl_(\d+)\.warc", 1)
+            .cast("bigint")
+            * 100
+            + F.col("rec_idx")
+        ).alias("key"),
+        "text",
+    )
+    kept = docs.filter(
+        F.size(whitespace_tokens(F.col("text"))) >= 4
+    )
+    deduped = kept.groupBy("text").agg(F.min("key").alias("doc_id"))
+    return T.pack_sequences_greedy(
+        deduped, bin_tokens=16, n_buckets=2
+    ).orderBy("bucket", "pack_id")
+
+
 # --- q164: baseline TIFF decode (L5) — the scanned-document container -------
 # Eighth image container, riding the same generic signature dispatch
 # (II*/MM* → functions/tiff.py): both byte orders, strip layout
@@ -3897,5 +3937,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
-    "q164": q164,
+    "q164": q164, "q165": q165,
 }

@@ -96,6 +96,28 @@ def _record_defs(file_id: int) -> list:
              "status": 204, "reason": "No Content", "ctype": "text/plain",
              "body": b""},
         ]
+    if file_id == 4:
+        # duplicates across files (the q165 capstone's dedup stage):
+        # the SAME bodies as file 1's robots.txt and file 0's German
+        # page, served from different URIs, plus a too-short doc the
+        # quality gate must drop
+        html = (
+            "<html><body><h1>Seite über Bäume</h1>"
+            "<p>café — naïve résumé</p></body></html>"
+        ).encode("utf-8")
+        return [
+            {"type": "response",
+             "uri": "https://mirror.example.net/robots.txt",
+             "status": 200, "reason": "OK", "ctype": "text/plain",
+             "body": b"User-agent: *\r\nDisallow: /private/\r\n"},
+            {"type": "response",
+             "uri": "https://cdn.example.net/baeume-copy",
+             "status": 200, "reason": "OK",
+             "ctype": "text/html; charset=UTF-8", "body": html},
+            {"type": "response", "uri": "https://example.org/tiny",
+             "status": 200, "reason": "OK", "ctype": "text/plain",
+             "body": b"too short"},
+        ]
     trap = (
         b"log line one\r\n"
         b"WARC/1.1\r\n"  # a delimiter-scanning parser would break here
@@ -168,7 +190,7 @@ def assemble_record(file_id: int, idx: int, rec: dict) -> bytes:
 # per-file compression layout: None = plain .warc; "member" = one
 # gzip member PER RECORD (the Common Crawl shape); "whole" = one
 # member overall
-_LAYOUTS = {0: None, 1: "member", 2: "whole", 3: None}
+_LAYOUTS = {0: None, 1: "member", 2: "whole", 3: None, 4: "member"}
 
 
 def file_name(file_id: int) -> str:

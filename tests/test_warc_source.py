@@ -60,7 +60,7 @@ def test_committed_warc_fixtures_are_regenerable():
     import pyarrow.parquet as pq
 
     warcs = generate_warcs()
-    assert len(warcs) == 4
+    assert len(warcs) == 5
     for wf in warcs:
         with open(os.path.join(WARCS_DIR, wf["name"]), "rb") as f:
             assert f.read() == wf["blob"], f"fixture drift: {wf['name']}"
@@ -190,3 +190,23 @@ def test_fuzz_assemble_parse_roundtrip():
                 assert p.content == r["content"]
 
     check()
+
+
+def test_capstone_stages_are_load_bearing(spark):
+    """q165's gates each remove real rows: 10 text-bearing responses
+    → quality floor drops 4 (404 page, 301 page, empty 204, 'too
+    short') → exact dedup drops 2 (file 4's cross-file duplicate
+    bodies) → 4 docs packed."""
+    import pyspark.sql.functions as F
+
+    from diachronic_spark.functions import whitespace_tokens
+    from diachronic_spark.sources.files import read_warc
+
+    recs = read_warc(spark, WARCS_DIR)
+    docs = recs.filter(
+        (F.col("rec_type") == "response") & F.col("text").isNotNull()
+    )
+    assert docs.count() == 10
+    kept = docs.filter(F.size(whitespace_tokens(F.col("text"))) >= 4)
+    assert kept.count() == 6
+    assert kept.select("text").distinct().count() == 4

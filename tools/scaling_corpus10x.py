@@ -56,7 +56,11 @@ SCALED = "/tmp/diachronic_scaled_docs10x"
 COPIES = 10
 FLAG_RATIO = 13.0
 
-SUBSET = ["q124", "q125", "q133", "q136", "q140", "q141"]
+# q162 (round 8): exact greedy packing — corpus-bound (documents),
+# O(n) tokenize + one narrow (bucket, id, tokens) shuffle + the
+# per-bucket jump fold; measured here so the packing family carries
+# a 10x point like the dedup family it feeds.
+SUBSET = ["q124", "q125", "q133", "q136", "q140", "q141", "q162"]
 
 SHIFTS = {
     "documents": {"doc_id": 10_000_000},

@@ -100,7 +100,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # — II/MM, strips, PackBits + TIFF-LZW early change, predictor 2,
 # five photometrics; CPython's python.tiff ≡ its PPM twin), q165
 # (web-corpus capstone: WARC → quality floor → exact dedup → greedy
-# packing, every stage oracle-replayed from the pre-assembly truth).
+# packing, every stage oracle-replayed from the pre-assembly truth),
+# q166 (ZIP dataset-archive ingestion — CRC-verified member rows +
+# the declared text policy; truth from pre-archiving member pairs).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

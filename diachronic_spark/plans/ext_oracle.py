@@ -2653,6 +2653,15 @@ ORDER BY clip_id
 """
 
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
+from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
+
+# q166: ZIP dataset-archive ingestion — truth from the (name, bytes)
+# member pairs before archiving (stdlib only, no archive reader).
+EXT_ORACLE["q166"] = f"""
+SELECT zip_id, entry_idx, name, method, n_bytes, content_sha, text
+FROM read_parquet('{_ZIP_TRUTH}')
+ORDER BY zip_id, entry_idx
+"""
 
 # q165: web-corpus capstone — every stage replayed from the
 # pre-assembly WARC truth: text-bearing responses → quality floor →

@@ -3754,6 +3754,31 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q166: ZIP dataset-archive ingestion -------------------------------------
+# Dataset mirrors ship as zipped CSV/JSONL shards; read_zip_entries
+# is the one hop between "a directory of zips" and relational rows:
+# one row per member with CRC-verified integrity facts and the
+# declared text policy (case-insensitive .txt/.csv/.jsonl/.json/.md
+# → UTF-8, errors replaced) applied map-side. Like WARC, the archive
+# (central-directory format, unsplittable) is the parallelism unit.
+# Truth = stdlib calls over the (name, bytes) member pairs BEFORE
+# archiving (fixtures/zip_truth.parquet).
+def q166(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.files import read_zip_entries
+    from ..sources.zip_fixture import ZIPS_DIR
+
+    ensure_confs(spark)
+    recs = read_zip_entries(spark, ZIPS_DIR)
+    return recs.select(
+        F.regexp_extract(F.col("path"), r"dataset_(\d+)\.zip", 1)
+        .cast("bigint")
+        .alias("zip_id"),
+        "entry_idx", "name", "method", "n_bytes", "content_sha",
+        "text",
+    ).orderBy("zip_id", "entry_idx")
+
+
 # --- q165: web-corpus capstone — WARC → text → quality → dedup → packing ----
 # The end-to-end composition the round-8 pieces exist for: ingest the
 # committed web archives (q163's reader, text policy map-side),
@@ -3937,5 +3962,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
-    "q164": q164, "q165": q165,
+    "q164": q164, "q165": q165, "q166": q166,
 }

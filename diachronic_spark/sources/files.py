@@ -228,3 +228,78 @@ def read_warc(
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(fn, WARC_RECORD_SCHEMA)
+
+
+ZIP_ENTRY_SCHEMA = (
+    "path string, entry_idx int, name string, method string, "
+    "n_bytes bigint, content_sha string, text string"
+)
+
+
+def read_zip_entries(
+    spark: SparkSession, path: str, glob: str = "*.zip"
+) -> DataFrame:
+    """ZIP dataset-archive ingestion: one row per archive member with
+    integrity facts (CRC-verified size + sha) and the declared text
+    policy (members named .txt/.csv/.jsonl/.json/.md — case-
+    insensitive — decode as UTF-8, errors replaced). Dataset mirrors
+    overwhelmingly ship as zipped CSV/JSONL shards; this scan is the
+    one hop between "a directory of zips" and relational rows.
+
+    Extraction is stdlib ``zipfile`` (zlib is the container's vetted
+    DEFLATE — the gzip/WARC precedent); a CRC mismatch or truncated
+    central directory raises loudly rather than yielding silent
+    garbage. Scale shape: like WARC, the archive is the parallelism
+    unit (central-directory formats are not splittable) — one task
+    per file, per-task memory bounded by the largest member;
+    downstream work repartitions after the scan, and the text policy
+    runs map-side so post-scan shuffles carry rows, not archives.
+    """
+    import hashlib
+    import io
+    import zipfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    from .zip_fixture import TEXT_EXTS
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "path", "entry_idx", "name", "method", "n_bytes",
+            "content_sha", "text",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                with zipfile.ZipFile(io.BytesIO(bytes(blob))) as zf:
+                    for idx, info in enumerate(zf.infolist()):
+                        data = zf.read(info)  # CRC-checked by stdlib
+                        out["path"].append(p)
+                        out["entry_idx"].append(idx)
+                        out["name"].append(info.filename)
+                        out["method"].append(
+                            "deflate"
+                            if info.compress_type
+                            == zipfile.ZIP_DEFLATED
+                            else "stored"
+                        )
+                        out["n_bytes"].append(len(data))
+                        out["content_sha"].append(
+                            hashlib.sha256(data).hexdigest()
+                        )
+                        out["text"].append(
+                            data.decode("utf-8", "replace")
+                            if info.filename.lower().endswith(TEXT_EXTS)
+                            else None
+                        )
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(fn, ZIP_ENTRY_SCHEMA)

@@ -102,7 +102,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (web-corpus capstone: WARC → quality floor → exact dedup → greedy
 # packing, every stage oracle-replayed from the pre-assembly truth),
 # q166 (ZIP dataset-archive ingestion — CRC-verified member rows +
-# the declared text policy; truth from pre-archiving member pairs).
+# the declared text policy; truth from pre-archiving member pairs),
+# q167 (WebDataset tar-shard ingestion — first-dot sample grouping,
+# adjacency enforced, image member decoded in-scan; truth sha over
+# RAW pixels adjudicates extract+decode as one composition).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

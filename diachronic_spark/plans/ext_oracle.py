@@ -2655,6 +2655,18 @@ ORDER BY clip_id
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
 from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
 
+# q167: WebDataset tar-shard ingestion — truth from the sample dicts
+# before tar assembly; the pixel sha is over RAW pixels, so the row
+# adjudicates the extract→decode composition.
+from ..sources.wds_fixture import TRUTH_PATH as _WDS_TRUTH  # noqa: E402
+
+EXT_ORACLE["q167"] = f"""
+SELECT shard, sample_idx, key, n_members, cls, caption,
+       width, height, channels, pix_sha
+FROM read_parquet('{_WDS_TRUTH}')
+ORDER BY shard, sample_idx
+"""
+
 # q166: ZIP dataset-archive ingestion — truth from the (name, bytes)
 # member pairs before archiving (stdlib only, no archive reader).
 EXT_ORACLE["q166"] = f"""

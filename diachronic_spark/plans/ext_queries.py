@@ -3754,6 +3754,33 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q167: WebDataset tar-shard ingestion — the multimodal training format --
+# The de-facto shard format for image/caption corpora (ImageNet/
+# LAION ship tar archives of key.ext members, samples adjacent so
+# the archive streams). read_webdataset groups members by the
+# format's first-dot key rule (multi-part extensions ride along),
+# enforces adjacency (a recurring key is a malformed shard, loud),
+# and applies the typed member policy map-side — the image member
+# decodes through the signature-routed engine, so a green row
+# adjudicates extract AND decode together (truth sha is over the
+# RAW pixels, pre-encode). Shard = parallelism unit, exactly why
+# the ecosystem shards corpora into many tars.
+def q167(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.files import read_webdataset
+    from ..sources.wds_fixture import WDS_DIR
+
+    ensure_confs(spark)
+    recs = read_webdataset(spark, WDS_DIR)
+    return recs.select(
+        F.regexp_extract(F.col("path"), r"shard_(\d+)\.tar", 1)
+        .cast("bigint")
+        .alias("shard"),
+        "sample_idx", "key", "n_members", "cls", "caption",
+        "width", "height", "channels", "pix_sha",
+    ).orderBy("shard", "sample_idx")
+
+
 # --- q166: ZIP dataset-archive ingestion -------------------------------------
 # Dataset mirrors ship as zipped CSV/JSONL shards; read_zip_entries
 # is the one hop between "a directory of zips" and relational rows:
@@ -3962,5 +3989,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149": q149, "q150": q150, "q151": q151, "q152": q152, "q153": q153,
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
-    "q164": q164, "q165": q165, "q166": q166,
+    "q164": q164, "q165": q165, "q166": q166, "q167": q167,
 }

@@ -105,7 +105,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # the declared text policy; truth from pre-archiving member pairs),
 # q167 (WebDataset tar-shard ingestion — first-dot sample grouping,
 # adjacency enforced, image member decoded in-scan; truth sha over
-# RAW pixels adjudicates extract+decode as one composition).
+# RAW pixels adjudicates extract+decode as one composition), q168
+# (frequency-domain audio features — numpy rFFT vs an O(N²)
+# loop-DFT oracle spectrum, boundary-guarded integer features).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

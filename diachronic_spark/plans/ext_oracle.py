@@ -2655,6 +2655,18 @@ ORDER BY clip_id
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
 from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
 
+# q168: frequency-domain audio features — truth spectrum is a
+# pure-Python O(N²) loop DFT over the raw pre-encode samples (no
+# shared algorithm with the engine's numpy rFFT); boundary-guarded.
+from ..sources.spectral_fixture import TRUTH_PATH as _SPEC_TRUTH  # noqa: E402
+
+EXT_ORACLE["q168"] = f"""
+SELECT clip_id, sample_rate, n_channels, n_frames, n_fft,
+       dominant_bin, dominant_hz, centroid_x10
+FROM read_parquet('{_SPEC_TRUTH}')
+ORDER BY clip_id
+"""
+
 # q167: WebDataset tar-shard ingestion — truth from the sample dicts
 # before tar assembly; the pixel sha is over RAW pixels, so the row
 # adjudicates the extract→decode composition.

@@ -3754,6 +3754,35 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q168: frequency-domain audio features (L5) -----------------------------
+# The DSP layer of the audio family: dominant pitch + spectral
+# centroid ("brightness") over channel 0's leading analysis window
+# (declared: largest power of two ≤ min(512, n_frames), rectangular,
+# DC excluded), emitted as robust integers. The engine is numpy
+# rFFT; the ORACLE spectrum is a pure-Python O(N²) loop DFT over the
+# raw samples before WAV encoding — no shared algorithm — and the
+# committed clips are boundary-guarded (peak margin ≥ 10%, roundings
+# ≥ 0.05 from their boundary, asserted at fixture-gen) so a last-ulp
+# divergence can never flip a row.
+def q168(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.spectral_fixture import CLIPS_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(CLIPS_DIR)
+    )
+    clips = raw.select(
+        F.regexp_extract(F.col("path"), r"clip_(\d+)\.wav$", 1)
+        .cast("bigint")
+        .alias("clip_id"),
+        F.col("content").alias("wav"),
+    )
+    return M.extract_spectral_features(clips).orderBy("clip_id")
+
+
 # --- q167: WebDataset tar-shard ingestion — the multimodal training format --
 # The de-facto shard format for image/caption corpora (ImageNet/
 # LAION ship tar archives of key.ext members, samples adjacent so
@@ -3990,4 +4019,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
+    "q168": q168,
 }

@@ -264,3 +264,59 @@ def test_g711_rejects_malformed():
     _s.pack_into("<H", bad, i + 8, 3)
     with pytest.raises(WavError, match="format tag"):
         decode_wav(bytes(bad))
+
+
+def test_spectral_features_fft_equals_loop_dft_truth():
+    """The numpy rFFT engine path reproduces the pure-Python O(N^2)
+    loop-DFT truth on every committed clip (no shared spectrum
+    algorithm), and the committed fixtures are regenerable."""
+    import math
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.functions.wav import (
+        decode_wav,
+        samples_as_array,
+    )
+    from diachronic_spark.sources.spectral_fixture import (
+        CLIPS_DIR,
+        TRUTH_PATH,
+        generate_clips,
+        truth_row,
+        window_size,
+    )
+
+    clips = generate_clips()
+    stored = {
+        r["clip_id"]: r for r in pq.read_table(TRUTH_PATH).to_pylist()
+    }
+    for c in clips:
+        path = os.path.join(CLIPS_DIR, f"clip_{c['clip_id']:03d}.wav")
+        with open(path, "rb") as f:
+            assert f.read() == c["blob"], f"fixture drift: {path}"
+        t = truth_row(c)
+        assert t == stored[c["clip_id"]]
+        rate, ch, width, frames = decode_wav(c["blob"])
+        x = samples_as_array(width, ch, frames)[:, 0].astype(np.float64)
+        n_fft = window_size(len(x))
+        bins = (np.abs(np.fft.rfft(x[:n_fft])) ** 2)[1:]
+        dom = int(np.argmax(bins)) + 1
+        centroid = float(
+            (np.arange(1, len(bins) + 1) * bins).sum() / bins.sum()
+        )
+        assert n_fft == t["n_fft"]
+        assert dom == t["dominant_bin"]
+        assert int(math.floor(dom * rate / n_fft + 0.5)) == t["dominant_hz"]
+        assert int(math.floor(10 * centroid + 0.5)) == t["centroid_x10"]
+
+
+def test_spectral_window_policy():
+    from diachronic_spark.sources.spectral_fixture import window_size
+
+    assert window_size(600) == 512
+    assert window_size(512) == 512
+    assert window_size(511) == 256
+    assert window_size(300) == 256
+    assert window_size(16) == 16

@@ -107,7 +107,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # adjacency enforced, image member decoded in-scan; truth sha over
 # RAW pixels adjudicates extract+decode as one composition), q168
 # (frequency-domain audio features — numpy rFFT vs an O(N²)
-# loop-DFT oracle spectrum, boundary-guarded integer features).
+# loop-DFT oracle spectrum, boundary-guarded integer features),
+# q169 (EXIF camera metadata — APP1 signature routing + the q164
+# IFD reader; NULL row when absent, loud when corrupt).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

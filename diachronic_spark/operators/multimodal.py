@@ -362,6 +362,42 @@ def extract_audio_features(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(fn, AUDIO_FEATURE_SCHEMA)
 
 
+EXIF_SCHEMA = (
+    "img_id bigint, make string, model string, orientation int, "
+    "datetime string, exif_w int, exif_h int, iso int, "
+    "exposure_num bigint, exposure_den bigint, fnumber_num bigint, "
+    "fnumber_den bigint"
+)
+
+
+def extract_exif(images: DataFrame, payload_col: str = "jpg") -> DataFrame:
+    """Camera-metadata extraction — the provenance layer of an image
+    corpus (orientation gates a rotate, timestamps/models drive
+    dedup and filtering). EXIF is a TIFF IFD tree inside a JPEG APP1
+    segment, so this is a COMPOSITION of the adjudicated parsers:
+    the marker walk finds the segment (routing by the Exif
+    signature, not the marker alone — XMP also rides APP1), the
+    q164 IFD reader parses it. Absent metadata yields NULLs (the
+    wild's default), present-but-corrupt metadata raises. Rationals
+    stay exact (num, den) integer pairs. One Python call per Arrow
+    batch, map-side, no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import exif as EXIF
+
+        for pdf in batches:
+            out = {"img_id": []}
+            out.update({k: [] for k in EXIF.FIELDS})
+            for img_id, blob in zip(pdf["img_id"], pdf[payload_col]):
+                row = EXIF.parse_exif(bytes(blob))
+                out["img_id"].append(img_id)
+                for k in EXIF.FIELDS:
+                    out[k].append(row[k])
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(fn, EXIF_SCHEMA)
+
+
 SPECTRAL_FEATURE_SCHEMA = (
     "clip_id bigint, sample_rate int, n_channels int, n_frames bigint, "
     "n_fft int, dominant_bin int, dominant_hz int, centroid_x10 bigint"

@@ -2655,6 +2655,17 @@ ORDER BY clip_id
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
 from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
 
+# q169: EXIF camera metadata — truth straight from the metadata
+# dicts, never via the JPEG/TIFF parsers under test.
+from ..sources.exif_fixture import TRUTH_PATH as _EXIF_TRUTH  # noqa: E402
+
+EXT_ORACLE["q169"] = f"""
+SELECT img_id, make, model, orientation, datetime, exif_w, exif_h,
+       iso, exposure_num, exposure_den, fnumber_num, fnumber_den
+FROM read_parquet('{_EXIF_TRUTH}')
+ORDER BY img_id
+"""
+
 # q168: frequency-domain audio features — truth spectrum is a
 # pure-Python O(N²) loop DFT over the raw pre-encode samples (no
 # shared algorithm with the engine's numpy rFFT); boundary-guarded.

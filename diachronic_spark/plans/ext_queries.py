@@ -3754,6 +3754,34 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q169: EXIF camera-metadata extraction (L5) -----------------------------
+# The provenance layer of an image corpus: EXIF is a TIFF IFD tree
+# inside a JPEG APP1 segment, so the extractor COMPOSES the two
+# adjudicated parsers (JPEG marker walk routes by the Exif
+# signature — an XMP APP1 decoy precedes it in one fixture; the
+# q164 IFD reader parses the block). Absent metadata → NULL row
+# (the wild's default), corrupt metadata → loud; rationals stay
+# exact integer pairs. Truth straight from the metadata dicts;
+# injecting APP1 provably leaves pixels untouched (test-pinned).
+def q169(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.exif_fixture import EXIF_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(EXIF_DIR)
+    )
+    jpgs = raw.select(
+        F.regexp_extract(F.col("path"), r"photo_(\d+)\.jpg$", 1)
+        .cast("bigint")
+        .alias("img_id"),
+        F.col("content").alias("jpg"),
+    )
+    return M.extract_exif(jpgs).orderBy("img_id")
+
+
 # --- q168: frequency-domain audio features (L5) -----------------------------
 # The DSP layer of the audio family: dominant pitch + spectral
 # centroid ("brightness") over channel 0's leading analysis window
@@ -4019,5 +4047,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
-    "q168": q168,
+    "q168": q168, "q169": q169,
 }

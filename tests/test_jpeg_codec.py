@@ -275,3 +275,70 @@ def test_fuzz_baseline_and_progressive_agree():
         assert hashlib.sha256(bpix).hexdigest() == t["pix_sha"]
 
     check()
+
+
+def test_exif_fixture_parses_to_truth_and_leaves_pixels_alone():
+    """EXIF extraction (q169): every fixture parses to the metadata
+    dicts it was built from; injecting the APP1 segment (plus the
+    XMP decoy) provably does not perturb the decoded pixels; absent
+    metadata yields an all-NULL row, not an error."""
+    from diachronic_spark.functions.exif import FIELDS, parse_exif
+    from diachronic_spark.sources.exif_fixture import (
+        generate_exif_jpegs,
+        truth_row,
+    )
+    from diachronic_spark.sources.jpeg_fixture import build_img
+
+    jpegs = generate_exif_jpegs()
+    assert len(jpegs) == 6
+    for j in jpegs:
+        got = parse_exif(j["blob"])
+        t = truth_row(j)
+        assert got == {k: t[k] for k in FIELDS}
+        plain = build_img(
+            700 + j["img_id"], 8, 8, False, (1, 1), 0, 0, False
+        )["blob"]
+        assert decode_jpeg(j["blob"]) == decode_jpeg(plain)
+    # the no-metadata fixture is the NULL row
+    null_row = parse_exif(jpegs[2]["blob"])
+    assert all(v is None for v in null_row.values())
+
+
+def test_exif_corrupt_block_is_loud():
+    import pytest as _pytest
+
+    from diachronic_spark.functions.exif import ExifError, parse_exif
+    from diachronic_spark.sources.exif_fixture import generate_exif_jpegs
+
+    blob = generate_exif_jpegs()[0]["blob"]
+    # break the TIFF header inside the Exif APP1
+    bad = blob.replace(b"Exif\x00\x00II*\x00", b"Exif\x00\x00IX*\x00", 1)
+    with _pytest.raises(ExifError, match="TIFF header"):
+        parse_exif(bad)
+    # point IFD0 past the segment
+    import struct as _s
+
+    pos = blob.find(b"Exif\x00\x00") + 6
+    broken = bytearray(blob)
+    _s.pack_into("<I", broken, pos + 4, 0xFFFF)
+    with _pytest.raises(ExifError, match="bad IFD0"):
+        parse_exif(bytes(broken))
+    # committed fixtures + truth parquet are regenerable
+    import os
+
+    import pyarrow.parquet as pq
+
+    from diachronic_spark.sources.exif_fixture import (
+        EXIF_DIR,
+        TRUTH_PATH,
+        truth_row,
+    )
+
+    stored = {
+        r["img_id"]: r for r in pq.read_table(TRUTH_PATH).to_pylist()
+    }
+    for j in generate_exif_jpegs():
+        path = os.path.join(EXIF_DIR, f"photo_{j['img_id']:03d}.jpg")
+        with open(path, "rb") as f:
+            assert f.read() == j["blob"], f"fixture drift: {path}"
+        assert truth_row(j) == stored[j["img_id"]]

@@ -109,7 +109,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (frequency-domain audio features — numpy rFFT vs an O(N²)
 # loop-DFT oracle spectrum, boundary-guarded integer features),
 # q169 (EXIF camera metadata — APP1 signature routing + the q164
-# IFD reader; NULL row when absent, loud when corrupt).
+# IFD reader; NULL row when absent, loud when corrupt), q170 (PDF
+# text extraction — recovery-mode object scan + ObjStm expansion,
+# four filters incl. the q164 LZW, declared layout policy,
+# ToUnicode CID fonts; host /usr/share/doc PDFs extract e2e).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

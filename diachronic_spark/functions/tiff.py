@@ -93,10 +93,14 @@ def _unpackbits(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
-def _lzw_decode(data: bytes, expect: int) -> bytes:
+def _lzw_decode(data: bytes, expect: int | None) -> bytes:
     """TIFF-variant LZW: MSB-first bit order, 256=Clear, 257=EOI,
     and the EARLY code-width change (width bumps when the next code
-    WOULD reach 2^w - 1, one code before GIF's rule)."""
+    WOULD reach 2^w - 1, one code before GIF's rule).
+
+    ``expect`` is the exact output size for TIFF strips; ``None``
+    decodes until EOI (the PDF LZWDecode case — same convention,
+    PDF adopted it from TIFF, length unknown up front)."""
     out = bytearray()
     table: list = []
     width = 9
@@ -111,9 +115,11 @@ def _lzw_decode(data: bytes, expect: int) -> bytes:
         prev = None
 
     reset()
-    while len(out) < expect:
+    while expect is None or len(out) < expect:
         while nbits < width:
             if pos >= n:
+                if expect is None:
+                    raise TiffError("LZW stream ends without EOI")
                 raise TiffError(
                     f"LZW strip ends early ({len(out)}/{expect} bytes)"
                 )
@@ -147,6 +153,8 @@ def _lzw_decode(data: bytes, expect: int) -> bytes:
         # table entry AHEAD of the decoder) switches at 2^w - 1
         if len(table) + 2 >= (1 << width) and width < 12:
             width += 1
+    if expect is None:
+        return bytes(out)
     if len(out) < expect:
         raise TiffError(
             f"LZW strip ends early ({len(out)}/{expect} bytes)"

@@ -2655,6 +2655,17 @@ ORDER BY clip_id
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
 from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
 
+# q170: PDF text extraction — truth is the operation scripts
+# replayed by the declared layout policy (no parser/filter/escape
+# in the truth path).
+from ..sources.pdf_fixture import TRUTH_PATH as _PDF_TRUTH  # noqa: E402
+
+EXT_ORACLE["q170"] = f"""
+SELECT doc_id, page_idx, n_pages, text, n_chars
+FROM read_parquet('{_PDF_TRUTH}')
+ORDER BY doc_id, page_idx
+"""
+
 # q169: EXIF camera metadata — truth straight from the metadata
 # dicts, never via the JPEG/TIFF parsers under test.
 from ..sources.exif_fixture import TRUTH_PATH as _EXIF_TRUTH  # noqa: E402

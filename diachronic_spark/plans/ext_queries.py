@@ -3754,6 +3754,34 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q170: PDF text extraction — the web's other document format ------------
+# After HTML, PDF carries the web corpus's main document mass.
+# functions/pdf.py is a recovery-mode extractor (linear object scan
+# + /ObjStm expansion — the strategy real parsers use on damaged
+# files, making xref tables AND 1.5 xref streams equally advisory),
+# with Flate/LZW(TIFF-convention, the q164 decoder)/ASCIIHex/ASCII85
+# filters, the declared Tj/'/"/TJ layout policy, Latin-1 simple
+# fonts and ToUnicode-CMap CID fonts (loud without one), loud
+# /Encrypt. Truth = the operation scripts replayed by the layout
+# policy in ten lines of plain Python — no parser, filter, or
+# escape in the truth path. External validation: both host
+# /usr/share/doc PDFs (real 1.5 xref-stream + ObjStm files) extract
+# end-to-end with known words pinned (tests/test_pdf_text.py).
+def q170(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.files import read_pdf_pages
+    from ..sources.pdf_fixture import PDFS_DIR
+
+    ensure_confs(spark)
+    recs = read_pdf_pages(spark, PDFS_DIR)
+    return recs.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.pdf", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "page_idx", "n_pages", "text", "n_chars",
+    ).orderBy("doc_id", "page_idx")
+
+
 # --- q169: EXIF camera-metadata extraction (L5) -----------------------------
 # The provenance layer of an image corpus: EXIF is a TIFF IFD tree
 # inside a JPEG APP1 segment, so the extractor COMPOSES the two
@@ -4047,5 +4075,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
-    "q168": q168, "q169": q169,
+    "q168": q168, "q169": q169, "q170": q170,
 }

@@ -436,3 +436,55 @@ def read_webdataset(
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(fn, WDS_SAMPLE_SCHEMA)
+
+
+PDF_PAGE_SCHEMA = (
+    "path string, page_idx int, n_pages int, text string, "
+    "n_chars bigint"
+)
+
+
+def read_pdf_pages(
+    spark: SparkSession, path: str, glob: str = "*.pdf"
+) -> DataFrame:
+    """PDF text extraction: one row per page with the declared text
+    layer (``functions/pdf.py`` — recovery-mode object scan + ObjStm
+    expansion, Flate/LZW/ASCIIHex/ASCII85 filters, Tj/'/\"/TJ layout
+    policy, Latin-1 simple fonts + ToUnicode CID fonts; encryption
+    and unsupported filters loud). After HTML, PDF is the web
+    corpus's main document format — this scan is the documents-table
+    feeder for it.
+
+    Scale shape: like the archive sources, the FILE is the
+    parallelism unit; one task per PDF, per-task memory bounded by
+    one document's streams, extraction map-side so post-scan
+    shuffles carry text rows, never documents.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ..functions import pdf as PDF
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("path", "page_idx", "n_pages", "text", "n_chars")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                pages = PDF.extract_text(bytes(blob))
+                for idx, text in enumerate(pages):
+                    out["path"].append(p)
+                    out["page_idx"].append(idx)
+                    out["n_pages"].append(len(pages))
+                    out["text"].append(text)
+                    out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(fn, PDF_PAGE_SCHEMA)

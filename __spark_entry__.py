@@ -112,7 +112,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # IFD reader; NULL row when absent, loud when corrupt), q170 (PDF
 # text extraction — recovery-mode object scan + ObjStm expansion,
 # four filters incl. the q164 LZW, declared layout policy,
-# ToUnicode CID fonts; host /usr/share/doc PDFs extract e2e).
+# ToUnicode CID fonts; host /usr/share/doc PDFs extract e2e), q171
+# (HTML → text — the Common Crawl WET step; declared layout policy,
+# lenient on tag soup by contract, truth replayed over pre-render
+# structure; host manuals extract tag-free).
 # Changed since their last driver row (round-8 edits): q141 was
 # RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
 # new cell ids, new oracle); q154's decoder

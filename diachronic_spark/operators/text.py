@@ -831,3 +831,28 @@ def with_char_entropy(
         ),
     ).otherwise(F.lit(0.0))
     return d2.withColumn(out_col, h).drop("__codes", "__starts")
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "text"
+) -> DataFrame:
+    """HTML → visible text (the Common Crawl WET step): the declared
+    layout policy of ``functions/html_text.py`` applied as an
+    Arrow-batched pandas UDF — one Python call per batch, map-side,
+    the step between q163's raw text/html response bodies and the
+    documents table every downstream operator consumes. Lenient by
+    contract: crawled HTML is tag soup by default, so the stdlib
+    error-tolerant parser never raises on malformation."""
+    import pandas as pd
+
+    from ..functions.html_text import html_to_text
+
+    # module-wide `from __future__ import annotations` stringifies
+    # hints, which pandas_udf inference can't resolve — set real
+    # objects explicitly before wrapping (the fingerprint rule).
+    def _extract(s):
+        return s.map(html_to_text)
+
+    _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_extract, "string")
+    return df.withColumn(out_col, udf(F.col(html_col)))

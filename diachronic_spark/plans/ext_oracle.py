@@ -2655,6 +2655,17 @@ ORDER BY clip_id
 from ..sources.warc_fixture import TRUTH_PATH as _WARC_TRUTH  # noqa: E402
 from ..sources.zip_fixture import TRUTH_PATH as _ZIP_TRUTH  # noqa: E402
 
+# q171: HTML → text — truth replays the declared policy over the
+# pre-render block structure (plain string ops, fixture-owned
+# entity table; no parser in the truth path).
+from ..sources.html_fixture import TRUTH_PATH as _HTML_TRUTH  # noqa: E402
+
+EXT_ORACLE["q171"] = f"""
+SELECT page_id, text, n_chars
+FROM read_parquet('{_HTML_TRUTH}')
+ORDER BY page_id
+"""
+
 # q170: PDF text extraction — truth is the operation scripts
 # replayed by the declared layout policy (no parser/filter/escape
 # in the truth path).

@@ -3754,6 +3754,44 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+# --- q171: HTML → text extraction — the Common Crawl WET step ---------------
+# The step between q163's raw text/html response bodies and the
+# documents table every downstream operator consumes. The declared
+# layout policy (drop script/style/head/noscript + comments; block
+# tags newline; entities decode; whitespace collapses) runs as an
+# Arrow-batched pandas UDF, map-side. Lenient BY CONTRACT: crawled
+# HTML is tag soup by default (unclosed <p>, stray closes — both in
+# fixtures), so the stdlib error-tolerant parser never raises.
+# Truth = the policy replayed over the pre-render block structure
+# with plain string ops (entities from the fixture's own table);
+# external validation: host /usr/share/doc HTML manuals extract
+# tag-free with known phrases (tests/test_html_text.py).
+def q171(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.html_fixture import HTML_DIR
+
+    ensure_confs(spark)
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(HTML_DIR)
+    )
+    pages = raw.select(
+        F.regexp_extract(F.col("path"), r"page_(\d+)\.html$", 1)
+        .cast("bigint")
+        .alias("page_id"),
+        F.decode(F.col("content"), "UTF-8").alias("html"),
+    )
+    return (
+        T.extract_html_text(pages, html_col="html")
+        .select(
+            "page_id", "text",
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .orderBy("page_id")
+    )
+
+
 # --- q170: PDF text extraction — the web's other document format ------------
 # After HTML, PDF carries the web corpus's main document mass.
 # functions/pdf.py is a recovery-mode extractor (linear object scan
@@ -4075,5 +4113,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q154": q154, "q155": q155, "q156": q156, "q157": q157, "q159": q159,
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
-    "q168": q168, "q169": q169, "q170": q170,
+    "q168": q168, "q169": q169, "q170": q170, "q171": q171,
 }

@@ -271,35 +271,47 @@ def scan_pdf(blob: bytes) -> PdfDoc:
     if b"/Encrypt" in blob:
         raise PdfError("encrypted PDF unsupported")
     objects: dict = {}
-    streams: dict = {}
+    hits: list = []
+    # pass 1: parse every object VALUE (no stream extraction yet) so
+    # forward-referenced /Length ints resolve in pass 2 — indirect
+    # /Length exists precisely because writers emit it after the data
     for m in _OBJ_RE.finditer(blob):
         num = int(m.group(1))
         try:
             obj, pos = parse_object(blob, m.end())
-        except PdfError:
-            continue  # tolerated: linear scan can hit lookalikes
-        pos = _skip_ws(blob, pos)
-        if blob[pos : pos + 6] == b"stream":
-            pos += 6
-            if blob[pos : pos + 2] == b"\r\n":
-                pos += 2
-            elif blob[pos : pos + 1] == b"\n":
-                pos += 1
-            length = obj.get("Length") if isinstance(obj, dict) else None
-            if isinstance(length, Ref):
-                lobj = objects.get(length.num)
-                length = lobj if isinstance(lobj, int) else None
-            if isinstance(length, int) and blob[
-                pos + length :
-            ].lstrip().startswith(b"endstream"):
-                data = blob[pos : pos + length]
-            else:  # /Length wrong or forward ref: scan for endstream
-                e = blob.find(b"endstream", pos)
-                if e < 0:
-                    raise PdfError(f"object {num}: unterminated stream")
-                data = blob[pos:e].rstrip(b"\r\n")
-            streams[num] = data
+        except ValueError:
+            # tolerated: the linear scan can hit lookalikes inside
+            # uncompressed stream bytes (PdfError and the raw
+            # ValueError/UnicodeDecodeError of fromhex/int both land
+            # here — ValueError is their common base)
+            continue
+        hits.append((num, obj, pos))
         objects[num] = obj  # later duplicates (updates) win
+    streams: dict = {}
+    for num, obj, pos in hits:
+        pos = _skip_ws(blob, pos)
+        if blob[pos : pos + 6] != b"stream":
+            continue
+        pos += 6
+        if blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif blob[pos : pos + 1] == b"\n":
+            pos += 1
+        length = obj.get("Length") if isinstance(obj, dict) else None
+        if isinstance(length, Ref):
+            lobj = objects.get(length.num)
+            length = lobj if isinstance(lobj, int) else None
+        if isinstance(length, int) and blob[
+            pos + length : pos + length + 20
+        ].lstrip().startswith(b"endstream"):
+            data = blob[pos : pos + length]
+        else:  # /Length wrong: scan for endstream (recovery mode)
+            e = blob.find(b"endstream", pos)
+            if e < 0:
+                raise PdfError(f"object {num}: unterminated stream")
+            data = blob[pos:e].rstrip(b"\r\n")
+        if num in objects and objects[num] is obj:
+            streams[num] = data
     doc = PdfDoc(objects, streams)
     # expand object streams — members fill vacancies only
     for num, obj in list(objects.items()):

@@ -256,11 +256,8 @@ def decode_tiff(blob: bytes) -> tuple[int, int, int, bytes]:
     if photo == 2:
         return width, height, spp, bytes(raw)
     cmap = tags.get(320)
-    if not cmap:
-        raise TiffError("palette photometric without a ColorMap")
-    cm = cmap if len(cmap) > 1 else None
-    if cm is None:
-        raise TiffError("ColorMap malformed")
+    if not cmap or len(cmap) <= 1:
+        raise TiffError("palette photometric without a usable ColorMap")
     third = len(cmap) // 3
     if 3 * third != len(cmap):
         raise TiffError("ColorMap length not divisible by 3")
@@ -282,7 +279,14 @@ def page_count(blob: bytes) -> int:
     """Number of IFDs (pages) — reported so multi-page callers can
     detect that ``decode_tiff`` keeps only the first by policy."""
     blob = bytes(blob)
-    endian = "<" if blob[:2] == b"II" else ">"
+    if blob[:4] == b"II*\x00":
+        endian = "<"
+    elif blob[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise TiffError("not a TIFF (II*/MM* signature missing)")
+    if len(blob) < 8:
+        raise TiffError("truncated TIFF header")
     (off,) = struct.unpack_from(endian + "I", blob, 4)
     n = 0
     seen = set()

@@ -188,3 +188,15 @@ def downmix_decimate(
     )[::every_n]
     dt = np.uint8 if width == 1 else np.dtype("<i2")
     return mono.astype(dt).tobytes()
+
+
+def window_size(n_frames: int, n_fft_max: int = 512) -> int:
+    """The declared spectral-analysis window policy (q168): largest
+    power of two <= min(n_fft_max, n_frames). Lives ENGINE-side;
+    the truth fixture replays it by importing from here — the
+    dependency may only point fixture -> engine, never back."""
+    n = min(n_fft_max, n_frames)
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p

@@ -428,7 +428,7 @@ def extract_spectral_features(clips: DataFrame) -> DataFrame:
         import numpy as np
 
         from ..functions import wav as WAV
-        from ..sources.spectral_fixture import window_size
+        from ..functions.wav import window_size
 
         cols = (
             "clip_id", "sample_rate", "n_channels", "n_frames",
@@ -443,23 +443,27 @@ def extract_spectral_features(clips: DataFrame) -> DataFrame:
                 n_fft = window_size(len(x))
                 p = np.abs(np.fft.rfft(x[:n_fft])) ** 2
                 bins = p[1:]
-                dom = int(np.argmax(bins)) + 1  # argmax: lowest on tie
-                centroid = float(
-                    (np.arange(1, len(bins) + 1) * bins).sum()
-                    / bins.sum()
-                )
+                tot = float(bins.sum())
+                if tot == 0.0:
+                    # declared: digital silence (or pure DC) has no
+                    # spectral features — NULLs, never NaN math
+                    dom = hz = cx10 = None
+                else:
+                    dom = int(np.argmax(bins)) + 1  # lowest on tie
+                    centroid = float(
+                        (np.arange(1, len(bins) + 1) * bins).sum()
+                        / tot
+                    )
+                    hz = int(math.floor(dom * rate / n_fft + 0.5))
+                    cx10 = int(math.floor(10 * centroid + 0.5))
                 out["clip_id"].append(clip_id)
                 out["sample_rate"].append(rate)
                 out["n_channels"].append(ch)
                 out["n_frames"].append(arr.shape[0])
                 out["n_fft"].append(n_fft)
                 out["dominant_bin"].append(dom)
-                out["dominant_hz"].append(
-                    int(math.floor(dom * rate / n_fft + 0.5))
-                )
-                out["centroid_x10"].append(
-                    int(math.floor(10 * centroid + 0.5))
-                )
+                out["dominant_hz"].append(hz)
+                out["centroid_x10"].append(cx10)
             yield pd.DataFrame(out)
 
     return clips.mapInPandas(fn, SPECTRAL_FEATURE_SCHEMA)

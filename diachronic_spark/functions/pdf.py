@@ -316,6 +316,8 @@ def scan_pdf(blob: bytes) -> PdfDoc:
     # expand object streams — members fill vacancies only
     for num, obj in list(objects.items()):
         if isinstance(obj, dict) and obj.get("Type") == "ObjStm":
+            if num not in streams:
+                raise PdfError(f"ObjStm {num} has no stream data")
             data = _decode_filters(doc, obj, streams[num])
             n = doc.resolve(obj.get("N"))
             first = doc.resolve(obj.get("First"))
@@ -407,7 +409,20 @@ def _parse_tounicode(data: bytes) -> dict:
 
 
 def _page_fonts(doc: PdfDoc, page: dict) -> dict:
-    res = doc.resolve(page.get("Resources", {})) or {}
+    # /Resources is inheritable (PDF 7.7.3.4): walk up /Parent until
+    # a node carries it, so Type0 fonts declared on a Pages ancestor
+    # still hit the loud no-ToUnicode contract instead of silently
+    # decoding CID bytes as Latin-1. Depth-bounded against cycles.
+    node, res = page, None
+    for _ in range(64):
+        if not isinstance(node, dict):
+            break
+        if "Resources" in node:
+            res = doc.resolve(node["Resources"])
+            break
+        parent = node.get("Parent")
+        node = doc.resolve(parent) if parent is not None else None
+    res = res or {}
     fonts = doc.resolve(res.get("Font", {})) or {}
     out = {}
     for name, ref in fonts.items():

@@ -238,6 +238,25 @@ ZIP_ENTRY_SCHEMA = (
     "n_bytes bigint, content_sha string, text string"
 )
 
+# every compression method stdlib zipfile can actually read (ADVICE
+# r8: bzip2/lzma members were mislabeled 'stored'); anything else is
+# outside the declared scope and raises loudly rather than mislabel
+import zipfile  # noqa: E402  (module-level: the map keys need it)
+
+_ZIP_METHODS = {
+    zipfile.ZIP_STORED: "stored",
+    zipfile.ZIP_DEFLATED: "deflate",
+    zipfile.ZIP_BZIP2: "bzip2",
+    zipfile.ZIP_LZMA: "lzma",
+}
+
+
+def _zip_method_err(info: "zipfile.ZipInfo") -> str:
+    raise ValueError(
+        f"zip member {info.filename!r}: unsupported compress_type "
+        f"{info.compress_type} (supported: stored/deflate/bzip2/lzma)"
+    )
+
 
 def read_zip_entries(
     spark: SparkSession, path: str, glob: str = "*.zip"
@@ -287,10 +306,8 @@ def read_zip_entries(
                         out["entry_idx"].append(idx)
                         out["name"].append(info.filename)
                         out["method"].append(
-                            "deflate"
-                            if info.compress_type
-                            == zipfile.ZIP_DEFLATED
-                            else "stored"
+                            _ZIP_METHODS.get(info.compress_type)
+                            or _zip_method_err(info)
                         )
                         out["n_bytes"].append(len(data))
                         out["content_sha"].append(

@@ -342,3 +342,22 @@ def test_exif_corrupt_block_is_loud():
         with open(path, "rb") as f:
             assert f.read() == j["blob"], f"fixture drift: {path}"
         assert truth_row(j) == stored[j["img_id"]]
+
+
+def test_exif_marker_walk_tolerates_fill_and_tem(tmp_path):
+    """ADVICE r8: T.81 B.1.1.2 allows runs of 0xFF fill bytes before
+    any marker, and TEM (0x01) is standalone — a padded-but-valid
+    JPEG must still surface its EXIF instead of raising."""
+    from diachronic_spark.functions.exif import FIELDS, parse_exif
+    from diachronic_spark.sources.exif_fixture import (
+        generate_exif_jpegs,
+        truth_row,
+    )
+
+    j = generate_exif_jpegs()[0]
+    blob, t = j["blob"], truth_row(j)
+    assert blob[:2] == b"\xff\xd8"
+    # inject 3 fill bytes + a TEM marker between SOI and the APP1
+    padded = blob[:2] + b"\xff\xff\xff" + b"\xff\x01" + blob[2:]
+    got = parse_exif(padded)
+    assert got == {k: t[k] for k in FIELDS}

@@ -133,3 +133,71 @@ def test_object_grammar_corners():
     assert obj["D"] == Ref(3)
     obj, _ = parse_object(rb"(oct \101\102 nl \n done)", 0)
     assert obj == b"oct AB nl \n done"
+
+
+def test_inherited_resources_resolve_through_page_tree():
+    """ADVICE r8: /Resources is inheritable (PDF 7.7.3.4). A page
+    with no local Resources must pick up the ancestor's font map —
+    both for correct simple-font decoding and so the Type0
+    no-ToUnicode contract stays loud instead of Latin-1 garbage."""
+    import zlib
+
+    from diachronic_spark.sources.pdf_fixture import (
+        _assemble,
+        _obj,
+        _render_content,
+        _stream_obj,
+        _SIMPLE_FONT,
+    )
+
+    content = zlib.compress(
+        _render_content([("BT",), ("Tf", "F1"), ("Tj", "inherited ok"),
+                         ("ET",)])
+    )
+    # Resources lives on the Pages node; page 3 carries none
+    blob = _assemble(
+        [
+            (1, _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")),
+            (2, _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                        b"/Resources << /Font << /F1 6 0 R >> >> >>")),
+            (3, _obj(3, b"<< /Type /Page /Parent 2 0 R "
+                        b"/Contents 5 0 R >>")),
+            (5, _stream_obj(5, b"/Filter /FlateDecode", content)),
+            (6, _obj(6, _SIMPLE_FONT)),
+        ]
+    )
+    assert extract_text(blob) == ["inherited ok"]
+
+    # same tree, but the inherited font is Type0 WITHOUT ToUnicode:
+    # the loud contract must fire through the inheritance walk
+    t0 = (b"<< /Type /Font /Subtype /Type0 /BaseFont /X "
+          b"/Encoding /Identity-H >>")
+    loud = _assemble(
+        [
+            (1, _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")),
+            (2, _obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+                        b"/Resources << /Font << /F1 6 0 R >> >> >>")),
+            (3, _obj(3, b"<< /Type /Page /Parent 2 0 R "
+                        b"/Contents 5 0 R >>")),
+            (5, _stream_obj(5, b"/Filter /FlateDecode", content)),
+            (6, _obj(6, t0)),
+        ]
+    )
+    with pytest.raises(PdfError, match="ToUnicode"):
+        extract_text(loud)
+
+
+def test_objstm_without_stream_is_loud():
+    """ADVICE r8: an /ObjStm dict with no stream payload must raise
+    the declared PdfError, not a raw KeyError."""
+    from diachronic_spark.sources.pdf_fixture import _assemble, _obj
+
+    blob = _assemble(
+        [
+            (1, _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")),
+            (2, _obj(2, b"<< /Type /Pages /Kids [] /Count 0 >>")),
+            (4, _obj(4, b"<< /Type /ObjStm /N 1 /First 4 >>")),
+        ]
+    )
+    with pytest.raises(PdfError, match="no stream data"):
+        extract_text(blob)

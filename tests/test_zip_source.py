@@ -88,3 +88,39 @@ def test_corruption_is_loud():
     # truncated central directory is loud at open
     with pytest.raises(zipfile.BadZipFile):
         zipfile.ZipFile(io.BytesIO(zf["blob"][:-20]))
+
+
+def test_method_column_covers_all_stdlib_codecs(spark, tmp_path):
+    """ADVICE r8: bzip2/lzma members read fine via stdlib but were
+    mislabeled 'stored'; the method column must name the real codec,
+    and out-of-scope methods must raise instead of mislabeling."""
+    from diachronic_spark.sources.files import (
+        _ZIP_METHODS,
+        read_zip_entries,
+    )
+
+    p = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr(
+            zipfile.ZipInfo("a.txt"), b"alpha" * 40,
+        )
+        z.writestr("b.txt", b"beta" * 40, zipfile.ZIP_DEFLATED)
+        z.writestr("c.txt", b"gamma" * 40, zipfile.ZIP_BZIP2)
+        z.writestr("d.txt", b"delta" * 40, zipfile.ZIP_LZMA)
+    rows = (
+        read_zip_entries(spark, str(tmp_path), glob="mixed.zip")
+        .orderBy("entry_idx")
+        .collect()
+    )
+    assert [r.method for r in rows] == [
+        "stored", "deflate", "bzip2", "lzma",
+    ]
+    # every content round-trips despite the codec mix
+    with zipfile.ZipFile(p) as z:
+        for r in rows:
+            data = z.read(r.name)
+            assert hashlib.sha256(data).hexdigest() == r.content_sha
+    # the map is exactly the stdlib-readable set
+    assert set(_ZIP_METHODS.values()) == {
+        "stored", "deflate", "bzip2", "lzma",
+    }

@@ -2950,3 +2950,124 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+# q172: real BPE token counts. The oracle REPLAYS the greedy BPE
+# apply loop (lowest merge rank, then leftmost occurrence, one merge
+# per step) as a recursive CTE over the COMMITTED merge table — the
+# same file Spark's Arrow encode UDF broadcasts — so both engines
+# independently execute the sequential algorithm; the only shared
+# artifact is data (fixtures/bpe_merges.parquet, itself pinned to
+# the deterministic trainer by tests/test_bpe.py). The composite
+# min_by key rank*1e6+i orders by (rank, position); per-word
+# recursion depth is bounded by word length.
+_BPE_MERGES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "fixtures", "bpe_merges.parquet",
+)
+
+EXT_ORACLE["q172"] = f"""
+WITH RECURSIVE
+m AS (SELECT rank, lft, rgt FROM read_parquet('{_BPE_MERGES}')),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM documents) u
+),
+enc(w, it, toks) AS (
+  SELECT w, 0, list_transform(generate_series(1, length(w)), i -> w[i])
+  FROM words
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+doc_words AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM documents) u
+  GROUP BY doc_id, w
+),
+counts AS (
+  SELECT doc_id, sum(c) AS n_pretoks, sum(c * n_toks) AS n_tokens
+  FROM doc_words JOIN vocab USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_pretoks, 0) AS BIGINT) AS n_pretoks,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN counts USING (doc_id)
+ORDER BY doc_id
+"""
+
+# q173: URL canonicalization + canonical-URL keep-first dedup. The
+# declared policy (functions.canonical_url's docstring) replayed
+# clause-for-clause in DuckDB string functions over the
+# pre-assembly truth rows of the messy-URL crawl; first capture via
+# a window, multiplicity via count — semantics identical to Spark's
+# min_by aggregate.
+_WARC_URL_TRUTH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "fixtures", "warc_url_truth.parquet",
+)
+
+EXT_ORACLE["q173"] = f"""
+WITH r AS (
+  SELECT file_id, rec_idx, text,
+         regexp_replace(raw_uri, '#.*$', '') AS u
+  FROM read_parquet('{_WARC_URL_TRUTH}')
+  WHERE rec_type = 'response'
+),
+parts AS (
+  SELECT file_id, rec_idx, text,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
+    regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS raw_path,
+    regexp_extract(u, '\\?([^#]*)', 1) AS q
+  FROM r
+),
+canon AS (
+  SELECT file_id, rec_idx, text,
+    scheme || '://' ||
+    CASE
+      WHEN scheme = 'http' AND auth LIKE '%:80'
+        THEN substr(auth, 1, length(auth) - 3)
+      WHEN scheme = 'https' AND auth LIKE '%:443'
+        THEN substr(auth, 1, length(auth) - 4)
+      ELSE auth END ||
+    CASE
+      WHEN raw_path = '' THEN '/'
+      WHEN raw_path <> '/' AND raw_path LIKE '%/'
+        THEN substr(raw_path, 1, length(raw_path) - 1)
+      ELSE raw_path END ||
+    CASE
+      WHEN q = '' THEN ''
+      ELSE '?' || array_to_string(
+        list_sort(string_split(q, '&')), '&') END AS url
+  FROM parts WHERE scheme <> ''
+),
+w AS (
+  SELECT url, file_id, rec_idx, text,
+         row_number() OVER (
+           PARTITION BY url ORDER BY file_id, rec_idx) AS rn,
+         count(*) OVER (PARTITION BY url) AS n_captures
+  FROM canon
+)
+SELECT url AS canonical_url,
+       CAST(file_id AS BIGINT) AS first_file,
+       CAST(rec_idx AS BIGINT) AS first_idx,
+       CAST(n_captures AS BIGINT) AS n_captures,
+       text AS kept_text
+FROM w WHERE rn = 1
+ORDER BY canonical_url
+"""

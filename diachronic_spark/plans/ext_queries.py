@@ -4086,6 +4086,80 @@ def q161(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("video_id", "frame_idx")
 
 
+# --- q172: real BPE token counts (VERDICT r8 item 1) ------------------------
+# The suite's budget currency goes from regex proxy to a real
+# tokenizer: the COMMITTED merge table (fixtures/bpe_merges.parquet,
+# trained deterministically on the sf0.001 documents — a production
+# tokenizer's train-once/apply-everywhere regime) drives a greedy
+# lowest-rank/leftmost BPE apply. Spark encodes only the DISTINCT
+# pre-tokens (Arrow pandas UDF, vocabulary-sized Python) and
+# broadcast-joins the encoded vocab back to the JVM-side per-doc
+# word counts; DuckDB independently REPLAYS the apply loop as a
+# recursive CTE over the same merge rows — the suite's second
+# genuinely sequential oracle after q162. Property tests pin
+# decode∘encode = id and trainer regen byte-stability.
+def q172(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_counts
+    from ..sources.bpe_fixture import load_merges
+
+    docs = load(spark, sf, "documents")
+    out = bpe_token_counts(docs, load_merges())
+    return out.select(
+        "doc_id",
+        F.col("n_pretoks").cast("bigint").alias("n_pretoks"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- q173: URL canonicalization + canonical-URL dedup (VERDICT r8 item 2) ---
+# The stage-0 dedup every crawl pipeline runs BEFORE text dedup:
+# normalize each response's WARC-Target-URI under the declared
+# WHATWG-flavored policy (functions.canonical_url — expression-only,
+# JVM-side: case-fold scheme/host, strip default ports + fragments,
+# root path "/", single trailing slash, sorted query params) and
+# keep the FIRST capture per canonical URL (min file_id, rec_idx —
+# min_by aggregate, ONE narrow shuffle on the url key, no window).
+# The messy-URL fixture makes every policy clause decisive, including
+# two must-NOT-collapse pairs (path case, non-default port) and
+# duplicate captures with different bodies (pins keep-first vs
+# content dedup). Oracle: the same policy replayed in DuckDB string
+# functions over the pre-assembly truth table.
+def q173(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..functions import canonical_url
+    from ..sources.files import read_warc
+    from ..sources.warc_url_fixture import WARC_URL_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, WARC_URL_DIR)
+    resp = recs.filter(F.col("rec_type") == "response").select(
+        F.regexp_extract(F.col("path"), r"crawl_url_(\d+)\.warc", 1)
+        .cast("bigint")
+        .alias("file_id"),
+        F.col("rec_idx").cast("bigint").alias("rec_idx"),
+        canonical_url(F.col("target_uri")).alias("url"),
+        "text",
+    )
+    first = (
+        resp.filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.min_by(
+                F.struct("file_id", "rec_idx", "text"),
+                F.struct("file_id", "rec_idx"),
+            ).alias("f"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
+    )
+    return first.select(
+        F.col("url").alias("canonical_url"),
+        F.col("f.file_id").alias("first_file"),
+        F.col("f.rec_idx").alias("first_idx"),
+        F.col("n_captures").cast("bigint").alias("n_captures"),
+        F.col("f.text").alias("kept_text"),
+    ).orderBy("canonical_url")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4114,4 +4188,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
+    "q172": q172, "q173": q173,
 }

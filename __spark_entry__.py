@@ -126,14 +126,23 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (HTML → text — the Common Crawl WET step; declared layout policy,
 # lenient on tag soup by contract, truth replayed over pre-render
 # structure; host manuals extract tag-free).
-# Changed since their last driver row (round-9 edits, all ADVICE
-# r8): q166's ZIP scan now labels bzip2/lzma members correctly (and
+# New this round (tier 0, never adjudicated): q172 (real BPE token
+# counts — committed merge table, Arrow vocab encode, recursive-CTE
+# apply-loop oracle), q173 (URL canonicalization + canonical-URL
+# keep-first dedup over the messy-URL crawl), q174 (C4 rule-based
+# page cleanup over the dedicated prose corpus), q175 (greedy
+# packing under the REAL BPE token budget — the q172+q162 composed
+# oracle).
+# Changed since their last driver row (round-9 edits): ADVICE r8 —
+# q166's ZIP scan now labels bzip2/lzma members correctly (and
 # raises on out-of-scope methods); q169's EXIF marker walk skips
 # 0xFF fill runs and treats TEM as standalone; q170's PDF extractor
 # resolves inherited /Resources through the page tree and guards
 # stream-less ObjStm dicts. Fixture outputs unchanged; scan paths
-# touched.
-_STALE: tuple[str, ...] = ("q166", "q169", "q170")
+# touched. q162: pack_sequences_greedy gained the tokens_col hook
+# (q175); the default whitespace path is expression-identical but
+# the function was edited.
+_STALE: tuple[str, ...] = ("q162", "q166", "q169", "q170")
 
 
 def _priority_order(keys: list[str]) -> list[str]:

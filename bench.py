@@ -44,6 +44,23 @@ def main() -> None:
             return None
 
     load_start = _loadavg()
+    # Bounded quiet gate (VERDICT r8 item 4): the r8 driver bench ran
+    # at loadavg 4 and manufactured four phantom regressions. If the
+    # 1-min load is hot, wait it out in 10 s steps — but bounded, so
+    # the driver's wall budget is never hostage to a busy neighbor.
+    waited = 0.0
+    while True:
+        now = _loadavg()
+        if now is None or now[0] < 1.0 or waited >= 240.0:
+            break
+        time.sleep(10.0)
+        waited += 10.0
+    if waited:
+        print(
+            f"quiet gate: waited {waited:.0f}s "
+            f"(loadavg {load_start} -> {_loadavg()})",
+            file=sys.stderr,
+        )
     if load_start and load_start[2] > 2.0:
         print(
             f"WARNING: 15-min loadavg {load_start[2]:.1f} > 2 — host not "
@@ -82,14 +99,62 @@ def main() -> None:
     from diachronic_spark.plans.streaming_queries import STREAM_QUERIES
 
     jittery = set(STREAM_QUERIES)
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        best = float("inf")
-        for _ in range(3 if name in jittery else 2):
+
+    # Adaptive per-query k (VERDICT r8 item 4): base best-of-2 (3 for
+    # streaming drains), extended up to 4 runs while the two fastest
+    # disagree by >30% — load spikes inflate SOME runs; the extensions
+    # buy extra chances at an uncontended one. The per-query k lands
+    # in the artifact so an elevated-load round is self-describing.
+    def _time_query(fn, base_k: int, max_k: int = 4):
+        runs: list[float] = []
+        while len(runs) < max_k:
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
-            best = min(best, time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
+            if len(runs) >= base_k:
+                s = sorted(runs)
+                if (s[1] - s[0]) / s[0] <= 0.30:
+                    break
+        return min(runs), len(runs)
+
+    timings: dict[str, float] = {}
+    kmap: dict[str, int] = {}
+    for name, fn in QUERIES.items():
+        best, k = _time_query(fn, 3 if name in jittery else 2)
         timings[name] = round(best, 3)
+        kmap[name] = k
+
+    # Store-family cold/warm pair (VERDICT r8 item 8): the disk-
+    # lifecycle queries trade ±1.7 s by page-cache placement (SCALE.md)
+    # — their warm min is comparable across rounds, but the artifact
+    # now also carries a MEASURED cold row per query: page caches are
+    # dropped (sync + /proc/sys/vm/drop_caches, root-only; null when
+    # unavailable) immediately before a single cold run. Cold runs
+    # happen AFTER all warm timing so evictions never contaminate the
+    # main pass; `queries`/`value` stay warm-min for continuity.
+    STORE_FAMILY = (
+        "q121", "q124", "q136", "q152", "q155", "q156", "q158",
+    )
+
+    def _drop_caches() -> bool:
+        try:
+            os.sync()
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3\n")
+            return True
+        except OSError:
+            return False
+
+    store_cold: dict[str, float | None] = {}
+    for name in STORE_FAMILY:
+        if name not in QUERIES:
+            continue
+        if not _drop_caches():
+            store_cold[name] = None
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).toPandas()
+        store_cold[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     # Output contract (VERDICT r5 item 1): the driver captures only a
@@ -110,9 +175,12 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "k": kmap,
+        "store_cold": store_cold,
         "sf": sf,
         "loadavg_start": load_start,
         "loadavg_end": load_end,
+        "quiet_gate_waited_sec": waited,
     }
     with open(queries_file, "w") as f:
         json.dump(full, f, indent=1, sort_keys=False)
@@ -129,6 +197,13 @@ def main() -> None:
                 "queries_file": "bench_queries.json",
                 "loadavg_start": load_start,
                 "loadavg_end": load_end,
+                "quiet_gate_waited_sec": waited,
+                "max_k": max(kmap.values()) if kmap else None,
+                "store_cold_total": (
+                    round(sum(v for v in store_cold.values() if v), 3)
+                    if store_cold
+                    else None
+                ),
             }
         )
     )

@@ -336,6 +336,7 @@ def pack_sequences_greedy(
     n_buckets: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """EXACT whole-document greedy packing — the sequential variant
     ``pack_sequences`` declares out of scope ("run it per-bin
@@ -363,14 +364,20 @@ def pack_sequences_greedy(
             f"bin_tokens/n_buckets must be >= 1, got "
             f"{bin_tokens}/{n_buckets}"
         )
+    # budget currency: whitespace count of text_col by default, or a
+    # caller-supplied token-count column (e.g. real BPE n_tokens from
+    # operators/bpe.py — VERDICT r8 item 1's rewire; q175)
+    tok = (
+        F.col(tokens_col)
+        if tokens_col is not None
+        else F.size(whitespace_tokens(F.col(text_col)))
+    )
     narrow = df.select(
         F.col(id_col).alias("doc_id"),
         (md5_prefix32(F.col(id_col)) % n_buckets)
         .cast("int")
         .alias("bucket"),
-        F.size(whitespace_tokens(F.col(text_col)))
-        .cast("bigint")
-        .alias("n_tokens"),
+        tok.cast("bigint").alias("n_tokens"),
     )
 
     def fold(pdf):
@@ -858,3 +865,62 @@ def extract_html_text(
     _extract.__annotations__ = {"s": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_extract, "string")
     return df.withColumn(out_col, udf(F.col(html_col)))
+
+
+# --- C4-style rule-based page cleanup (VERDICT r8 item 6) -------------------
+# The public C4 heuristics (Raffel et al. 2020, §2.2 of the T5
+# paper), declared exactly:
+#   line rules (applied to each '\n'-split, trimmed line):
+#     keep iff it ends in terminal punctuation (. ! ? or a closing
+#     double quote) AND has >= 5 whitespace words;
+#   page rules:
+#     drop the page if the RAW text contains a curly brace or
+#     (case-insensitive) "lorem ipsum";
+#     drop the page if the CLEANED text has < 3 sentences, where a
+#     sentence is one [.!?]+ run.
+# Expression-only — the whole operator is a codegen-fused projection
+# + filter, no UDF, no shuffle; at 100 TB it runs map-side inside
+# whatever scan feeds it.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+C4_LINE_END_RE = r'[.!?"]$'
+
+
+def c4_clean(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the C4 cleanup rules; surviving pages keep their cleaned
+    text plus audit counts (lines in/kept, sentences)."""
+    raw = F.col(text_col)
+    lines = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(C4_LINE_END_RE)
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda t: t != ""))
+            >= C4_MIN_WORDS_PER_LINE
+        ),
+    )
+    out = (
+        df.withColumn("__lines", lines)
+        .withColumn("__kept", kept)
+        .withColumn("clean_text", F.array_join(F.col("__kept"), "\n"))
+        .withColumn(
+            "n_sentences",
+            F.size(
+                F.regexp_extract_all(
+                    F.col("clean_text"), F.lit("[.!?]+"), F.lit(0)
+                )
+            ),
+        )
+    )
+    page_ok = (
+        ~raw.contains("{")
+        & ~raw.contains("}")
+        & ~F.lower(raw).contains("lorem ipsum")
+        & (F.col("n_sentences") >= C4_MIN_SENTENCES)
+    )
+    return (
+        out.filter(page_ok)
+        .withColumn("n_lines_in", F.size(F.col("__lines")))
+        .withColumn("n_lines_kept", F.size(F.col("__kept")))
+        .drop("__lines", "__kept")
+    )

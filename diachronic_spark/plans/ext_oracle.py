@@ -3071,3 +3071,123 @@ SELECT url AS canonical_url,
 FROM w WHERE rn = 1
 ORDER BY canonical_url
 """
+
+# q174: C4 page cleanup. Shared artifact = the corpus rows only
+# (sources/c4_fixture.py formatted into a VALUES literal); the rules
+# replay independently in DuckDB list/regex functions.
+from ..sources.c4_fixture import DOCS as _C4_DOCS
+
+
+def _sqlstr(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_C4_VALUES = ",\n  ".join(
+    f"({i}, {_sqlstr(t)})" for i, t in _C4_DOCS
+)
+
+EXT_ORACLE["q174"] = f"""
+WITH docs(doc_id, text) AS (VALUES
+  {_C4_VALUES}
+),
+l AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)),
+                        x -> trim(x)) AS lines
+  FROM docs
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$') AND
+           len(list_filter(regexp_split_to_array(x, '\\s+'),
+                           t -> t <> '')) >= 5) AS kept
+  FROM l
+),
+c AS (
+  SELECT doc_id, text, lines, kept,
+         array_to_string(kept, chr(10)) AS clean_text,
+         len(regexp_extract_all(
+           array_to_string(kept, chr(10)), '[.!?]+')) AS n_sentences
+  FROM k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
+       CAST(len(lines) AS INT) AS n_lines_in,
+       CAST(len(kept) AS INT) AS n_lines_kept,
+       CAST(n_sentences AS INT) AS n_sentences
+FROM c
+WHERE NOT contains(text, '{{') AND NOT contains(text, '}}')
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND n_sentences >= 3
+ORDER BY doc_id
+"""
+
+# q175: real-BPE-budgeted greedy packing — the q172 recursive-CTE
+# encode (same committed merge table) composed with the q162
+# recursive-CTE greedy fold (budget 256, 8 md5 buckets): two
+# sequential replays chained in one oracle.
+EXT_ORACLE["q175"] = f"""
+WITH RECURSIVE
+m AS (SELECT rank, lft, rgt FROM read_parquet('{_BPE_MERGES}')),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM documents) u
+),
+enc(w, it, toks) AS (
+  SELECT w, 0, list_transform(generate_series(1, length(w)), i -> w[i])
+  FROM words
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+doc_words AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM documents) u
+  GROUP BY doc_id, w
+),
+bpe AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(c * n_toks), 0) AS BIGINT) AS tok
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, c, n_toks
+             FROM doc_words JOIN vocab USING (w)) j
+    ON d.doc_id = j.doc_id
+  GROUP BY d.doc_id
+),
+d AS (
+  SELECT doc_id, tok,
+         CAST(({_h32("doc_id::VARCHAR")}) % 8 AS INT) AS bucket,
+         row_number() OVER (
+           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 8 AS INT)
+           ORDER BY doc_id) AS rn
+  FROM bpe
+),
+s AS (
+  SELECT bucket, rn, doc_id, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN s.acc + d.tok > 256 THEN d.tok
+              ELSE s.acc + d.tok END,
+         CASE WHEN s.acc + d.tok > 256 THEN s.pack + 1
+              ELSE s.pack END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+)
+SELECT bucket, pack AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY bucket, pack ORDER BY bucket, pack
+"""

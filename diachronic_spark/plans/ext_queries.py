@@ -4160,6 +4160,56 @@ def q173(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("canonical_url")
 
 
+# --- q174: C4 rule-based page cleanup (VERDICT r8 item 6) -------------------
+# The public C4 heuristics (Raffel et al. 2020 §2.2) as pure Column
+# expressions (operators/text.py::c4_clean): terminal-punctuation +
+# min-5-words line filters, curly-brace / "lorem ipsum" page drops,
+# 3-sentence minimum on the cleaned text. Runs over the dedicated
+# prose corpus (sources/c4_fixture.py — the sf documents are
+# punctuation-free word soup, so every clause needed its own
+# decisive case, including both boundary survivors). NOT fused into
+# q165: the WARC fixture bodies are robots/JSON/markup, which C4 —
+# a prose-page filter — would zero out, un-adjudicating the
+# capstone's dedup+packing stages. Zero shuffles: projection +
+# filter only, map-side at any scale.
+def q174(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.c4_fixture import DOCS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    return (
+        T.c4_clean(docs)
+        .select(
+            "doc_id",
+            "clean_text",
+            F.col("n_lines_in").cast("int").alias("n_lines_in"),
+            F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
+            F.col("n_sentences").cast("int").alias("n_sentences"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --- q175: packing under a REAL BPE token budget (VERDICT r8 item 1) --------
+# The rewire that makes q172's tokenizer the pipeline's budget
+# currency: per-doc real n_tokens (q172's vocab-sized encode) feeds
+# the exact greedy packer via its tokens_col hook — the narrow
+# (bucket, id, n_tokens) packing shuffle is unchanged, only the
+# currency moves from whitespace proxy to tokenizer truth. Oracle:
+# the q172 recursive-CTE encode composed with the q162
+# recursive-CTE greedy fold — two sequential replays in one query.
+def q175(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_token_counts
+    from ..sources.bpe_fixture import load_merges
+
+    docs = load(spark, sf, "documents")
+    counts = bpe_token_counts(docs, load_merges())
+    return T.pack_sequences_greedy(
+        counts, bin_tokens=256, n_buckets=8, tokens_col="n_tokens"
+    ).orderBy("bucket", "pack_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4188,5 +4238,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175,
 }

@@ -155,3 +155,22 @@ def test_q172_plan_broadcasts_vocab_and_has_no_row_udf(spark, sf_dir):
     assert "BroadcastHashJoin" in p  # encoded vocab joins broadcast
     assert "BatchEvalPython" not in p  # no row-at-a-time UDF
     assert "ArrowEvalPython" in p  # the vocab encode IS Arrow-batched
+
+
+def test_q175_packs_conserve_real_token_budget(spark, sf_dir):
+    """The BPE-budgeted packer conserves q172's token mass exactly
+    and respects the 256 budget except for singleton oversize docs
+    (the declared greedy contract)."""
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.plans import QUERIES
+
+    total_tokens = (
+        QUERIES["q172"](spark, sf_dir)
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    packs = QUERIES["q175"](spark, sf_dir).collect()
+    assert sum(p.pack_tokens for p in packs) == total_tokens
+    for p in packs:
+        assert p.pack_tokens <= 256 or p.n_docs == 1

@@ -109,8 +109,9 @@ def canonical_url(col) -> Column:
     1. drop the fragment;
     2. scheme and host lowercase (path/query case is significant);
     3. strip the scheme's default port (http:80, https:443);
-    4. empty path becomes "/"; a non-root path loses ONE trailing
-       slash;
+    4. empty path becomes "/"; a non-root path loses its trailing
+       slashes (the whole run — which makes the policy IDEMPOTENT,
+       hypothesis-pinned: one pass over "/a//" must equal two);
     5. query parameters sort lexicographically (order never changes
        resource identity for sane endpoints); an empty query ("?" or
        none) is dropped.
@@ -134,13 +135,12 @@ def canonical_url(col) -> Column:
         )
         .otherwise(auth)
     )
-    raw_path = F.regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1)
-    path = F.when(raw_path == "", F.lit("/")).otherwise(
-        F.when(
-            (raw_path != "/") & raw_path.endswith("/"),
-            F.substring(raw_path, 1, F.length(raw_path) - 1),
-        ).otherwise(raw_path)
+    raw_path = F.regexp_replace(
+        F.regexp_extract(u, "^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+        "/+$",
+        "",
     )
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
     q = F.regexp_extract(u, r"\?([^#]*)", 1)
     qs = F.array_join(F.array_sort(F.split(q, "&")), "&")
     return F.when(scheme == "", F.lit(None).cast("string")).otherwise(

@@ -3046,10 +3046,8 @@ canon AS (
         THEN substr(auth, 1, length(auth) - 4)
       ELSE auth END ||
     CASE
-      WHEN raw_path = '' THEN '/'
-      WHEN raw_path <> '/' AND raw_path LIKE '%/'
-        THEN substr(raw_path, 1, length(raw_path) - 1)
-      ELSE raw_path END ||
+      WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
+      ELSE regexp_replace(raw_path, '/+$', '') END ||
     CASE
       WHEN q = '' THEN ''
       ELSE '?' || array_to_string(

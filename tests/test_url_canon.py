@@ -33,6 +33,8 @@ VECTORS = [
     ("https://example.org:8080/page", "https://example.org:8080/page"),
     ("https://example.org/Page", "https://example.org/Page"),
     ("https://example.org/a/", "https://example.org/a"),
+    ("https://example.org/a//", "https://example.org/a"),
+    ("https://example.org//", "https://example.org/"),
     ("https://example.org/p?", "https://example.org/p"),
     ("file:///etc/motd", "file:///etc/motd"),
     ("not a url", None),
@@ -97,3 +99,23 @@ def test_committed_url_fixture_is_regenerable():
         all_rows.extend(truth_rows(wf))
     committed = pq.read_table(TRUTH_PATH).to_pylist()
     assert committed == all_rows
+
+
+def test_canonicalization_is_idempotent(spark):
+    """One pass must be a fixpoint — re-canonicalizing any output
+    (policy vectors + adversarial shapes) changes nothing."""
+    import pyspark.sql.functions as F
+
+    urls = [u for u, _ in VECTORS] + [
+        "https://example.org/a///",
+        "HTTP://A.B:80//x//?c=1&b=2&a=3#f",
+        "https://h:443/?",
+        "ftp://Host.Example//d/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, f"{r.c1!r} -> {r.c2!r}"

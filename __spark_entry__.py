@@ -132,7 +132,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # keep-first dedup over the messy-URL crawl), q174 (C4 rule-based
 # page cleanup over the dedicated prose corpus), q175 (greedy
 # packing under the REAL BPE token budget — the q172+q162 composed
-# oracle).
+# oracle), q176 (BPE vocabulary statistics — token frequencies +
+# source-word diversity under the real tokenizer), q177 (STREAMING
+# canonical-URL keep-first dedup — complete-mode min_by argmin,
+# deterministic under any arrival order; equals the q173 replay).
 # Changed since their last driver row (round-9 edits): ADVICE r8 —
 # q166's ZIP scan now labels bzip2/lzma members correctly (and
 # raises on out-of-scope methods); q169's EXIF marker walk skips

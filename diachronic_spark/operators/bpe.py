@@ -176,14 +176,22 @@ def bpe_token_counts(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_broadcast_max: int = 1_000_000,
 ) -> DataFrame:
     """Per-document real token counts: (id, n_pretoks, n_tokens).
 
     Corpus-side work is JVM-only: pre-tokenize, explode, one hash
     aggregate on (id, word). Python encodes only the distinct
-    words; the encoded vocab is broadcast-joined back (the fact
-    side is never re-shuffled). Docs with no pre-tokens surface as
-    (0, 0), never drop."""
+    words. The join strategy for the encoded vocab is a MEASURED
+    choice, not a blind hint (the connected_components_auto rule):
+    the vocab is persisted once, counted, and broadcast only when it
+    fits (<= ``vocab_broadcast_max`` rows); a web-scale vocabulary
+    (typo/unicode long tail can reach 1e8+ distinct pre-tokens)
+    falls back to a shuffle join on the word key — the same key the
+    per-doc aggregate already partitioned by. Docs with no
+    pre-tokens surface as (0, 0), never drop."""
+    from ._cache import managed_persist
+
     pretoks = F.regexp_extract_all(
         F.col(text_col), F.lit(RE_TOKEN), F.lit(0)
     )
@@ -192,11 +200,15 @@ def bpe_token_counts(
         .groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    vocab = _encode_vocab(
-        per_doc.select("w").distinct(), merges
-    ).select("w", "n_toks")
+    vocab = managed_persist(
+        _encode_vocab(per_doc.select("w").distinct(), merges).select(
+            "w", "n_toks"
+        ),
+        "bpe.vocab",
+    )
+    small = vocab.count() <= vocab_broadcast_max
     counts = (
-        per_doc.join(F.broadcast(vocab), "w")
+        per_doc.join(F.broadcast(vocab) if small else vocab, "w")
         .groupBy(id_col)
         .agg(
             F.sum("c").alias("n_pretoks"),

@@ -3189,3 +3189,46 @@ SELECT bucket, pack AS pack_id,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM s GROUP BY bucket, pack ORDER BY bucket, pack
 """
+
+# q176: BPE vocabulary statistics — the q172 recursive-CTE encode
+# re-aggregated at TOKEN grain: unnest each word's final token list,
+# weight by corpus word frequency, count source-word diversity.
+EXT_ORACLE["q176"] = f"""
+WITH RECURSIVE
+m AS (SELECT rank, lft, rgt FROM read_parquet('{_BPE_MERGES}')),
+wc AS (
+  SELECT w, count(*) AS wc FROM (
+    SELECT unnest(regexp_extract_all(
+        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM documents) u
+  GROUP BY w
+),
+enc(w, it, toks) AS (
+  SELECT w, 0, list_transform(generate_series(1, length(w)), i -> w[i])
+  FROM (SELECT w FROM wc) words
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, max_by(toks, it) AS toks FROM enc GROUP BY w),
+tok AS (
+  SELECT w, unnest(toks) AS token FROM vocab
+),
+per_word AS (
+  SELECT w, token, count(*) AS mult FROM tok GROUP BY w, token
+)
+SELECT token,
+       CAST(sum(mult * wc) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_source_words
+FROM per_word JOIN wc USING (w)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 30
+"""

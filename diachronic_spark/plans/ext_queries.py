@@ -4210,6 +4210,47 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bucket", "pack_id")
 
 
+# --- q176: BPE vocabulary statistics — the tokenizer's audit surface --------
+# What a corpus looks like UNDER the real tokenizer: global token
+# frequencies (sum over words of corpus word-frequency x the
+# token's multiplicity in that word's encoding) and each token's
+# source-word diversity. Same vocab-sized Python as q172 (encode
+# distinct words once); the corpus contributes only a JVM word
+# count. Top-30 by (occurrences desc, token asc) — the table a
+# tokenizer review actually reads (is the merge budget spent on
+# frequent words? are characters left unmerged?).
+def q176(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import _encode_vocab
+    from ..sources.bpe_fixture import load_merges
+
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(T.RE_TOKEN), F.lit(0)
+            )
+        ).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+    toks = _encode_vocab(
+        words.select("w"), load_merges()
+    ).select("w", F.explode("toks").alias("token"))
+    per_word = toks.groupBy("w", "token").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+    return (
+        per_word.join(F.broadcast(words), "w")
+        .groupBy("token")
+        .agg(
+            F.sum(F.col("mult") * F.col("wc"))
+            .cast("bigint")
+            .alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_source_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(30)
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4238,5 +4279,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176,
 }

@@ -1096,6 +1096,79 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q177(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming canonical-URL keep-first dedup — q173's crawl
+    stage-0 run LIVE: captures arrive as a file stream, the
+    canonicalization is stateless map-side inside the micro-batch,
+    and keep-first materializes as a COMPLETE-mode min_by aggregate
+    (argmin by capture order). The aggregate — not a streaming
+    dropDuplicates — is the load-bearing choice: duplicate captures
+    carry DIFFERENT bodies, so dropDuplicates' winner would race on
+    arrival order across partitions, while argmin is deterministic
+    under ANY arrival interleaving (the same idempotent-argmin
+    algebra the q158 snapshot store runs on). Oracle: identical to
+    q173's string-function replay — stream and batch must agree
+    row-for-row."""
+    from ..functions import canonical_url
+    from ..sources.files import read_warc
+    from ..sources.warc_url_fixture import WARC_URL_DIR
+
+    def captures():
+        recs = read_warc(spark, WARC_URL_DIR)
+        return recs.filter(F.col("rec_type") == "response").select(
+            F.regexp_extract(
+                F.col("path"), r"crawl_url_(\d+)\.warc", 1
+            )
+            .cast("bigint")
+            .alias("file_id"),
+            F.col("rec_idx").cast("bigint").alias("rec_idx"),
+            F.col("target_uri"),
+            "text",
+            # synthetic capture time orders the staged files like the
+            # crawl wrote them (file, then record)
+            (
+                F.to_timestamp(F.lit("2025-06-01 12:00:00"))
+                + F.make_interval(
+                    days=F.col("file_id").cast("int"),
+                    secs=F.col("rec_idx").cast("int"),
+                )
+            ).alias("ts"),
+        )
+
+    src = _stage(spark, f"warc_url:{sf}", captures)
+    stream = (
+        spark.readStream.schema(
+            "file_id bigint, rec_idx bigint, target_uri string, "
+            "text string, ts timestamp"
+        )
+        .parquet(src)
+        .select(
+            "file_id", "rec_idx", "text",
+            canonical_url(F.col("target_uri")).alias("url"),
+        )
+        .filter(F.col("url").isNotNull())
+        .groupBy("url")
+        .agg(
+            F.min_by(
+                F.struct("file_id", "rec_idx", "text"),
+                F.struct("file_id", "rec_idx"),
+            ).alias("f"),
+            F.count(F.lit(1)).alias("n_captures"),
+        )
+    )
+    sink = _drain_to_table(
+        stream, "complete", sink_key="q177", no_data_batches=False,
+        n_state_partitions=STREAM_STATE_PARTITIONS,
+    )
+    return sink.select(
+        F.col("url").alias("canonical_url"),
+        F.col("f.file_id").alias("first_file"),
+        F.col("f.rec_idx").alias("first_idx"),
+        F.col("n_captures").cast("bigint").alias("n_captures"),
+        F.col("f.text").alias("kept_text"),
+    ).orderBy("canonical_url")
+
+
 @atexit.register
 def _cleanup_ephemeral_dirs() -> None:
     for path in _EPHEMERAL_DIRS:
@@ -1107,7 +1180,7 @@ STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
     "q117": q117, "q134": q134, "q136": q136, "q137": q137,
-    "q158": q158,
+    "q158": q158, "q177": q177,
 }
 
 STREAM_ORACLE = {
@@ -1412,3 +1485,10 @@ SELECT page_id, CAST(CAST(timestamp AS DATE) AS VARCHAR) AS day,
 FROM w WHERE rn = 1
 ORDER BY page_id, day
 """
+
+# q177: the streaming keep-first must equal the batch q173 replay
+# exactly — one oracle text, two engine paths (ext_oracle defines it
+# against the pre-assembly truth rows).
+from .ext_oracle import EXT_ORACLE as _EXT_ORACLE  # noqa: E402
+
+STREAM_ORACLE["q177"] = _EXT_ORACLE["q173"]

@@ -47,7 +47,12 @@ from diachronic_spark.sources.files import read_pdf_pages  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIX = os.path.join(ROOT, "fixtures")
 SCRATCH = "/tmp/diachronic_media10x"
-BASE_COPIES = 3
+# the 1x point must SATURATE the 32 local cores, or the ratio
+# measures scheduling slack instead of decode work (a 3-copy first
+# cut read x1.0-1.5 across every family — cores absorbed 10x the
+# files in the same task waves); 12 copies of the smallest set (15
+# pdf files) = 180 files >= 5 waves at 1x
+BASE_COPIES = 12
 SCALE = 10
 FLAG_RATIO = 13.0
 
@@ -115,6 +120,49 @@ FAMILIES = [
 ]
 
 
+def build_heavy_png(dst: str, n: int, w: int = 256, h: int = 256) -> int:
+    """Generated LARGE PNGs (deterministic pixels, all five filter
+    types via the committed encoder): the fixture images are tiny
+    (decode ~0.1 ms), so their wall is fixed job overhead at both
+    points; these make the per-file DECODE the dominant term, which
+    is the quantity whose linearity the ladder actually claims."""
+    from diachronic_spark.functions.png import encode_png
+
+    os.makedirs(dst, exist_ok=True)
+    for i in range(n):
+        pix = bytes(
+            (i * 31 + p * 7 + (p >> 8)) % 256 for p in range(w * h * 3)
+        )
+        with open(os.path.join(dst, f"big_{i:04d}.png"), "wb") as f:
+            f.write(encode_png(w, h, 3, pix))
+    return n
+
+
+def build_heavy_wav(dst: str, n: int, n_samples: int = 400_000) -> int:
+    """Generated LONG PCM WAVs for the spectral family — same
+    rationale as build_heavy_png (FFT work must dominate)."""
+    import math
+    import struct as st
+
+    os.makedirs(dst, exist_ok=True)
+    for i in range(n):
+        freq = 200 + 13 * i
+        frames = bytearray()
+        for t in range(n_samples):
+            v = int(12000 * math.sin(2 * math.pi * freq * t / 16000))
+            frames += st.pack("<h", v)
+        data = bytes(frames)
+        hdr = (
+            b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + st.pack("<IHHIIHH", 16, 1, 1, 16000,
+                                32000, 2, 16)
+            + b"data" + st.pack("<I", len(data))
+        )
+        with open(os.path.join(dst, f"tone_{i:04d}.wav"), "wb") as f:
+            f.write(hdr + data)
+    return n
+
+
 def build_corpus(src: str, glob_ext: str, dst: str, copies: int) -> int:
     os.makedirs(dst, exist_ok=True)
     n = 0
@@ -153,6 +201,32 @@ def main() -> None:
         shutil.rmtree(SCRATCH)
 
     rows, flagged = [], []
+
+    # decode-dominant points: generated heavy corpora (fixture files
+    # are ~KB — their wall is pure job overhead at 32 cores)
+    HEAVY = [
+        ("png_heavy", build_heavy_png, _image_family("*.png", "png"),
+         8),
+        ("wav_spectral_heavy", build_heavy_wav, _audio, 8),
+    ]
+    for name, builder, fn, base_n in HEAVY:
+        d1 = os.path.join(SCRATCH, f"{name}_1x")
+        d10 = os.path.join(SCRATCH, f"{name}_10x")
+        n1 = builder(d1, base_n)
+        n10 = builder(d10, base_n * SCALE)
+        t1 = time_point(fn, spark, d1)
+        t10 = time_point(fn, spark, d10)
+        ratio = round(t10 / t1, 2) if t1 > 0 else None
+        super_lin = ratio is not None and ratio > FLAG_RATIO
+        rows.append(
+            {"family": name, "files_1x": n1, "files_10x": n10,
+             "sec_1x": t1, "sec_10x": t10, "x_1_to_10": ratio,
+             "superlinear": super_lin}
+        )
+        if super_lin:
+            flagged.append(name)
+        print(f"{name}: {n1}f {t1}s -> {n10}f {t10}s (x{ratio})")
+
     for name, sub, glob, fn in FAMILIES:
         src = os.path.join(FIX, sub)
         d1 = os.path.join(SCRATCH, f"{name}_1x")

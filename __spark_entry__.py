@@ -94,38 +94,6 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{"q114": 8, "q116": 8},
     **{f"q{i}": 8 for i in range(118, 122)},
 }
-# New this round (tier 0, never adjudicated): q155 (partition-pruned
-# snapshot-store refresh), q156 (incremental-agg rollup lifecycle),
-# q157 (progressive JPEG decode), q158 (stream-maintained snapshot
-# store — the q152+q155+q117 composition), q159 (ICO/favicon decode —
-# container composition, the first 4-channel feature row), q160
-# (G.711 A-law/ulaw telephony audio decode, audioop-pinned), q161
-# (AVI/MJPEG video decode — RIFF demux + the q154 JPEG engine; the
-# r7 "video needs ffmpeg" gap closed for the intra-only codec), q162
-# (exact greedy sequence packing — whole-doc first-fit per md5
-# bucket; recursive-CTE oracle, the suite's first sequential replay),
-# q163 (WARC web-archive ingestion — the Common Crawl container;
-# Content-Length-driven record walk, declared HTTP text policy,
-# truth from pre-assembly record dicts), q164 (baseline TIFF decode
-# — II/MM, strips, PackBits + TIFF-LZW early change, predictor 2,
-# five photometrics; CPython's python.tiff ≡ its PPM twin), q165
-# (web-corpus capstone: WARC → quality floor → exact dedup → greedy
-# packing, every stage oracle-replayed from the pre-assembly truth),
-# q166 (ZIP dataset-archive ingestion — CRC-verified member rows +
-# the declared text policy; truth from pre-archiving member pairs),
-# q167 (WebDataset tar-shard ingestion — first-dot sample grouping,
-# adjacency enforced, image member decoded in-scan; truth sha over
-# RAW pixels adjudicates extract+decode as one composition), q168
-# (frequency-domain audio features — numpy rFFT vs an O(N²)
-# loop-DFT oracle spectrum, boundary-guarded integer features),
-# q169 (EXIF camera metadata — APP1 signature routing + the q164
-# IFD reader; NULL row when absent, loud when corrupt), q170 (PDF
-# text extraction — recovery-mode object scan + ObjStm expansion,
-# four filters incl. the q164 LZW, declared layout policy,
-# ToUnicode CID fonts; host /usr/share/doc PDFs extract e2e), q171
-# (HTML → text — the Common Crawl WET step; declared layout policy,
-# lenient on tag soup by contract, truth replayed over pre-render
-# structure; host manuals extract tag-free).
 # New this round (tier 0, never adjudicated): q172 (real BPE token
 # counts — committed merge table, Arrow vocab encode, recursive-CTE
 # apply-loop oracle), q173 (URL canonicalization + canonical-URL
@@ -135,7 +103,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # oracle), q176 (BPE vocabulary statistics — token frequencies +
 # source-word diversity under the real tokenizer), q177 (STREAMING
 # canonical-URL keep-first dedup — complete-mode min_by argmin,
-# deterministic under any arrival order; equals the q173 replay).
+# deterministic under any arrival order; equals the q173 replay),
+# q178 (text-pipeline capstone: C4 cleanup -> real-BPE token counts
+# -> greedy packing, the chain replayed as one composed oracle).
 # Changed since their last driver row (round-9 edits): ADVICE r8 —
 # q166's ZIP scan now labels bzip2/lzma members correctly (and
 # raises on out-of-scope methods); q169's EXIF marker walk skips

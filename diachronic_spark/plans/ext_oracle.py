@@ -3232,3 +3232,89 @@ GROUP BY token
 ORDER BY n_occurrences DESC, token
 LIMIT 30
 """
+
+# q178: the chained capstone replay — C4 rules (list/regex) feed the
+# BPE recursive-CTE encode feed the greedy recursive-CTE fold.
+EXT_ORACLE["q178"] = f"""
+WITH RECURSIVE
+docs(doc_id, text) AS (VALUES
+  {_C4_VALUES}
+),
+l AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)),
+                        x -> trim(x)) AS lines
+  FROM docs
+),
+k AS (
+  SELECT doc_id, text,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$') AND
+           len(list_filter(regexp_split_to_array(x, '\\s+'),
+                           t -> t <> '')) >= 5) AS kept
+  FROM l
+),
+cleaned AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+  FROM k
+  WHERE NOT contains(text, '{{') AND NOT contains(text, '}}')
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND len(regexp_extract_all(
+          array_to_string(kept, chr(10)), '[.!?]+')) >= 3
+),
+m AS (SELECT rank, lft, rgt FROM read_parquet('{_BPE_MERGES}')),
+wc AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(
+        clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+    FROM cleaned) u
+  GROUP BY doc_id, w
+),
+enc(w, it, toks) AS (
+  SELECT w, 0, list_transform(generate_series(1, length(w)), i -> w[i])
+  FROM (SELECT DISTINCT w FROM wc) words
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+bpe AS (
+  SELECT c.doc_id,
+         CAST(coalesce(sum(wc.c * vocab.n_toks), 0) AS BIGINT) AS tok
+  FROM cleaned c
+  LEFT JOIN wc ON wc.doc_id = c.doc_id
+  LEFT JOIN vocab ON vocab.w = wc.w
+  GROUP BY c.doc_id
+),
+d AS (
+  SELECT doc_id, tok,
+         CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT) AS bucket,
+         row_number() OVER (
+           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT)
+           ORDER BY doc_id) AS rn
+  FROM bpe
+),
+s AS (
+  SELECT bucket, rn, doc_id, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN s.acc + d.tok > 256 THEN d.tok
+              ELSE s.acc + d.tok END,
+         CASE WHEN s.acc + d.tok > 256 THEN s.pack + 1
+              ELSE s.pack END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+)
+SELECT bucket, pack AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM s GROUP BY bucket, pack ORDER BY bucket, pack
+"""

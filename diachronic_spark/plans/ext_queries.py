@@ -4251,6 +4251,36 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q178: text-pipeline capstone — C4 cleanup → real BPE → packing ---------
+# The round-9 composition: prose pages pass the C4 rules (q174),
+# the SURVIVING cleaned text is tokenized by the real BPE table
+# (q172's machinery over clean_text), and the resulting token
+# budgets drive the exact greedy packer (q162 via tokens_col) — the
+# text half of a pretraining data pipeline in one plan. Every stage
+# is independently oracle-replayed and the CHAIN is replayed here:
+# the C4 list/regex replay feeds the recursive-CTE encode feeds the
+# recursive-CTE greedy fold. Scale shape: C4 map-side, BPE's Python
+# vocab-sized, packing's shuffle carries (bucket, id, n_tokens).
+def q178(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.bpe import bpe_token_counts
+    from ..sources.bpe_fixture import load_merges
+    from ..sources.c4_fixture import DOCS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    cleaned = T.c4_clean(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    counts = bpe_token_counts(cleaned, load_merges())
+    # budget 256 makes BOTH fold rules decisive on the survivors:
+    # bucket 1 packs two docs together (join rule), bucket 0 holds a
+    # single under-budget doc
+    return T.pack_sequences_greedy(
+        counts, bin_tokens=256, n_buckets=2, tokens_col="n_tokens"
+    ).orderBy("bucket", "pack_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4279,5 +4309,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178,
 }

@@ -52,3 +52,16 @@ def test_q174_plan_is_shuffle_free_and_jvm_only(spark, sf_dir):
     # the rules themselves never shuffle (no hash partitioning)
     assert "hashpartitioning" not in p
     assert "EvalPython" not in p
+
+
+def test_q178_capstone_composes_all_three_stages(spark, sf_dir):
+    """C4 -> real BPE -> packing: survivors only (dropped pages carry
+    no tokens into packing), token mass conserved, and the greedy
+    JOIN rule provably fires (one pack holds two docs)."""
+    from diachronic_spark.plans import QUERIES
+
+    packs = QUERIES["q178"](spark, sf_dir).collect()
+    packed_docs = sum(p.n_docs for p in packs)
+    assert packed_docs == 3  # exactly the C4 survivors (0, 4, 7)
+    assert any(p.n_docs >= 2 for p in packs)  # join rule exercised
+    assert all(p.pack_tokens <= 256 or p.n_docs == 1 for p in packs)

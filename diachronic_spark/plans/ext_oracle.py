@@ -3286,7 +3286,7 @@ enc(w, it, toks) AS (
 ),
 vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
 bpe AS (
-  SELECT c.doc_id,
+  SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
          CAST(coalesce(sum(wc.c * vocab.n_toks), 0) AS BIGINT) AS tok
   FROM cleaned c
   LEFT JOIN wc ON wc.doc_id = c.doc_id

@@ -2786,7 +2786,7 @@ ORDER BY file_id, rec_idx
 # join-unless-overflow rule) row by row; each iteration advances
 # every bucket by one document, so depth = the largest bucket.
 EXT_ORACLE["q162"] = f"""
-WITH RECURSIVE d AS (
+WITH RECURSIVE d AS MATERIALIZED (
   SELECT doc_id, tok, bucket,
          row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
   FROM (
@@ -3147,15 +3147,15 @@ enc(w, it, toks) AS (
     FROM enc) s
   WHERE pos IS NOT NULL
 ),
-vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
-doc_words AS (
+vocab AS MATERIALIZED (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+doc_words AS MATERIALIZED (
   SELECT doc_id, w, count(*) AS c FROM (
     SELECT doc_id, unnest(regexp_extract_all(
         text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
     FROM documents) u
   GROUP BY doc_id, w
 ),
-bpe AS (
+bpe AS MATERIALIZED (
   SELECT d.doc_id,
          CAST(coalesce(sum(c * n_toks), 0) AS BIGINT) AS tok
   FROM documents d
@@ -3164,11 +3164,11 @@ bpe AS (
     ON d.doc_id = j.doc_id
   GROUP BY d.doc_id
 ),
-d AS (
+d AS MATERIALIZED (
   SELECT doc_id, tok,
-         CAST(({_h32("doc_id::VARCHAR")}) % 8 AS INT) AS bucket,
+         CAST(({_h32("doc_id::VARCHAR")}) % 16 AS INT) AS bucket,
          row_number() OVER (
-           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 8 AS INT)
+           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 16 AS INT)
            ORDER BY doc_id) AS rn
   FROM bpe
 ),

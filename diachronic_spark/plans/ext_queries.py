@@ -4205,8 +4205,12 @@ def q175(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     counts = bpe_token_counts(docs, load_merges())
+    # 16 buckets matches q162: the ORACLE's recursive-fold depth is
+    # max-bucket-size, and 8 buckets doubled DuckDB's replay cost at
+    # sf0.1 (119 s vs q162's ~26 s) without changing what the Spark
+    # side proves
     return T.pack_sequences_greedy(
-        counts, bin_tokens=256, n_buckets=8, tokens_col="n_tokens"
+        counts, bin_tokens=256, n_buckets=16, tokens_col="n_tokens"
     ).orderBy("bucket", "pack_id")
 
 

@@ -3318,3 +3318,44 @@ SELECT bucket, pack AS pack_id,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM s GROUP BY bucket, pack ORDER BY bucket, pack
 """
+
+# q179: Bloom-filter URL seen-set. The oracle replays every bit
+# decision with the same portable hash (position-SET formulation —
+# p present in the seen positions ⟺ the engine's bitmap bit is set,
+# by construction), so both the no-false-negative law and each
+# deterministic false positive are adjudicated facts.
+def _bloom_pos(expr: str, i: int, m: int) -> str:
+    return f"(({_h32(f'({expr}) || ' + chr(39) + '#' + str(i) + chr(39))}) % {m})"
+
+
+EXT_ORACLE["q179"] = f"""
+WITH seen AS (
+  SELECT 'https://seen.example/p' || CAST(i AS VARCHAR) AS url
+  FROM range(200) t(i)
+),
+probes AS (
+  SELECT url FROM seen
+  WHERE url IN ('https://seen.example/p0', 'https://seen.example/p50',
+                'https://seen.example/p199')
+  UNION ALL
+  SELECT 'https://new.example/q' || CAST(i AS VARCHAR) FROM range(10) t(i)
+),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_bloom_pos('url', 0, 256)} AS p FROM seen
+    UNION ALL
+    SELECT {_bloom_pos('url', 1, 256)} AS p FROM seen)
+),
+probed AS (
+  SELECT url,
+         ({_bloom_pos('url', 0, 256)} IN (SELECT p FROM bits)) AND
+         ({_bloom_pos('url', 1, 256)} IN (SELECT p FROM bits))
+           AS in_bloom,
+         url IN (SELECT url FROM seen) AS seen
+  FROM probes
+)
+SELECT url, in_bloom, seen,
+       (in_bloom AND NOT seen) AS false_positive
+FROM probed
+ORDER BY url
+"""

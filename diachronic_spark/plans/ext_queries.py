@@ -4285,6 +4285,54 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bucket", "pack_id")
 
 
+# --- q179: Bloom-filter URL seen-set — the crawl-frontier structure ---------
+# A crawler's "fetched before?" test at billions of URLs cannot hold
+# the URL set itself; the standard answer is a Bloom filter (fixed
+# m-bit state, no false negatives, bounded false positives). The
+# operator (operators/crawl.py) builds the bitmap as ONE narrow
+# bit-OR aggregation and probes map-side against the broadcast
+# words. Parameters (m=256, k=2, 200 seen urls → ~79% fill) are
+# chosen so false positives PROVABLY occur among the unseen probes —
+# the oracle replays every md5 bit position exactly, so each FP is a
+# deterministic, adjudicated fact, and the no-false-negative law is
+# checked on the seen probes. Both engines derive the url corpus
+# from range() — the S12 in-memory regime, data shared, bit
+# arithmetic independent.
+def q179(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import build_url_bloom, probe_url_bloom
+
+    ensure_confs(spark)
+    seen = spark.range(200).select(
+        F.format_string("https://seen.example/p%d", F.col("id"))
+        .alias("url")
+    )
+    bloom = build_url_bloom(seen, k=2, m=256)
+    revisits = seen.filter(
+        F.col("url").isin(
+            *[f"https://seen.example/p{i}" for i in (0, 50, 199)]
+        )
+    )
+    fresh = spark.range(10).select(
+        F.format_string("https://new.example/q%d", F.col("id"))
+        .alias("url")
+    )
+    probes = revisits.unionByName(fresh)
+    out = probe_url_bloom(probes, bloom, k=2, m=256)
+    truth = seen.withColumn("seen", F.lit(True))
+    return (
+        out.join(truth, "url", "left")
+        .select(
+            "url",
+            "in_bloom",
+            F.coalesce("seen", F.lit(False)).alias("seen"),
+            (F.col("in_bloom") & ~F.coalesce("seen", F.lit(False)))
+            .alias("false_positive"),
+        )
+        .orderBy("url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4313,5 +4361,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179,
 }

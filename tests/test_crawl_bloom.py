@@ -1,0 +1,73 @@
+"""Bloom-filter URL seen-set tests (operators/crawl.py, q179).
+
+Anchors: (1) the NO-FALSE-NEGATIVE law on arbitrary url sets and
+parameters (hypothesis); (2) the engine's bitmap membership equals
+a pure-Python md5 position replay bit-for-bit; (3) q179's
+deterministic outcomes: zero false negatives, and the exact
+false-positive set the 79%-fill parameters produce.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from diachronic_spark.operators.crawl import (
+    build_url_bloom,
+    probe_url_bloom,
+)
+
+URLS = st.lists(
+    st.from_regex(r"https://[a-z]{1,8}\.example/[a-z0-9]{1,10}",
+                  fullmatch=True),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+def _py_positions(url: str, k: int, m: int) -> list[int]:
+    return [
+        int(hashlib.md5(f"{url}#{i}".encode()).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
+def _spark_bloom(spark, urls, probes, k, m):
+    seen = spark.createDataFrame([(u,) for u in urls], "url string")
+    pr = spark.createDataFrame([(u,) for u in probes], "url string")
+    bloom = build_url_bloom(seen, k=k, m=m)
+    return {
+        r.url: r.in_bloom
+        for r in probe_url_bloom(pr, bloom, k=k, m=m).collect()
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(URLS, st.sampled_from([(2, 64), (3, 128)]))
+def test_membership_matches_python_replay_and_never_misses(
+    spark, urls, km
+):
+    k, m = km
+    probes = urls + ["https://never.example/x7z"]
+    got = _spark_bloom(spark, urls, probes, k, m)
+    bits = {p for u in urls for p in _py_positions(u, k, m)}
+    for u in probes:
+        want = all(p in bits for p in _py_positions(u, k, m))
+        assert got[u] == want, u
+    for u in urls:  # the law: a seen url can NEVER read absent
+        assert got[u] is True
+
+
+def test_q179_pins_the_deterministic_outcomes(spark, sf_dir):
+    from diachronic_spark.plans import QUERIES
+
+    rows = QUERIES["q179"](spark, sf_dir).collect()
+    assert len(rows) == 13
+    assert not [r for r in rows if r.seen and not r.in_bloom]
+    fps = sorted(r.url for r in rows if r.false_positive)
+    assert fps == [
+        f"https://new.example/q{i}" for i in (1, 3, 4, 7, 8, 9)
+    ]

@@ -107,7 +107,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # q178 (text-pipeline capstone: C4 cleanup -> real-BPE token counts
 # -> greedy packing, the chain replayed as one composed oracle),
 # q179 (Bloom-filter URL seen-set — crawl-frontier dedup; bitmap
-# bit-OR build + map-side probe; FPs deterministic and adjudicated).
+# bit-OR build + map-side probe; FPs deterministic and adjudicated),
+# q180 (robots.txt compliance — RFC 9309 star-group longest-match
+# over the committed WARC robots bodies, window-parsed, no Python).
 # Changed since their last driver row (round-9 edits): ADVICE r8 —
 # q166's ZIP scan now labels bzip2/lzma members correctly (and
 # raises on out-of-scope methods); q169's EXIF marker walk skips

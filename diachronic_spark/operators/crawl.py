@@ -115,3 +115,106 @@ def probe_url_bloom(
         )
         cond = bit_set if cond is None else (cond & bit_set)
     return out.withColumn("in_bloom", cond).drop("words")
+
+
+# --- robots.txt compliance (RFC 9309) — the crawl's legal gate --------------
+# Declared scope: the `*` user-agent group's Allow/Disallow rules,
+# longest-prefix-match wins, Allow wins length ties, no match =
+# allowed (the RFC defaults). Group membership is positional (a rule
+# belongs to the most recent User-agent line above it) — computed
+# with a running window, not a Python parser, so the whole stage
+# stays JVM-side and the oracle can replay it with the same window.
+
+
+def parse_robots(
+    responses: DataFrame,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+) -> DataFrame:
+    """robots.txt response rows -> (host, rule, prefix) for the `*`
+    group. Line grammar is case-insensitive on field names; empty
+    rule paths (``Disallow:`` = allow everything) are dropped."""
+    from pyspark.sql import Window
+
+    host = F.lower(
+        F.regexp_extract(F.col(uri_col), "^[^:/?#]+://([^/?#]*)", 1)
+    )
+    lines = responses.select(
+        host.alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "ln", "raw"
+        ),
+    ).select(
+        "host", "ln", F.trim(F.regexp_replace("raw", "\r$", "")).alias("line")
+    )
+    parsed = lines.select(
+        "host",
+        "ln",
+        F.regexp_extract(F.col("line"), r"(?i)^user-agent:\s*(\S+)", 1)
+        .alias("ua"),
+        F.lower(
+            F.regexp_extract(F.col("line"), r"(?i)^(allow|disallow):", 1)
+        ).alias("rule"),
+        F.trim(
+            F.regexp_extract(
+                F.col("line"), r"(?i)^(?:allow|disallow):\s*(\S*)", 1
+            )
+        ).alias("prefix"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = parsed.withColumn(
+        "group_ua",
+        F.last(F.when(F.col("ua") != "", F.col("ua")), True).over(w),
+    )
+    return grouped.filter(
+        (F.col("group_ua") == "*")
+        & (F.col("rule") != "")
+        & (F.col("prefix") != "")
+    ).select("host", "rule", "prefix")
+
+
+def robots_allowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Append ``allowed`` per url: longest matching prefix rule of
+    the url's host decides; Allow wins equal lengths; hosts without
+    rules (or no matching rule) default to allowed. Rules tables are
+    tiny by nature (KBs per host) — broadcast join, one narrow
+    aggregate on the url."""
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.regexp_extract(F.col(url_col), "^[^:/?#]+://([^/?#]*)", 1)
+        ).alias("host"),
+        F.regexp_extract(
+            F.col(url_col), "^[^:/?#]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    )
+    joined = u.join(F.broadcast(rules), "host", "left").withColumn(
+        "hit",
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    verdict = joined.groupBy("url").agg(
+        F.max_by(
+            F.col("rule") == "allow",
+            F.when(
+                F.col("hit"),
+                # longest prefix wins; allow outranks disallow on ties
+                F.length("prefix") * 2
+                + (F.col("rule") == "allow").cast("int"),
+            ).otherwise(F.lit(-1)),  # non-hits lose to any hit; when
+            # NO rule hits, the winner is unused (any_hit gates it)
+        ).alias("winner_allow"),
+        F.max(F.when(F.col("hit"), 1).otherwise(0)).alias("any_hit"),
+    )
+    return verdict.select(
+        "url",
+        (
+            (F.col("any_hit") == 0) | F.col("winner_allow")
+        ).alias("allowed"),
+    )

@@ -3359,3 +3359,78 @@ SELECT url, in_bloom, seen,
 FROM probed
 ORDER BY url
 """
+
+# q180: robots.txt compliance — rules replayed from the WARC truth
+# rows with the same positional-group window and longest-match
+# verdict; candidate urls single-sourced from the fixture module.
+from ..sources.warc_fixture import (  # noqa: E402
+    ROBOTS_CANDIDATES as _ROBOTS_CANDS,
+)
+
+_ROBOTS_VALUES = ", ".join(f"('{u}')" for u in _ROBOTS_CANDS)
+
+EXT_ORACLE["q180"] = f"""
+WITH resp AS (
+  SELECT lower(regexp_extract(
+           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+         text
+  FROM read_parquet('{_WARC_TRUTH}')
+  WHERE rec_type = 'response' AND target_uri LIKE '%robots.txt'
+),
+lines AS (
+  SELECT host, g.ln,
+         trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
+  FROM (SELECT host, string_split(text, chr(10)) AS parts
+        FROM resp) t,
+       LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                AS ln) g
+),
+parsed AS (
+  SELECT host, ln,
+         regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS ua,
+         lower(regexp_extract(
+           line, '(?i)^(allow|disallow):', 1)) AS rule,
+         trim(regexp_extract(
+           line, '(?i)^(?:allow|disallow):\\s*(\\S*)', 1)) AS prefix
+  FROM lines
+),
+grouped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN ln END)
+              OVER (PARTITION BY host ORDER BY ln
+                    ROWS UNBOUNDED PRECEDING) AS ua_ln
+  FROM parsed
+),
+rules AS (
+  SELECT g.host, g.rule, g.prefix
+  FROM grouped g
+  JOIN parsed p ON p.host = g.host AND p.ln = g.ua_ln
+  WHERE p.ua = '*' AND g.rule <> '' AND g.prefix <> ''
+),
+cand(url) AS (VALUES {_ROBOTS_VALUES}),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM cand
+),
+j AS (
+  SELECT u.url, r.rule, r.prefix,
+         (r.prefix IS NOT NULL
+          AND starts_with(u.path, r.prefix)) AS hit
+  FROM u LEFT JOIN rules r ON r.host = u.host
+),
+v AS (
+  SELECT url,
+         max(CASE WHEN hit THEN 1 ELSE 0 END) AS any_hit,
+         max_by(rule = 'allow',
+                CASE WHEN hit
+                     THEN length(prefix) * 2 +
+                          CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                     ELSE -1 END) AS winner_allow
+  FROM j GROUP BY url
+)
+SELECT url, (any_hit = 0 OR winner_allow) AS allowed
+FROM v ORDER BY url
+"""

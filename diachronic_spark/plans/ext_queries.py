@@ -4333,6 +4333,37 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q180: robots.txt compliance — the crawl's legal gate (RFC 9309) --------
+# The stage between frontier and fetch: parse the `*` user-agent
+# group's Allow/Disallow rules out of the REAL robots.txt bodies in
+# the committed WARC corpus (group membership is positional — a
+# running window, not a Python parser), then gate candidate URLs by
+# longest-prefix match (Allow wins ties; no match or no rules =
+# allowed). Candidates make each clause decisive: both hosts'
+# blocked subtrees, host case-folding, the "/private" vs
+# "/private/" prefix boundary, a rule-less subdomain, an unknown
+# host. Rules are KB-scale per host — broadcast; the verdict is ONE
+# narrow aggregate per url. Oracle: the same window + string replay
+# over the pre-assembly truth rows.
+def q180(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import parse_robots, robots_allowed
+    from ..sources.files import read_warc
+    from ..sources.warc_fixture import ROBOTS_CANDIDATES, WARCS_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, WARCS_DIR)
+    robots = recs.filter(
+        (F.col("rec_type") == "response")
+        & F.col("target_uri").endswith("robots.txt")
+    )
+    rules = parse_robots(robots)
+    cand = spark.createDataFrame(
+        [(u,) for u in ROBOTS_CANDIDATES], "url string"
+    )
+    return robots_allowed(cand, rules).orderBy("url")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4361,5 +4392,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180,
 }

@@ -261,3 +261,20 @@ def truth_rows(wf: dict) -> list:
             }
         )
     return rows
+
+
+# Candidate fetch URLs for the robots.txt compliance stage (q180) —
+# probing THIS fixture's robots bodies (example.org and
+# mirror.example.net both publish "Disallow: /private/"). Each
+# candidate is one decisive case: the blocked subtree on both hosts
+# (with host case-folding), the prefix boundary ("/private" without
+# the trailing slash does NOT match "/private/"), an unrelated path,
+# a rule-less subdomain, and an unknown host (RFC default: allowed).
+ROBOTS_CANDIDATES = (
+    "https://example.org/private/secret.html",
+    "https://example.org/private",
+    "https://example.org/publicpage",
+    "https://MIRROR.example.net/private/x",
+    "https://api.example.org/v1/items",
+    "https://unknown.example/whatever",
+)

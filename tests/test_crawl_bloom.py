@@ -71,3 +71,53 @@ def test_q179_pins_the_deterministic_outcomes(spark, sf_dir):
     assert fps == [
         f"https://new.example/q{i}" for i in (1, 3, 4, 7, 8, 9)
     ]
+
+
+def test_robots_group_scoping_and_longest_match(spark):
+    """RFC 9309 semantics beyond what the fixture exercises: rules in
+    a non-* group are ignored, Allow beats Disallow at equal length,
+    and the LONGEST matching prefix wins regardless of rule order."""
+    from diachronic_spark.operators.crawl import (
+        parse_robots,
+        robots_allowed,
+    )
+
+    resp = spark.createDataFrame(
+        [(
+            "https://h.example/robots.txt",
+            "User-agent: bot\r\nDisallow: /\r\n"
+            "User-agent: *\r\nAllow: /pub\r\nDisallow: /p\r\n"
+            "Allow: /p/open\r\nDisallow: /pub/private\r\n",
+        )],
+        "target_uri string, text string",
+    )
+    rules = parse_robots(resp)
+    got = {
+        (r.rule, r.prefix) for r in rules.collect()
+    }
+    assert got == {
+        ("allow", "/pub"), ("disallow", "/p"),
+        ("allow", "/p/open"), ("disallow", "/pub/private"),
+    }  # bot's blanket Disallow excluded by group scoping
+
+    urls = spark.createDataFrame(
+        [(u,) for u in (
+            "https://h.example/pub/x",        # allow /pub > dis /p
+            "https://h.example/p/z",          # dis /p only
+            "https://h.example/p/open/d",     # allow /p/open longest
+            "https://h.example/pub/private/s",  # dis longest wins
+            "https://h.example/q",            # no match -> allowed
+        )],
+        "url string",
+    )
+    verdict = {
+        r.url: r.allowed
+        for r in robots_allowed(urls, rules).collect()
+    }
+    assert verdict == {
+        "https://h.example/pub/x": True,
+        "https://h.example/p/z": False,
+        "https://h.example/p/open/d": True,
+        "https://h.example/pub/private/s": False,
+        "https://h.example/q": True,
+    }

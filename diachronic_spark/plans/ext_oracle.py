@@ -3434,3 +3434,56 @@ v AS (
 SELECT url, (any_hit = 0 OR winner_allow) AS allowed
 FROM v ORDER BY url
 """
+
+# q181: sitemap discovery — the pre-render entry dicts replayed:
+# same canonicalization policy (inline-expression twin of q173's CTE
+# form), same freshest-lastmod/max-priority/multiplicity aggregate.
+_SITEMAP_TRUTH = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "fixtures", "sitemap_truth.parquet",
+)
+
+
+def _canon_url_expr(col: str) -> str:
+    """The q173 canonicalization policy as ONE SQL expression (for
+    oracles that canonicalize inside a larger pipeline)."""
+    u = f"regexp_replace({col}, '#.*$', '')"
+    scheme = (
+        f"lower(regexp_extract({u}, "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    )
+    auth = f"lower(regexp_extract({u}, '^[^:/?#]+://([^/?#]*)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {auth} LIKE '%:80' "
+        f"THEN substr({auth}, 1, length({auth}) - 3) "
+        f"WHEN {scheme} = 'https' AND {auth} LIKE '%:443' "
+        f"THEN substr({auth}, 1, length({auth}) - 4) "
+        f"ELSE {auth} END"
+    )
+    rp = (
+        f"regexp_replace(regexp_extract({u}, "
+        f"'^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    path = f"CASE WHEN {rp} = '' THEN '/' ELSE {rp} END"
+    qq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    qs = (
+        f"CASE WHEN {qq} = '' THEN '' ELSE '?' || array_to_string("
+        f"list_sort(string_split({qq}, '&')), '&') END"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {path} || {qs} END"
+    )
+
+
+EXT_ORACLE["q181"] = f"""
+SELECT kind,
+       {_canon_url_expr('loc')} AS url,
+       max(lastmod) AS last_seen,
+       max(priority) AS priority,
+       CAST(count(*) AS BIGINT) AS n_sources
+FROM read_parquet('{_SITEMAP_TRUTH}')
+GROUP BY kind, url
+ORDER BY kind, url
+"""

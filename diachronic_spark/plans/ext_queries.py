@@ -4364,6 +4364,57 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
     return robots_allowed(cand, rules).orderBy("url")
 
 
+# --- q181: sitemap.xml discovery — the crawl's URL advertisement stage ------
+# The step BEFORE the frontier (q179) and the robots gate (q180):
+# sitemaps.org urlsets + a sitemapindex, read with Spark's NATIVE
+# XML source (rowTag routing: the urlset read yields zero rows on
+# the index file and vice versa — no per-file dispatch code), the
+# gzipped shard decompressed transparently by the text-based
+# source, XML entities decoded before canonicalization sorts query
+# params. Discovery output = distinct canonical URL per kind with
+# freshest lastmod, max priority, and source multiplicity — the
+# cross-file duplicate's newest advertisement wins. Explicit schema
+# (no inference pass; lastmod stays a STRING — sitemap dates are
+# W3C datetime of varying precision, not a single parquet type).
+def q181(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..functions import canonical_url
+    from ..sources.sitemap_fixture import SITEMAP_DIR
+
+    ensure_confs(spark)
+
+    def rd(row_tag: str, schema: str) -> DataFrame:
+        return (
+            spark.read.format("xml")
+            .option("rowTag", row_tag)
+            .schema(schema)
+            .load(SITEMAP_DIR)
+        )
+
+    urls = rd("url", "loc string, lastmod string, priority double")
+    idx = rd("sitemap", "loc string, lastmod string").withColumn(
+        "priority", F.lit(None).cast("double")
+    )
+    entries = urls.withColumn("kind", F.lit("url")).unionByName(
+        idx.withColumn("kind", F.lit("sitemap"))
+    )
+    return (
+        entries.select(
+            "kind",
+            canonical_url(F.col("loc")).alias("url"),
+            "lastmod",
+            "priority",
+        )
+        .groupBy("kind", "url")
+        .agg(
+            F.max("lastmod").alias("last_seen"),
+            F.max("priority").alias("priority"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        )
+        .orderBy("kind", "url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4392,5 +4443,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181,
 }

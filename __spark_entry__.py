@@ -111,7 +111,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # q180 (robots.txt compliance — RFC 9309 star-group longest-match
 # over the committed WARC robots bodies, window-parsed, no Python),
 # q181 (sitemap.xml discovery — native Spark XML source, rowTag
-# routing, gzipped shards, freshest-lastmod canonical dedup).
+# routing, gzipped shards, freshest-lastmod canonical dedup),
+# q182 (crawl-chain capstone: discovery -> robots -> frontier in
+# one plan, the q181+q180+q179 replays composed into one oracle).
 # Changed since their last driver row (round-9 edits): ADVICE r8 —
 # q166's ZIP scan now labels bzip2/lzma members correctly (and
 # raises on out-of-scope methods); q169's EXIF marker walk skips

@@ -3487,3 +3487,103 @@ FROM read_parquet('{_SITEMAP_TRUTH}')
 GROUP BY kind, url
 ORDER BY kind, url
 """
+
+# q182: crawl-chain capstone — the q181 + q180 + q179 replays
+# composed: canonical discovery aggregate, window-parsed robots
+# rules with the longest-match verdict, and the bloom bit positions
+# over the WARC corpus's fetched canonical URLs.
+def _bloom_in(expr: str, k: int, m: int) -> str:
+    return " AND ".join(
+        f"({_bloom_pos(expr, i, m)} IN (SELECT p FROM bits))"
+        for i in range(k)
+    )
+
+
+EXT_ORACLE["q182"] = f"""
+WITH disc AS (
+  SELECT {_canon_url_expr('loc')} AS url,
+         max(lastmod) AS last_seen,
+         max(priority) AS priority
+  FROM read_parquet('{_SITEMAP_TRUTH}')
+  WHERE kind = 'url'
+  GROUP BY 1
+),
+resp AS (
+  SELECT lower(regexp_extract(
+           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host,
+         target_uri, text
+  FROM read_parquet('{_WARC_TRUTH}')
+  WHERE rec_type = 'response'
+),
+lines AS (
+  SELECT host, g.ln,
+         trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
+  FROM (SELECT host, string_split(text, chr(10)) AS parts
+        FROM resp WHERE target_uri LIKE '%robots.txt') t,
+       LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                AS ln) g
+),
+parsed AS (
+  SELECT host, ln,
+         regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS ua,
+         lower(regexp_extract(
+           line, '(?i)^(allow|disallow):', 1)) AS rule,
+         trim(regexp_extract(
+           line, '(?i)^(?:allow|disallow):\\s*(\\S*)', 1)) AS prefix
+  FROM lines
+),
+grouped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN ln END)
+              OVER (PARTITION BY host ORDER BY ln
+                    ROWS UNBOUNDED PRECEDING) AS ua_ln
+  FROM parsed
+),
+rules AS (
+  SELECT g.host, g.rule, g.prefix
+  FROM grouped g
+  JOIN parsed p ON p.host = g.host AND p.ln = g.ua_ln
+  WHERE p.ua = '*' AND g.rule <> '' AND g.prefix <> ''
+),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM disc
+),
+j AS (
+  SELECT u.url, r.rule, r.prefix,
+         (r.prefix IS NOT NULL
+          AND starts_with(u.path, r.prefix)) AS hit
+  FROM u LEFT JOIN rules r ON r.host = u.host
+),
+verdict AS (
+  SELECT url,
+         max(CASE WHEN hit THEN 1 ELSE 0 END) AS any_hit,
+         max_by(rule = 'allow',
+                CASE WHEN hit
+                     THEN length(prefix) * 2 +
+                          CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                     ELSE -1 END) AS winner_allow
+  FROM j GROUP BY url
+),
+seen AS (
+  SELECT DISTINCT {_canon_url_expr('target_uri')} AS url FROM resp
+),
+bits AS (
+  SELECT DISTINCT p FROM (
+    SELECT {_bloom_pos('url', 0, 256)} AS p FROM seen
+    UNION ALL
+    SELECT {_bloom_pos('url', 1, 256)} AS p FROM seen
+    UNION ALL
+    SELECT {_bloom_pos('url', 2, 256)} AS p FROM seen)
+)
+SELECT d.url, d.last_seen, d.priority,
+       (v.any_hit = 0 OR v.winner_allow) AS allowed,
+       ({_bloom_in('d.url', 3, 256)}) AS already_fetched,
+       ((v.any_hit = 0 OR v.winner_allow)
+        AND NOT ({_bloom_in('d.url', 3, 256)})) AS fetch
+FROM disc d JOIN verdict v ON v.url = d.url
+ORDER BY d.url
+"""

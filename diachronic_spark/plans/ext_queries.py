@@ -4415,6 +4415,64 @@ def q181(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q182: crawl-chain capstone — discovery → robots → frontier -------------
+# The discovery-side twin of q178's text capstone: sitemap
+# advertisements (q181) pass the robots gate (q180's rules from the
+# REAL WARC robots bodies) and the frontier bloom (q179's structure
+# built over the canonical URLs the WARC corpus already fetched);
+# `fetch` = allowed AND not already fetched — the crawl's next work
+# list in one plan. The fixture makes both gates decisive: one
+# advertised loc sits in the robots-blocked subtree, one IS a
+# fetched WARC response URI. Every stage replays in the composed
+# oracle (q181's canon aggregate + q180's window-parsed rules +
+# q179's bit positions). Scale shape: rules + bitmap broadcast,
+# everything else map-side or one url-key aggregate.
+def q182(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..functions import canonical_url
+    from ..operators.crawl import (
+        build_url_bloom,
+        parse_robots,
+        probe_url_bloom,
+        robots_allowed,
+    )
+    from ..sources.files import read_warc
+    from ..sources.warc_fixture import WARCS_DIR
+
+    ensure_confs(spark)
+    disc = (
+        q181(spark, sf)
+        .filter(F.col("kind") == "url")
+        .select("url", "last_seen", "priority")
+    )
+    recs = read_warc(spark, WARCS_DIR)
+    resp = recs.filter(F.col("rec_type") == "response")
+    rules = parse_robots(
+        resp.filter(F.col("target_uri").endswith("robots.txt"))
+    )
+    allowed = robots_allowed(disc.select("url"), rules)
+    seen = (
+        resp.select(canonical_url(F.col("target_uri")).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+    )
+    bloom = build_url_bloom(seen, k=3, m=256)
+    probed = probe_url_bloom(disc.select("url"), bloom, k=3, m=256)
+    return (
+        disc.join(allowed, "url")
+        .join(probed, "url")
+        .select(
+            "url",
+            "last_seen",
+            "priority",
+            "allowed",
+            F.col("in_bloom").alias("already_fetched"),
+            (F.col("allowed") & ~F.col("in_bloom")).alias("fetch"),
+        )
+        .orderBy("url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4443,5 +4501,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q160": q160, "q161": q161, "q162": q162, "q163": q163,
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
-    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181,
+    "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
 }

@@ -45,6 +45,12 @@ FILES = (
             ("https://example.org/a//", "2025-05-15", None),
             ("https://example.org/search?b=2&a=1", "2025-04-01", 0.5),
             ("https://example.org/only-in-000", None, None),
+            # the q182 crawl-chain capstone's decisive rows: one loc
+            # the robots gate must block, one the frontier bloom must
+            # recognize as already fetched (it IS a WARC response URI)
+            ("https://example.org/private/archive.html", "2025-03-01",
+             None),
+            ("https://example.org/baeume", "2025-02-01", 0.3),
         ),
     ),
     (

@@ -27,9 +27,12 @@ def test_q181_discovery_semantics(spark, sf_dir):
         (r.kind, r.url): r
         for r in QUERIES["q181"](spark, sf_dir).collect()
     }
-    # 5 distinct canonical urls + 2 index children
-    assert len(rows) == 7
+    # 7 distinct canonical urls + 2 index children
+    assert len(rows) == 9
     assert sum(1 for k, _ in rows if k == "sitemap") == 2
+    # the q182 capstone's decisive advertisements are present
+    assert ("url", "https://example.org/private/archive.html") in rows
+    assert ("url", "https://example.org/baeume") in rows
 
     news = rows[("url", "https://example.org/news")]
     assert news.n_sources == 2            # case/slash variants merged
@@ -52,3 +55,26 @@ def test_committed_sitemap_fixture_is_regenerable():
         with open(os.path.join(SITEMAP_DIR, fname), "rb") as f:
             assert f.read() == render(fname, kind, entries)
     assert pq.read_table(TRUTH_PATH).to_pylist() == truth_rows()
+
+
+def test_q182_crawl_chain_gates_are_each_decisive(spark, sf_dir):
+    """discovery -> robots -> frontier: the robots-blocked loc and
+    the already-fetched loc each fail exactly their own gate; all
+    other advertisements are fetchable; fetch = allowed AND new."""
+    from diachronic_spark.plans import QUERIES
+
+    rows = {r.url: r for r in QUERIES["q182"](spark, sf_dir).collect()}
+    assert len(rows) == 7
+
+    blocked = rows["https://example.org/private/archive.html"]
+    assert (blocked.allowed, blocked.already_fetched, blocked.fetch) \
+        == (False, False, False)
+
+    fetched = rows["https://example.org/baeume"]
+    assert (fetched.allowed, fetched.already_fetched, fetched.fetch) \
+        == (True, True, False)
+
+    for u, r in rows.items():
+        if u not in (blocked.url, fetched.url):
+            assert r.fetch is True, u
+        assert r.fetch == (r.allowed and not r.already_fetched)

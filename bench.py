@@ -51,19 +51,23 @@ def main() -> None:
     waited = 0.0
     while True:
         now = _loadavg()
-        if now is None or now[0] < 1.0 or waited >= 240.0:
+        if now is None or now[0] < 1.0 or waited >= 600.0:
             break
         time.sleep(10.0)
         waited += 10.0
+    # Re-sample AFTER the gate (ADVICE r9): the warning used to read
+    # the pre-wait loadavg, flagging hosts the gate had already
+    # quieted. The post-gate 15-min average is what the timings see.
+    load_gated = _loadavg()
     if waited:
         print(
             f"quiet gate: waited {waited:.0f}s "
-            f"(loadavg {load_start} -> {_loadavg()})",
+            f"(loadavg {load_start} -> {load_gated})",
             file=sys.stderr,
         )
-    if load_start and load_start[2] > 2.0:
+    if load_gated and load_gated[2] > 2.0:
         print(
-            f"WARNING: 15-min loadavg {load_start[2]:.1f} > 2 — host not "
+            f"WARNING: 15-min loadavg {load_gated[2]:.1f} > 2 — host not "
             "quiet; expect timings 20-25% above steady state "
             "(SCALE.md quiet-bench protocol)",
             file=sys.stderr,
@@ -123,6 +127,45 @@ def main() -> None:
         best, k = _time_query(fn, 3 if name in jittery else 2)
         timings[name] = round(best, 3)
         kmap[name] = k
+
+    # Loadavg-stamped retry pass (VERDICT r9 item 5): load spikes mid-
+    # run inflate SOME queries past what the adaptive k can rescue —
+    # the r8/r9 driver rounds each manufactured a handful of >1.3×
+    # phantom "regressions" on untouched code. If the previous
+    # committed artifact exists, any query reading >1.5× its recorded
+    # value gets up to two extra runs once the host is quiet again;
+    # the artifact records which queries retried and the loadavg at
+    # retry time, so an elevated round is self-diagnosing.
+    retried: dict[str, dict] = {}
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    )
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        prev = {}
+    suspects = [
+        n
+        for n, t in timings.items()
+        if n in prev and prev[n] > 0 and t / prev[n] > 1.5
+    ]
+    for name in suspects:
+        for _ in range(12):  # bounded re-quiet wait: <= 2 min
+            now = _loadavg()
+            if now is None or now[0] < 1.0:
+                break
+            time.sleep(10.0)
+        best, k = _time_query(QUERIES[name], 2, max_k=2)
+        retried[name] = {
+            "first_pass": timings[name],
+            "retry": round(best, 3),
+            "prev": prev[name],
+            "loadavg": _loadavg(),
+        }
+        if best < timings[name]:
+            timings[name] = round(best, 3)
+            kmap[name] += k
 
     # Scheduling-floor calibration: the per-query COST FLOOR of this
     # engine on this host — planning + task dispatch + Arrow result
@@ -205,6 +248,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "k": kmap,
+        "retried": retried,
         "store_cold": store_cold,
         "floor_trivial_agg_sec": floor_agg,
         "floor_ordered_result_sec": floor_sorted,
@@ -234,9 +278,13 @@ def main() -> None:
                 "floor_ordered_result_sec": floor_sorted,
                 "store_cold_total": (
                     round(sum(v for v in store_cold.values() if v), 3)
-                    if store_cold
+                    # ADVICE r9: all-None (non-root host, every
+                    # drop_caches failed) must report null, not a
+                    # fake measured 0.0 s cold pass
+                    if any(v is not None for v in store_cold.values())
                     else None
                 ),
+                "n_retried": len(retried),
             }
         )
     )

@@ -104,7 +104,8 @@ def canonical_url(col) -> Column:
     """WHATWG-flavored URL canonicalization (VERDICT r8 item 2) — the
     stage-0 key every crawl pipeline (C4, CCNet) dedups on BEFORE
     text dedup. Declared policy, expression-only (JVM-side, codegen-
-    fused; the SQL twin is ext_oracle._CANON_URL_SQL):
+    fused; the SQL twin is ext_oracle._canon_url_expr — the single
+    SQL rendering every canonicalizing oracle builds from):
 
     1. drop the fragment;
     2. scheme and host lowercase (path/query case is significant);

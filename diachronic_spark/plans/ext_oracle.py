@@ -3020,46 +3020,54 @@ _WARC_URL_TRUTH = _os.path.join(
     "fixtures", "warc_url_truth.parquet",
 )
 
+
+def _canon_url_expr(col: str) -> str:
+    """The q173 canonicalization policy as ONE SQL expression — the
+    single SQL source of the policy (ADVICE r9: q173 used to inline
+    its own copy, leaving two SQL renderings that could drift; every
+    canonicalizing oracle now builds from this helper)."""
+    u = f"regexp_replace({col}, '#.*$', '')"
+    scheme = (
+        f"lower(regexp_extract({u}, "
+        f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    )
+    auth = f"lower(regexp_extract({u}, '^[^:/?#]+://([^/?#]*)', 1))"
+    host = (
+        f"CASE WHEN {scheme} = 'http' AND {auth} LIKE '%:80' "
+        f"THEN substr({auth}, 1, length({auth}) - 3) "
+        f"WHEN {scheme} = 'https' AND {auth} LIKE '%:443' "
+        f"THEN substr({auth}, 1, length({auth}) - 4) "
+        f"ELSE {auth} END"
+    )
+    rp = (
+        f"regexp_replace(regexp_extract({u}, "
+        f"'^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    path = f"CASE WHEN {rp} = '' THEN '/' ELSE {rp} END"
+    qq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
+    qs = (
+        f"CASE WHEN {qq} = '' THEN '' ELSE '?' || array_to_string("
+        f"list_sort(string_split({qq}, '&')), '&') END"
+    )
+    return (
+        f"CASE WHEN {scheme} = '' THEN NULL "
+        f"ELSE {scheme} || '://' || {host} || {path} || {qs} END"
+    )
+
+
 EXT_ORACLE["q173"] = f"""
-WITH r AS (
+WITH canon AS (
   SELECT file_id, rec_idx, text,
-         regexp_replace(raw_uri, '#.*$', '') AS u
+         {_canon_url_expr('raw_uri')} AS url
   FROM read_parquet('{_WARC_URL_TRUTH}')
   WHERE rec_type = 'response'
-),
-parts AS (
-  SELECT file_id, rec_idx, text,
-    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-      AS scheme,
-    lower(regexp_extract(u, '^[^:/?#]+://([^/?#]*)', 1)) AS auth,
-    regexp_extract(u, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS raw_path,
-    regexp_extract(u, '\\?([^#]*)', 1) AS q
-  FROM r
-),
-canon AS (
-  SELECT file_id, rec_idx, text,
-    scheme || '://' ||
-    CASE
-      WHEN scheme = 'http' AND auth LIKE '%:80'
-        THEN substr(auth, 1, length(auth) - 3)
-      WHEN scheme = 'https' AND auth LIKE '%:443'
-        THEN substr(auth, 1, length(auth) - 4)
-      ELSE auth END ||
-    CASE
-      WHEN regexp_replace(raw_path, '/+$', '') = '' THEN '/'
-      ELSE regexp_replace(raw_path, '/+$', '') END ||
-    CASE
-      WHEN q = '' THEN ''
-      ELSE '?' || array_to_string(
-        list_sort(string_split(q, '&')), '&') END AS url
-  FROM parts WHERE scheme <> ''
 ),
 w AS (
   SELECT url, file_id, rec_idx, text,
          row_number() OVER (
            PARTITION BY url ORDER BY file_id, rec_idx) AS rn,
          count(*) OVER (PARTITION BY url) AS n_captures
-  FROM canon
+  FROM canon WHERE url IS NOT NULL
 )
 SELECT url AS canonical_url,
        CAST(file_id AS BIGINT) AS first_file,
@@ -3122,7 +3130,7 @@ ORDER BY doc_id
 
 # q175: real-BPE-budgeted greedy packing — the q172 recursive-CTE
 # encode (same committed merge table) composed with the q162
-# recursive-CTE greedy fold (budget 256, 8 md5 buckets): two
+# recursive-CTE greedy fold (budget 256, 16 md5 buckets): two
 # sequential replays chained in one oracle.
 EXT_ORACLE["q175"] = f"""
 WITH RECURSIVE
@@ -3445,38 +3453,6 @@ _SITEMAP_TRUTH = _os.path.join(
 )
 
 
-def _canon_url_expr(col: str) -> str:
-    """The q173 canonicalization policy as ONE SQL expression (for
-    oracles that canonicalize inside a larger pipeline)."""
-    u = f"regexp_replace({col}, '#.*$', '')"
-    scheme = (
-        f"lower(regexp_extract({u}, "
-        f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-    )
-    auth = f"lower(regexp_extract({u}, '^[^:/?#]+://([^/?#]*)', 1))"
-    host = (
-        f"CASE WHEN {scheme} = 'http' AND {auth} LIKE '%:80' "
-        f"THEN substr({auth}, 1, length({auth}) - 3) "
-        f"WHEN {scheme} = 'https' AND {auth} LIKE '%:443' "
-        f"THEN substr({auth}, 1, length({auth}) - 4) "
-        f"ELSE {auth} END"
-    )
-    rp = (
-        f"regexp_replace(regexp_extract({u}, "
-        f"'^[^:/?#]+://[^/?#]*([^?#]*)', 1), '/+$', '')"
-    )
-    path = f"CASE WHEN {rp} = '' THEN '/' ELSE {rp} END"
-    qq = f"regexp_extract({u}, '\\?([^#]*)', 1)"
-    qs = (
-        f"CASE WHEN {qq} = '' THEN '' ELSE '?' || array_to_string("
-        f"list_sort(string_split({qq}, '&')), '&') END"
-    )
-    return (
-        f"CASE WHEN {scheme} = '' THEN NULL "
-        f"ELSE {scheme} || '://' || {host} || {path} || {qs} END"
-    )
-
-
 EXT_ORACLE["q181"] = f"""
 SELECT kind,
        {_canon_url_expr('loc')} AS url,
@@ -3569,7 +3545,12 @@ verdict AS (
   FROM j GROUP BY url
 ),
 seen AS (
-  SELECT DISTINCT {_canon_url_expr('target_uri')} AS url FROM resp
+  -- ADVICE r9: a NULL canonical url (non-URI target) would put a
+  -- NULL in the bits set, flipping the IN probes to NULL under SQL
+  -- three-valued logic; mirror the Spark side's isNotNull filter.
+  SELECT DISTINCT url FROM (
+    SELECT {_canon_url_expr('target_uri')} AS url FROM resp)
+  WHERE url IS NOT NULL
 ),
 bits AS (
   SELECT DISTINCT p FROM (
@@ -3578,6 +3559,7 @@ bits AS (
     SELECT {_bloom_pos('url', 1, 256)} AS p FROM seen
     UNION ALL
     SELECT {_bloom_pos('url', 2, 256)} AS p FROM seen)
+  WHERE p IS NOT NULL
 )
 SELECT d.url, d.last_seen, d.priority,
        (v.any_hit = 0 OR v.winner_allow) AS allowed,

@@ -337,6 +337,7 @@ def pack_sequences_greedy(
     id_col: str = "doc_id",
     text_col: str = "text",
     tokens_col: str | None = None,
+    return_assignments: bool = False,
 ) -> DataFrame:
     """EXACT whole-document greedy packing — the sequential variant
     ``pack_sequences`` declares out of scope ("run it per-bin
@@ -357,7 +358,10 @@ def pack_sequences_greedy(
     with P = packs in the bucket — inside one Arrow-batched
     ``applyInPandas`` task. Output is pack-level (one row per pack:
     count, token sum, id span), so the result is ~budget/avg_tokens
-    smaller than the corpus.
+    smaller than the corpus. With ``return_assignments`` the
+    per-doc (bucket, doc_id, n_tokens, pack_id) rows come back
+    instead — the shard sink (``bpe.write_packed_shards``) joins
+    them to the token sequences it materializes.
     """
     if bin_tokens < 1 or n_buckets < 1:
         raise ValueError(
@@ -399,6 +403,8 @@ def pack_sequences_greedy(
         fold,
         "bucket int, doc_id bigint, n_tokens bigint, pack_id bigint",
     )
+    if return_assignments:
+        return assigned
     return assigned.groupBy("bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),

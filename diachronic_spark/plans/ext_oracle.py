@@ -3241,8 +3241,60 @@ ORDER BY n_occurrences DESC, token
 LIMIT 30
 """
 
+# Byte-level BPE replay infrastructure (q183/q178; VERDICT r9
+# item 1) — defined here so the q178 capstone oracle below can
+# seed from the same SQL rendering as q183.
+_BPE_BYTE_MERGES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__)))),
+    "fixtures", "bpe_byte_merges.parquet",
+)
+
+_RE_UNI_SQL = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"
+
+from ..sources.bpe_fixture import MULTILINGUAL as _MULTILINGUAL  # noqa: E402
+
+_MULTI_VALUES = ",\n  ".join(
+    f"({i}, {_sqlstr(t)})" for i, t in _MULTILINGUAL
+)
+
+# Reusable CTE block: words(w) -> mapped(w, toks) byte-symbol seeds.
+# Rendered as a format-ready fragment so q178/q184's composed
+# oracles seed from the same SQL rendering.
+_BYTE_SEED_CTES = f"""
+printable AS (
+  SELECT CAST(b AS INTEGER) AS b,
+         ((b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+          OR (b BETWEEN 174 AND 255)) AS pr
+  FROM range(256) t(b)
+),
+bytemap AS (
+  SELECT b, CASE WHEN pr THEN chr(b)
+    ELSE chr(CAST(256 + (SELECT count(*) FROM printable p2
+                         WHERE p2.b < printable.b AND NOT p2.pr)
+             AS INTEGER)) END AS ch
+  FROM printable
+),
+hx AS (SELECT w, upper(hex(encode(w))) AS h FROM words),
+wb AS (
+  SELECT w,
+         CAST(i AS INTEGER) AS i,
+         CAST((strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1)
+              * 16
+              + strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1
+         AS INTEGER) AS b
+  FROM hx, LATERAL unnest(generate_series(1, length(h) // 2)) g(i)
+),
+mapped AS MATERIALIZED (
+  SELECT w, list(ch ORDER BY i) AS toks
+  FROM wb JOIN bytemap USING (b) GROUP BY w
+)"""
+
+
 # q178: the chained capstone replay — C4 rules (list/regex) feed the
-# BPE recursive-CTE encode feed the greedy recursive-CTE fold.
+# BYTE-seeded BPE recursive-CTE encode (committed byte-merge table,
+# unicode pre-tokenizer — the round-10 currency rewire) feed the
+# greedy recursive-CTE fold.
 EXT_ORACLE["q178"] = f"""
 WITH RECURSIVE
 docs(doc_id, text) AS (VALUES
@@ -3270,17 +3322,19 @@ cleaned AS (
     AND len(regexp_extract_all(
           array_to_string(kept, chr(10)), '[.!?]+')) >= 3
 ),
-m AS (SELECT rank, lft, rgt FROM read_parquet('{_BPE_MERGES}')),
+m AS MATERIALIZED (
+  SELECT rank, lft, rgt FROM read_parquet('{_BPE_BYTE_MERGES}')),
 wc AS (
   SELECT doc_id, w, count(*) AS c FROM (
     SELECT doc_id, unnest(regexp_extract_all(
-        clean_text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS w
+        clean_text, '{_RE_UNI_SQL}')) AS w
     FROM cleaned) u
   GROUP BY doc_id, w
 ),
+words AS (SELECT DISTINCT w FROM wc),
+{_BYTE_SEED_CTES},
 enc(w, it, toks) AS (
-  SELECT w, 0, list_transform(generate_series(1, length(w)), i -> w[i])
-  FROM (SELECT DISTINCT w FROM wc) words
+  SELECT w, 0, toks FROM mapped
   UNION ALL
   SELECT w, it + 1,
          toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
@@ -3569,3 +3623,171 @@ SELECT d.url, d.last_seen, d.priority,
 FROM disc d JOIN verdict v ON v.url = d.url
 ORDER BY d.url
 """
+
+# q183: BYTE-level BPE token counts. Fully independent replay: the
+# GPT-2 byte↔unicode table is derived from the PUBLISHED rule in
+# pure SQL (printable latin-1 identity, others chr(256+n) in byte
+# order — no shared mapping artifact); each word's UTF-8 bytes come
+# from hex(encode(w)) two hex chars at a time; the greedy fold is
+# the q172 recursive CTE seeded with the byte symbols and the
+# committed BYTE merge table. `m`/`mapped` are MATERIALIZED — the
+# recursive member re-evaluates referenced CTE subtrees per level
+# otherwise (the q162 lesson).
+EXT_ORACLE["q183"] = f"""
+WITH RECURSIVE
+m AS MATERIALIZED (
+  SELECT rank, lft, rgt FROM read_parquet('{_BPE_BYTE_MERGES}')),
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+  {_MULTI_VALUES}) t(doc_id, text)
+),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(
+        text, '{_RE_UNI_SQL}')) AS w
+    FROM corpus) u
+),
+{_BYTE_SEED_CTES},
+enc(w, it, toks) AS (
+  SELECT w, 0, toks FROM mapped
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+doc_words AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(
+        text, '{_RE_UNI_SQL}')) AS w
+    FROM corpus) u
+  GROUP BY doc_id, w
+),
+counts AS (
+  SELECT doc_id, sum(c) AS n_pretoks, sum(c * n_toks) AS n_tokens
+  FROM doc_words JOIN vocab USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_pretoks, 0) AS BIGINT) AS n_pretoks,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens
+FROM corpus d LEFT JOIN counts USING (doc_id)
+ORDER BY doc_id
+"""
+
+# q184: packed training-shard sink round-trip — the q178 chain
+# replay extended with per-doc token LISTS: positions kept through
+# the lateral unnest, per-word final lists from the recursive
+# encode, docs flattened in id order per pack — the exact relation
+# the re-read shards must reproduce (the sink's OUTPUT is the
+# compared relation, q121's precedent).
+EXT_ORACLE["q184"] = f"""
+WITH RECURSIVE
+docs(doc_id, text) AS (VALUES
+  {_C4_VALUES}
+),
+l AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, chr(10)),
+                        x -> trim(x)) AS lines
+  FROM docs
+),
+k AS (
+  SELECT doc_id, text,
+         list_filter(lines, x ->
+           regexp_matches(x, '[.!?"]$') AND
+           len(list_filter(regexp_split_to_array(x, '\\s+'),
+                           t -> t <> '')) >= 5) AS kept
+  FROM l
+),
+cleaned AS (
+  SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text
+  FROM k
+  WHERE NOT contains(text, '{{') AND NOT contains(text, '}}')
+    AND NOT contains(lower(text), 'lorem ipsum')
+    AND len(regexp_extract_all(
+          array_to_string(kept, chr(10)), '[.!?]+')) >= 3
+),
+m AS MATERIALIZED (
+  SELECT rank, lft, rgt FROM read_parquet('{_BPE_BYTE_MERGES}')),
+wc AS (
+  SELECT doc_id, w, count(*) AS c FROM (
+    SELECT doc_id, unnest(regexp_extract_all(
+        clean_text, '{_RE_UNI_SQL}')) AS w
+    FROM cleaned) u
+  GROUP BY doc_id, w
+),
+words AS (SELECT DISTINCT w FROM wc),
+{_BYTE_SEED_CTES},
+enc(w, it, toks) AS (
+  SELECT w, 0, toks FROM mapped
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, max_by(toks, it) AS wtoks,
+                 len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+posd AS (
+  SELECT doc_id, CAST(g.i AS INTEGER) AS pos, tl[g.i] AS w
+  FROM (SELECT doc_id, regexp_extract_all(
+          clean_text, '{_RE_UNI_SQL}') AS tl FROM cleaned) t,
+       LATERAL unnest(generate_series(1, len(tl))) g(i)
+),
+doc_toks AS (
+  SELECT doc_id, flatten(list(v.wtoks ORDER BY pos)) AS tokens
+  FROM posd JOIN vocab v USING (w) GROUP BY doc_id
+),
+bpe AS (
+  SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+         CAST(coalesce(sum(wc.c * vocab.n_toks), 0) AS BIGINT) AS tok
+  FROM cleaned c
+  LEFT JOIN wc ON wc.doc_id = c.doc_id
+  LEFT JOIN vocab ON vocab.w = wc.w
+  GROUP BY c.doc_id
+),
+d AS (
+  SELECT doc_id, tok,
+         CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT) AS bucket,
+         row_number() OVER (
+           PARTITION BY CAST(({_h32("doc_id::VARCHAR")}) % 2 AS INT)
+           ORDER BY doc_id) AS rn
+  FROM bpe
+),
+s AS (
+  SELECT bucket, rn, doc_id, tok, tok AS acc, CAST(0 AS BIGINT) AS pack
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN s.acc + d.tok > 256 THEN d.tok
+              ELSE s.acc + d.tok END,
+         CASE WHEN s.acc + d.tok > 256 THEN s.pack + 1
+              ELSE s.pack END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1
+)
+SELECT bucket, pack AS pack_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS pack_tokens,
+       flatten(list(dt.tokens ORDER BY s.doc_id)) AS tokens
+FROM s JOIN doc_toks dt USING (doc_id)
+GROUP BY bucket, pack ORDER BY bucket, pack
+"""
+
+# q185: sharded-bitmap Bloom == one-row Bloom — a physical layout is
+# never a semantic change (the q148/q153 precedent): same urls, same
+# (k=2, m=256), same md5 bit positions, so the q179 replay IS the
+# oracle.
+EXT_ORACLE["q185"] = EXT_ORACLE["q179"]

@@ -4255,20 +4255,22 @@ def q176(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- q178: text-pipeline capstone — C4 cleanup → real BPE → packing ---------
-# The round-9 composition: prose pages pass the C4 rules (q174),
-# the SURVIVING cleaned text is tokenized by the real BPE table
-# (q172's machinery over clean_text), and the resulting token
-# budgets drive the exact greedy packer (q162 via tokens_col) — the
-# text half of a pretraining data pipeline in one plan. Every stage
-# is independently oracle-replayed and the CHAIN is replayed here:
-# the C4 list/regex replay feeds the recursive-CTE encode feeds the
-# recursive-CTE greedy fold. Scale shape: C4 map-side, BPE's Python
-# vocab-sized, packing's shuffle carries (bucket, id, n_tokens).
+# --- q178: text-pipeline capstone — C4 cleanup → BYTE BPE → packing ---------
+# The round-9 composition, re-based on the round-10 tokenizer: prose
+# pages pass the C4 rules (q174), the SURVIVING cleaned text is
+# tokenized by the BYTE-level BPE table (q183's machinery over
+# clean_text — VERDICT r9 item 1's currency rewire), and the
+# resulting token budgets drive the exact greedy packer (q162 via
+# tokens_col) — the text half of a pretraining data pipeline in one
+# plan. Every stage is independently oracle-replayed and the CHAIN
+# is replayed here: the C4 list/regex replay feeds the byte-seeded
+# recursive-CTE encode feeds the recursive-CTE greedy fold. Scale
+# shape: C4 map-side, BPE's Python vocab-sized, packing's shuffle
+# carries (bucket, id, n_tokens).
 def q178(spark: SparkSession, sf: str) -> DataFrame:
     from ..catalog import ensure_confs
-    from ..operators.bpe import bpe_token_counts
-    from ..sources.bpe_fixture import load_merges
+    from ..operators.bpe import RE_TOKEN_UNI, bpe_token_counts
+    from ..sources.bpe_fixture import load_byte_merges
     from ..sources.c4_fixture import DOCS
 
     ensure_confs(spark)
@@ -4276,7 +4278,12 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     cleaned = T.c4_clean(docs).select(
         "doc_id", F.col("clean_text").alias("text")
     )
-    counts = bpe_token_counts(cleaned, load_merges())
+    counts = bpe_token_counts(
+        cleaned,
+        load_byte_merges(),
+        byte_level=True,
+        pretoken_re=RE_TOKEN_UNI,
+    )
     # budget 256 makes BOTH fold rules decisive on the survivors:
     # bucket 1 packs two docs together (join rule), bucket 0 holds a
     # single under-budget doc
@@ -4473,6 +4480,151 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q183: BYTE-level BPE token counts (VERDICT r9 item 1) ------------------
+# The q172 tokenizer re-based on UTF-8 bytes: the seed sequence is
+# the word's bytes under the GPT-2 byte↔unicode printable table
+# (public rule; operators/bpe.py::bytes_to_unicode), so ANY input is
+# tokenizable from a 256-symbol base vocab and decode∘encode = id
+# holds for arbitrary unicode (hypothesis-pinned — the law char-level
+# BPE cannot satisfy). Pre-tokenizer moves to the unicode classes
+# (\p{L}/\p{N} — Java-regex/RE2 parity pinned in tests/test_bpe.py);
+# corpus = the sf documents PLUS the committed multilingual rows
+# (ids 1e6+), so 2-byte Latin/Greek/Cyrillic and 3-byte CJK merges
+# are decisive, not latent. The oracle derives the byte table from
+# the same published rule IN SQL (no shared mapping artifact), splits
+# UTF-8 via hex(encode(w)), and replays the fold as a recursive CTE
+# over the committed byte-merge table. Same scale shape as q172:
+# corpus-side JVM-only, Python strictly vocabulary-sized.
+def q183(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import RE_TOKEN_UNI, bpe_token_counts
+    from ..sources.bpe_fixture import MULTILINGUAL, load_byte_merges
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    supp = spark.createDataFrame(
+        MULTILINGUAL, "doc_id bigint, text string"
+    )
+    out = bpe_token_counts(
+        docs.unionByName(supp),
+        load_byte_merges(),
+        byte_level=True,
+        pretoken_re=RE_TOKEN_UNI,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_pretoks").cast("bigint").alias("n_pretoks"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+# --- q184: packed training-shard sink round-trip (VERDICT r9 item 2) --------
+# The pipeline's missing last mile: q178 computed pack assignments
+# but never materialized the training artifact. Here the same chain
+# (C4 cleanup → byte BPE → exact greedy pack) ends AT REST:
+# write_packed_shards writes one row per pack — (pack_id, n_docs,
+# pack_tokens, tokens array<string>) under bucket=<k>/ partitions,
+# q121's write_snapshots mechanics — and the RE-READ shards are the
+# adjudicated relation (round-trip fidelity is exactly the claim;
+# the reference's own point is the sink, main.py:177-191). Token
+# order is training order: docs ascend by id within a pack, tokens
+# in pre-token position order — so a shard row decodes back to its
+# concatenated source text. Oracle: the q178 chain replay extended
+# with per-doc token LISTS (positions kept through the recursive
+# encode) and the same flatten-by-doc_id pack assembly. Scale shape:
+# the token payload crosses ONE corpus-scale shuffle (the encode
+# collect); assignments shuffle (bucket, id, n_tokens) only; Python
+# stays vocabulary-sized.
+def q184(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog import ensure_confs
+    from ..operators.bpe import (
+        RE_TOKEN_UNI,
+        write_packed_shards,
+    )
+    from ..sources.bpe_fixture import load_byte_merges
+    from ..sources.c4_fixture import DOCS
+    from .streaming_queries import _EPHEMERAL_DIRS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    cleaned = T.c4_clean(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    path = tempfile.mkdtemp(prefix="diachronic_packed_shards_q184_")
+    _EPHEMERAL_DIRS.append(path)
+    write_packed_shards(
+        cleaned,
+        load_byte_merges(),
+        path,
+        bin_tokens=256,
+        n_buckets=2,
+        byte_level=True,
+        pretoken_re=RE_TOKEN_UNI,
+    )
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "tokens",
+    ).orderBy("bucket", "pack_id")
+
+
+# --- q185: SHARDED Bloom frontier — the real-m bitmap layout ----------------
+# q179's twin over the segment-keyed representation (VERDICT r9
+# item 3): the one-row array<bigint> bitmap breaks Spark's 2 GB
+# value limit at a production frontier (1e10 URLs ⇒ m ≈ 9.6e10 bits
+# ≈ 12 GB for 1% FP), so build_url_bloom_sharded keys FIXED-WIDTH
+# segments ((segment, words array<bigint>)) and the probe is an
+# equi-join on the segment key — broadcast while small, a plain
+# shuffle join at real m, never a single giant row (struct test
+# pins multiple rows + fixed per-row width). Same urls, same (k, m),
+# same md5 bit positions ⇒ the layout MUST NOT change the relation:
+# the oracle IS q179's (a physical representation is never a
+# semantic change — the q148/q153 precedent).
+def q185(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import (
+        build_url_bloom_sharded,
+        probe_url_bloom_sharded,
+    )
+
+    ensure_confs(spark)
+    seen = spark.range(200).select(
+        F.format_string("https://seen.example/p%d", F.col("id"))
+        .alias("url")
+    )
+    bloom = build_url_bloom_sharded(
+        seen, k=2, m=256, words_per_segment=2
+    )
+    revisits = seen.filter(
+        F.col("url").isin(
+            *[f"https://seen.example/p{i}" for i in (0, 50, 199)]
+        )
+    )
+    fresh = spark.range(10).select(
+        F.format_string("https://new.example/q%d", F.col("id"))
+        .alias("url")
+    )
+    probes = revisits.unionByName(fresh)
+    out = probe_url_bloom_sharded(
+        probes, bloom, k=2, m=256, words_per_segment=2
+    )
+    truth = seen.withColumn("seen", F.lit(True))
+    return (
+        out.join(truth, "url", "left")
+        .select(
+            "url",
+            "in_bloom",
+            F.coalesce("seen", F.lit(False)).alias("seen"),
+            (F.col("in_bloom") & ~F.coalesce("seen", F.lit(False)))
+            .alias("false_positive"),
+        )
+        .orderBy("url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4502,4 +4654,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
+    "q183": q183, "q184": q184, "q185": q185,
 }

@@ -121,3 +121,79 @@ def test_robots_group_scoping_and_longest_match(spark):
         "https://h.example/pub/private/s": False,
         "https://h.example/q": True,
     }
+
+
+# --- sharded bitmap (VERDICT r9 item 3; q185) --------------------------------
+
+from diachronic_spark.operators.crawl import (  # noqa: E402
+    WORD_BITS,
+    build_url_bloom_sharded,
+    probe_url_bloom_sharded,
+)
+
+
+def _spark_bloom_sharded(spark, urls, probes, k, m, wps):
+    seen = spark.createDataFrame([(u,) for u in urls], "url string")
+    pr = spark.createDataFrame([(u,) for u in probes], "url string")
+    bloom = build_url_bloom_sharded(
+        seen, k=k, m=m, words_per_segment=wps
+    )
+    return {
+        r.url: r.in_bloom
+        for r in probe_url_bloom_sharded(
+            pr, bloom, k=k, m=m, words_per_segment=wps
+        ).collect()
+    }
+
+
+@settings(max_examples=10, deadline=None)
+@given(URLS, st.sampled_from([(2, 64, 1), (3, 128, 2)]))
+def test_sharded_membership_matches_python_replay(spark, urls, kmw):
+    k, m, wps = kmw
+    probes = urls + ["https://never.example/x7z"]
+    got = _spark_bloom_sharded(spark, urls, probes, k, m, wps)
+    bits = {p for u in urls for p in _py_positions(u, k, m)}
+    for u in probes:
+        want = all(p in bits for p in _py_positions(u, k, m))
+        assert got[u] == want, u
+    for u in urls:
+        assert got[u] is True  # no false negatives, ever
+
+
+def test_sharded_layout_is_many_fixed_width_rows(spark):
+    """The scale property itself: no single giant row. m=256 at 2
+    words/segment must land as 4 rows of exactly 2 words, every
+    segment present, and the segments reassemble bit-for-bit into
+    the one-row bitmap."""
+    seen = spark.createDataFrame(
+        [(f"https://s.example/{i}",) for i in range(50)],
+        "url string",
+    )
+    sharded = build_url_bloom_sharded(
+        seen, k=3, m=256, words_per_segment=2
+    ).collect()
+    assert len(sharded) == 256 // (WORD_BITS * 2)  # 4 rows, not 1
+    assert all(len(r.words) == 2 for r in sharded)
+    flat = [
+        w
+        for r in sorted(sharded, key=lambda r: r.segment)
+        for w in r.words
+    ]
+    one_row = build_url_bloom(seen, k=3, m=256).collect()[0].words
+    assert flat == list(one_row)
+
+
+def test_sharded_probe_handles_duplicate_probe_urls(spark):
+    seen = spark.createDataFrame(
+        [("https://a.example/1",)], "url string"
+    )
+    bloom = build_url_bloom_sharded(
+        seen, k=2, m=64, words_per_segment=1
+    )
+    pr = spark.createDataFrame(
+        [("https://a.example/1",)] * 3, "url string"
+    )
+    rows = probe_url_bloom_sharded(
+        pr, bloom, k=2, m=64, words_per_segment=1
+    ).collect()
+    assert len(rows) == 3 and all(r.in_bloom for r in rows)

@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Materialize fixtures/bpe_merges.parquet — the committed BPE merge
-table q172 applies on BOTH engines (Spark Arrow-UDF encode vs DuckDB
-recursive-CTE replay).
+"""Materialize fixtures/bpe_merges.parquet (char-level, q172) and
+fixtures/bpe_byte_merges.parquet (BYTE-level, q183/q178) — the
+committed BPE merge tables both engines apply (Spark Arrow-UDF
+encode vs DuckDB recursive-CTE replay).
 
 Training corpus: sf0.001 documents (TESTDATA.md: seed=42, read-only,
 stable), 48 merges, pure deterministic trainer
@@ -22,7 +23,9 @@ sys.path.insert(
 )
 
 from diachronic_spark.sources.bpe_fixture import (  # noqa: E402
+    BYTE_MERGES_PATH,
     MERGES_PATH,
+    write_byte_merges,
     write_merges,
 )
 
@@ -30,6 +33,8 @@ from diachronic_spark.sources.bpe_fixture import (  # noqa: E402
 def main() -> None:
     write_merges()
     print(f"wrote {MERGES_PATH}")
+    write_byte_merges()
+    print(f"wrote {BYTE_MERGES_PATH}")
 
 
 if __name__ == "__main__":

@@ -93,8 +93,41 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 8 for i in range(72, 92)},
     **{"q114": 8, "q116": 8},
     **{f"q{i}": 8 for i in range(118, 122)},
+    # round 9 checked the eleven new q172-q182, the r9-stale 4
+    # (q162/q166/q169/q170), and the rotation tail q1-q6/q92-q95/
+    # q101-q105/q110/q112/q113/q115/q122-q124/q126-q132/q134/q135/
+    # q137/q138/q140/q142 — CORRECTNESS_r09.json: 50/50 green. The
+    # r9-era stale set is retired by those rows.
+    **{f"q{i}": 9 for i in range(172, 183)},
+    **{"q162": 9, "q166": 9, "q169": 9, "q170": 9},
+    **{f"q{i}": 9 for i in range(1, 7)},
+    **{f"q{i}": 9 for i in range(92, 96)},
+    **{f"q{i}": 9 for i in range(101, 106)},
+    **{"q110": 9, "q112": 9, "q113": 9, "q115": 9},
+    **{f"q{i}": 9 for i in range(122, 125)},
+    **{f"q{i}": 9 for i in range(126, 133)},
+    **{"q134": 9, "q135": 9, "q137": 9, "q138": 9, "q140": 9,
+       "q142": 9},
 }
-# New this round (tier 0, never adjudicated): q172 (real BPE token
+# New this round (tier 0, never adjudicated): q183 (BYTE-level BPE
+# token counts — GPT-2 byte↔unicode table derived from the published
+# rule on BOTH engines, UTF-8 byte seeds via hex(encode), committed
+# byte-merge fixture, multilingual in-memory supplement), q184
+# (packed training-shard sink round trip — write_packed_shards'
+# at-rest bucket=<k>/ parquet re-read as the adjudicated relation),
+# q185 (SHARDED Bloom frontier — segment-keyed bitmap rows,
+# equi-join probe, hash-matches q179's oracle bit-for-bit), q186
+# (RFC 9309 user-agent group selection + Crawl-delay — stacked UA
+# runs, most-specific-token choice, full window replay).
+# Changed since their last driver row (round-10 edits): q162/q175
+# (pack_sequences_greedy gained return_assignments; expression path
+# unchanged), q172/q176 (bpe encode plumbing gained byte_level/
+# pretoken_re parameters; char-level path expression-identical),
+# q173 (oracle rebuilt from the shared _canon_url_expr helper),
+# q178 (capstone currency REWIRED to byte-level BPE — code and
+# oracle), q180/q182 (parse_robots now the RFC group-run projection;
+# oracles replay the group-run windows).
+# Round-9 note (retired by CORRECTNESS_r09's green rows): q172 (real BPE token
 # counts — committed merge table, Arrow vocab encode, recursive-CTE
 # apply-loop oracle), q173 (URL canonicalization + canonical-URL
 # keep-first dedup over the messy-URL crawl), q174 (C4 rule-based
@@ -123,7 +156,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # touched. q162: pack_sequences_greedy gained the tokens_col hook
 # (q175); the default whitespace path is expression-identical but
 # the function was edited.
-_STALE: tuple[str, ...] = ("q162", "q166", "q169", "q170")
+_STALE: tuple[str, ...] = (
+    "q162", "q172", "q173", "q175", "q176", "q178", "q180", "q182",
+)
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -40,6 +40,10 @@ __all__ = [
     "probe_url_bloom",
     "build_url_bloom_sharded",
     "probe_url_bloom_sharded",
+    "parse_robots_groups",
+    "parse_robots",
+    "robots_allowed",
+    "robots_allowed_ua",
 ]
 
 WORD_BITS = 32  # int64 words hold < 2^32 so shifts never touch sign
@@ -282,6 +286,68 @@ def robots_allowed(
         (
             (F.col("any_hit") == 0) | F.col("winner_allow")
         ).alias("allowed"),
+    )
+
+
+def robots_allowed_ua(
+    urls: DataFrame,
+    groups: DataFrame,
+    crawler_ua: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, allowed, crawl_delay) for a NAMED crawler (VERDICT r9
+    item 4): per host, pick the MOST SPECIFIC matching user-agent
+    token — longest ua that case-insensitively prefixes
+    ``crawler_ua``; `*` matches all at specificity 0; length ties
+    break lexicographically for determinism — then apply ONLY that
+    token's rules (all groups sharing it combine, RFC 9309 §2.2.1)
+    under the longest-prefix verdict. ``crawl_delay`` = max of the
+    chosen token's crawl-delay values (bigint seconds, NULL when
+    absent or non-numeric). Hosts with no robots or no matching
+    group default to (allowed, NULL).
+
+    ``groups`` is :func:`parse_robots_groups` output — KB-scale per
+    host, broadcast; the verdict is one narrow aggregate per url."""
+    from pyspark.sql import Window
+
+    ua_l = crawler_ua.lower()
+    matching = groups.filter(
+        (F.col("ua") == "*")
+        | F.lit(ua_l).startswith(F.col("ua"))
+    )
+    spec = F.when(F.col("ua") == "*", F.lit(0)).otherwise(
+        F.length("ua")
+    )
+    w = Window.partitionBy("host").orderBy(
+        spec.desc(), F.col("ua").desc()
+    )
+    chosen = (
+        matching.select("host", "ua")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("host", "ua")
+    )
+    applicable = matching.join(chosen, ["host", "ua"])
+    rules = applicable.filter(
+        F.col("rule").isin("allow", "disallow")
+    ).select("host", "rule", F.col("value").alias("prefix"))
+    delays = applicable.filter(
+        F.col("rule") == "crawl-delay"
+    ).groupBy("host").agg(
+        # try_cast: a malformed delay is NULL, never an ANSI error
+        F.max(F.col("value").try_cast("bigint")).alias("crawl_delay")
+    )
+    verdicts = robots_allowed(urls, rules, url_col=url_col)
+    host_of = F.lower(
+        F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
+    )
+    return (
+        urls.select(F.col(url_col).alias("url"))
+        .join(verdicts, "url")
+        .withColumn("host", host_of)
+        .join(F.broadcast(delays), "host", "left")
+        .select("url", "allowed", "crawl_delay")
     )
 
 

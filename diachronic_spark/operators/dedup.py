@@ -70,6 +70,59 @@ def with_near_duplicates(documents: DataFrame, id_below: int = 50) -> DataFrame:
     return documents.select("doc_id", "text").unionByName(dups)
 
 
+def with_borderline_near_duplicates(
+    documents: DataFrame,
+    j_targets: tuple[float, ...] = (0.55, 0.60, 0.65, 0.70),
+    per_target: int = 40,
+) -> DataFrame:
+    """Adversarial recall corpus (VERDICT r9 item 7): constructed
+    pairs whose shingle Jaccard sits ON the banding S-curve's soft
+    shoulder (j ≈ 0.55–0.7, where 4 bands × 2 rows predicts
+    P(candidate) = 1-(1-j²)⁴ ≈ 0.76–0.92 — misses are EXPECTED),
+    unlike ``with_near_duplicates`` whose drop-one-word pairs all
+    land at j ≥ 0.9 where recall is ~certain.
+
+    Construction: a variant keeps the first K words of its source
+    and replaces the tail with per-doc junk. With S = N-2 shingles a
+    side and s = K-2 shared, J = s/(2S-s); solving for a target j
+    gives s = ⌊2jS/(1+j)⌋ — exact, deterministic, no RNG. Variant id
+    = source + 200000 + band·10⁴, so measurement groups pairs by
+    intended band without re-deriving J."""
+    out = documents.select("doc_id", "text")
+    base = (
+        documents.filter(F.col("doc_id") < per_target)
+        .select(
+            "doc_id", whitespace_tokens(F.col("text")).alias("toks")
+        )
+        .filter(F.size("toks") >= 12)
+    )
+    for t_idx, j in enumerate(j_targets):
+        n = F.size("toks")
+        s_shared = F.floor(
+            F.lit(2.0 * j) * (n - 2) / F.lit(1.0 + j)
+        ).cast("int")
+        k = s_shared + 2
+        junk = F.transform(
+            F.sequence(F.lit(1), n - k),
+            lambda i: F.concat(
+                F.lit(f"zz{t_idx}b"),
+                F.col("doc_id").cast("string"),
+                F.lit("j"),
+                i.cast("string"),
+            ),
+        )
+        variant = base.select(
+            (F.col("doc_id") + 200000 + t_idx * 10000).alias(
+                "doc_id"
+            ),
+            F.concat_ws(
+                " ", F.concat(F.slice("toks", 1, k), junk)
+            ).alias("text"),
+        )
+        out = out.unionByName(variant)
+    return out
+
+
 def shingle_arrays(corpus: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, distinct-sorted shingle array, set size) — MAP-ONLY.
 

@@ -3451,22 +3451,46 @@ parsed AS (
   SELECT host, ln,
          regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS ua,
          lower(regexp_extract(
-           line, '(?i)^(allow|disallow):', 1)) AS rule,
+           line, '(?i)^(allow|disallow|crawl-delay):', 1)) AS rule,
          trim(regexp_extract(
-           line, '(?i)^(?:allow|disallow):\\s*(\\S*)', 1)) AS prefix
+           line, '(?i)^(?:allow|disallow|crawl-delay):\\s*(\\S*)',
+           1)) AS prefix
   FROM lines
 ),
-grouped AS (
-  SELECT *, max(CASE WHEN ua <> '' THEN ln END)
+-- RFC 9309 group runs (round 10): non-group lines drop first (they
+-- never break a UA run), a UA line after rules starts a new run,
+-- and every UA of a run owns every rule of its group.
+kept AS (
+  SELECT * FROM parsed
+  WHERE ua <> '' OR (rule <> '' AND prefix <> '')
+),
+runs AS (
+  SELECT *,
+         CASE WHEN ua <> '' AND NOT coalesce(
+                lag(ua <> '') OVER (PARTITION BY host ORDER BY ln),
+                FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM kept
+),
+rids AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY host ORDER BY ln
+             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+scoped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN run_id END)
               OVER (PARTITION BY host ORDER BY ln
-                    ROWS UNBOUNDED PRECEDING) AS ua_ln
-  FROM parsed
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM rids
 ),
 rules AS (
-  SELECT g.host, g.rule, g.prefix
-  FROM grouped g
-  JOIN parsed p ON p.host = g.host AND p.ln = g.ua_ln
-  WHERE p.ua = '*' AND g.rule <> '' AND g.prefix <> ''
+  SELECT s.host, s.rule, s.prefix
+  FROM scoped s
+  JOIN (SELECT host, run_id AS grp, ua FROM scoped
+        WHERE ua <> '') u
+    ON u.host = s.host AND u.grp = s.grp
+  WHERE u.ua = '*' AND s.rule IN ('allow', 'disallow')
+    AND s.prefix <> ''
 ),
 cand(url) AS (VALUES {_ROBOTS_VALUES}),
 u AS (
@@ -3557,22 +3581,46 @@ parsed AS (
   SELECT host, ln,
          regexp_extract(line, '(?i)^user-agent:\\s*(\\S+)', 1) AS ua,
          lower(regexp_extract(
-           line, '(?i)^(allow|disallow):', 1)) AS rule,
+           line, '(?i)^(allow|disallow|crawl-delay):', 1)) AS rule,
          trim(regexp_extract(
-           line, '(?i)^(?:allow|disallow):\\s*(\\S*)', 1)) AS prefix
+           line, '(?i)^(?:allow|disallow|crawl-delay):\\s*(\\S*)',
+           1)) AS prefix
   FROM lines
 ),
-grouped AS (
-  SELECT *, max(CASE WHEN ua <> '' THEN ln END)
+-- RFC 9309 group runs (round 10): non-group lines drop first (they
+-- never break a UA run), a UA line after rules starts a new run,
+-- and every UA of a run owns every rule of its group.
+kept AS (
+  SELECT * FROM parsed
+  WHERE ua <> '' OR (rule <> '' AND prefix <> '')
+),
+runs AS (
+  SELECT *,
+         CASE WHEN ua <> '' AND NOT coalesce(
+                lag(ua <> '') OVER (PARTITION BY host ORDER BY ln),
+                FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM kept
+),
+rids AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY host ORDER BY ln
+             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+scoped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN run_id END)
               OVER (PARTITION BY host ORDER BY ln
-                    ROWS UNBOUNDED PRECEDING) AS ua_ln
-  FROM parsed
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM rids
 ),
 rules AS (
-  SELECT g.host, g.rule, g.prefix
-  FROM grouped g
-  JOIN parsed p ON p.host = g.host AND p.ln = g.ua_ln
-  WHERE p.ua = '*' AND g.rule <> '' AND g.prefix <> ''
+  SELECT s.host, s.rule, s.prefix
+  FROM scoped s
+  JOIN (SELECT host, run_id AS grp, ua FROM scoped
+        WHERE ua <> '') u
+    ON u.host = s.host AND u.grp = s.grp
+  WHERE u.ua = '*' AND s.rule IN ('allow', 'disallow')
+    AND s.prefix <> ''
 ),
 u AS (
   SELECT url,
@@ -3791,3 +3839,140 @@ GROUP BY bucket, pack ORDER BY bucket, pack
 # (k=2, m=256), same md5 bit positions, so the q179 replay IS the
 # oracle.
 EXT_ORACLE["q185"] = EXT_ORACLE["q179"]
+
+# q186: RFC 9309 UA group selection + Crawl-delay — the full window
+# replay over the same VALUES rows: group runs via lag + running
+# sum (non-group lines dropped first, so they never break runs),
+# stacked-UA membership via the (host, run) join, most-specific
+# token via QUALIFY row_number (spec desc, ua desc — the operator's
+# deterministic tie-break), the q180 longest-match verdict, and the
+# chosen group's max crawl-delay.
+from ..sources.robots_fixture import (  # noqa: E402
+    CRAWLER_UAS as _CRAWLER_UAS,
+    ROBOTS_BODIES as _ROBOTS_BODIES,
+    ROBOTS_UA_CANDIDATES as _ROBOTS_UA_CANDS,
+)
+
+_RB_VALUES = ",\n  ".join(
+    f"({_sqlstr(u)}, {_sqlstr(t)})" for u, t in _ROBOTS_BODIES
+)
+_RC_VALUES = ", ".join(f"({_sqlstr(u)})" for u in _ROBOTS_UA_CANDS)
+_CU_VALUES = ", ".join(f"({_sqlstr(u)})" for u in _CRAWLER_UAS)
+
+EXT_ORACLE["q186"] = f"""
+WITH bodies(target_uri, text) AS (VALUES
+  {_RB_VALUES}
+),
+resp AS (
+  SELECT lower(regexp_extract(
+           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
+  FROM bodies
+),
+lines AS (
+  SELECT host, g.ln,
+         trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
+  FROM (SELECT host, string_split(text, chr(10)) AS parts
+        FROM resp) t,
+       LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                AS ln) g
+),
+parsed AS (
+  SELECT host, ln,
+         lower(regexp_extract(
+           line, '(?i)^user-agent:\\s*(\\S+)', 1)) AS ua,
+         lower(regexp_extract(
+           line, '(?i)^(allow|disallow|crawl-delay):', 1)) AS rule,
+         trim(regexp_extract(
+           line, '(?i)^(?:allow|disallow|crawl-delay):\\s*(\\S*)',
+           1)) AS value
+  FROM lines
+),
+kept AS (
+  SELECT * FROM parsed
+  WHERE ua <> '' OR (rule <> '' AND value <> '')
+),
+runs AS (
+  SELECT *,
+         CASE WHEN ua <> '' AND NOT coalesce(
+                lag(ua <> '') OVER (PARTITION BY host ORDER BY ln),
+                FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM kept
+),
+rids AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY host ORDER BY ln
+             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+scoped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN run_id END)
+              OVER (PARTITION BY host ORDER BY ln
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM rids
+),
+uas AS (SELECT host, run_id AS grp, ua FROM scoped WHERE ua <> ''),
+rls AS (
+  SELECT host, grp, rule, value FROM scoped
+  WHERE rule <> '' AND value <> '' AND grp IS NOT NULL
+),
+grps AS (
+  SELECT u.host, u.ua, r.rule, r.value
+  FROM uas u JOIN rls r USING (host, grp)
+),
+crawlers(cua) AS (VALUES {_CU_VALUES}),
+matching AS (
+  SELECT c.cua, g.host, g.ua, g.rule, g.value,
+         CASE WHEN g.ua = '*' THEN 0 ELSE length(g.ua) END AS spec
+  FROM crawlers c
+  JOIN grps g ON g.ua = '*' OR starts_with(c.cua, g.ua)
+),
+chosen AS (
+  SELECT cua, host, ua FROM (
+    SELECT DISTINCT cua, host, ua, spec FROM matching) t
+  QUALIFY row_number() OVER (
+    PARTITION BY cua, host ORDER BY spec DESC, ua DESC) = 1
+),
+applicable AS (
+  SELECT m.* FROM matching m JOIN chosen USING (cua, host, ua)
+),
+delays AS (
+  SELECT cua, host, max(TRY_CAST(value AS BIGINT)) AS crawl_delay
+  FROM applicable WHERE rule = 'crawl-delay' GROUP BY cua, host
+),
+cand(url) AS (VALUES {_RC_VALUES}),
+u AS (
+  SELECT c.cua, cand.url,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM cand CROSS JOIN crawlers c
+),
+j AS (
+  SELECT u.cua, u.url, a.rule, a.value AS prefix,
+         (a.value IS NOT NULL
+          AND starts_with(u.path, a.value)) AS hit
+  FROM u LEFT JOIN applicable a
+    ON a.cua = u.cua AND a.host = u.host
+   AND a.rule IN ('allow', 'disallow')
+),
+v AS (
+  SELECT cua, url,
+         max(CASE WHEN hit THEN 1 ELSE 0 END) AS any_hit,
+         max_by(rule = 'allow',
+                CASE WHEN hit
+                     THEN length(prefix) * 2 +
+                          CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                     ELSE -1 END) AS winner_allow
+  FROM j GROUP BY cua, url
+)
+SELECT v.cua AS ua, v.url,
+       (v.any_hit = 0 OR v.winner_allow) AS allowed,
+       d.crawl_delay
+FROM v
+LEFT JOIN delays d
+  ON d.cua = v.cua
+ AND d.host = lower(regexp_extract(
+       v.url, '^[^:/?#]+://([^/?#]*)', 1))
+ORDER BY ua, url
+"""

@@ -4343,8 +4343,10 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
 # --- q180: robots.txt compliance — the crawl's legal gate (RFC 9309) --------
 # The stage between frontier and fetch: parse the `*` user-agent
 # group's Allow/Disallow rules out of the REAL robots.txt bodies in
-# the committed WARC corpus (group membership is positional — a
-# running window, not a Python parser), then gate candidate URLs by
+# the committed WARC corpus (RFC group-run membership since round
+# 10: stacked UA lines share their rules — windows + expressions,
+# not a Python parser; q186 exercises the named-crawler selection
+# and Crawl-delay), then gate candidate URLs by
 # longest-prefix match (Allow wins ties; no match or no rules =
 # allowed). Candidates make each clause decisive: both hosts'
 # blocked subtrees, host case-folding, the "/private" vs
@@ -4625,6 +4627,58 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q186: RFC 9309 user-agent group selection + Crawl-delay ----------------
+# q180 gated by the `*` group only; real robots files speak to named
+# crawlers. Here (VERDICT r9 item 4) the committed in-memory corpus
+# (sources/robots_fixture.py) makes every new clause decisive —
+# stacked UA runs sharing rules, same-token groups combining,
+# most-specific-token selection ('example' beats '*' for
+# examplebot; googlebot's group must NOT catch others), blank/
+# Sitemap/comment lines inside groups, case-folded field names, and
+# per-host Crawl-delay from the CHOSEN group only. Two crawlers run
+# the same candidates; the relation is (ua, url, allowed,
+# crawl_delay). Oracle: the full window replay — group runs via
+# lag + running sum, token choice via QUALIFY row_number, the q180
+# longest-match verdict — over the same VALUES rows. Scale shape:
+# rules KB-sized and broadcast, verdict one narrow per-url
+# aggregate; nothing corpus-scaled touches Python.
+def q186(spark: SparkSession, sf: str) -> DataFrame:
+    from functools import reduce
+
+    from ..catalog import ensure_confs
+    from ..operators.crawl import parse_robots_groups, robots_allowed_ua
+    from ..sources.robots_fixture import (
+        CRAWLER_UAS,
+        ROBOTS_BODIES,
+        ROBOTS_UA_CANDIDATES,
+    )
+
+    ensure_confs(spark)
+    bodies = spark.createDataFrame(
+        ROBOTS_BODIES, "target_uri string, text string"
+    )
+    groups = parse_robots_groups(bodies)
+    cand = spark.createDataFrame(
+        [(u,) for u in ROBOTS_UA_CANDIDATES], "url string"
+    )
+    per_ua = [
+        robots_allowed_ua(cand, groups, ua).withColumn(
+            "ua", F.lit(ua)
+        )
+        for ua in CRAWLER_UAS
+    ]
+    return (
+        reduce(lambda a, b: a.unionByName(b), per_ua)
+        .select(
+            "ua",
+            "url",
+            "allowed",
+            F.col("crawl_delay").cast("bigint").alias("crawl_delay"),
+        )
+        .orderBy("ua", "url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4654,5 +4708,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164": q164, "q165": q165, "q166": q166, "q167": q167,
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
-    "q183": q183, "q184": q184, "q185": q185,
+    "q183": q183, "q184": q184, "q185": q185, "q186": q186,
 }

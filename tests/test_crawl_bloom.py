@@ -197,3 +197,122 @@ def test_sharded_probe_handles_duplicate_probe_urls(spark):
         pr, bloom, k=2, m=64, words_per_segment=1
     ).collect()
     assert len(rows) == 3 and all(r.in_bloom for r in rows)
+
+
+# --- RFC 9309 groups + Crawl-delay (VERDICT r9 item 4; q186) -----------------
+
+
+def _groups(spark, body: str):
+    from diachronic_spark.operators.crawl import parse_robots_groups
+
+    resp = spark.createDataFrame(
+        [("https://h.example/robots.txt", body)],
+        "target_uri string, text string",
+    )
+    return {
+        (r.ua, r.rule, r.value)
+        for r in parse_robots_groups(resp).collect()
+    }
+
+
+def test_stacked_ua_runs_share_rules(spark):
+    """'User-agent: *\\nUser-agent: bot\\nDisallow: /x' gives /x to
+    BOTH agents (RFC 9309 §2.1) — the r9 positional scope gave it
+    only to bot (the ADVICE r9 finding)."""
+    got = _groups(
+        spark,
+        "User-agent: *\r\nUser-agent: bot\r\nDisallow: /x\r\n",
+    )
+    assert got == {
+        ("*", "disallow", "/x"),
+        ("bot", "disallow", "/x"),
+    }
+
+
+def test_nongroup_lines_do_not_break_runs_and_rules_restart_groups(
+    spark,
+):
+    body = (
+        "# comment\n"
+        "User-agent: a\n"
+        "\n"                      # blank inside a UA run
+        "Sitemap: https://h.example/s.xml\n"
+        "User-agent: b\n"         # still the same run
+        "Disallow: /one\n"
+        "User-agent: c\n"         # after a rule -> NEW group
+        "Disallow: /two\n"
+        "Crawl-delay: 9\n"
+    )
+    got = _groups(spark, body)
+    assert got == {
+        ("a", "disallow", "/one"),
+        ("b", "disallow", "/one"),
+        ("c", "disallow", "/two"),
+        ("c", "crawl-delay", "9"),
+    }
+
+
+def test_ownerless_rules_and_empty_values_drop(spark):
+    got = _groups(
+        spark,
+        "Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow: /ok\n",
+    )
+    assert got == {("*", "allow", "/ok")}
+
+
+def test_most_specific_ua_wins_and_delay_follows_chosen_group(spark):
+    from diachronic_spark.operators.crawl import (
+        parse_robots_groups,
+        robots_allowed_ua,
+    )
+    from diachronic_spark.sources.robots_fixture import ROBOTS_BODIES
+
+    bodies = spark.createDataFrame(
+        ROBOTS_BODIES, "target_uri string, text string"
+    )
+    groups = parse_robots_groups(bodies)
+    urls = spark.createDataFrame(
+        [("https://shop.example/private/ledger",),
+         ("https://wide.example/lobby",)],
+        "url string",
+    )
+    ex = {
+        r.url: (r.allowed, r.crawl_delay)
+        for r in robots_allowed_ua(
+            urls, groups, "examplebot"
+        ).collect()
+    }
+    # examplebot: its own group blocks /private/ and sets delay 2;
+    # the 'example' token (a prefix of examplebot) governs wide
+    assert ex["https://shop.example/private/ledger"] == (False, 2)
+    assert ex["https://wide.example/lobby"] == (True, None)
+    ot = {
+        r.url: (r.allowed, r.crawl_delay)
+        for r in robots_allowed_ua(urls, groups, "otherbot").collect()
+    }
+    # otherbot: `*` group only — /private/ open, wide fully blocked
+    assert ot["https://shop.example/private/ledger"] == (True, None)
+    assert ot["https://wide.example/lobby"] == (False, None)
+
+
+def test_malformed_crawl_delay_is_null_not_error(spark):
+    from diachronic_spark.operators.crawl import (
+        parse_robots_groups,
+        robots_allowed_ua,
+    )
+
+    resp = spark.createDataFrame(
+        [(
+            "https://h.example/robots.txt",
+            "User-agent: *\nCrawl-delay: soon\nDisallow: /x\n",
+        )],
+        "target_uri string, text string",
+    )
+    rows = robots_allowed_ua(
+        spark.createDataFrame(
+            [("https://h.example/y",)], "url string"
+        ),
+        parse_robots_groups(resp),
+        "anybot",
+    ).collect()
+    assert rows[0].allowed is True and rows[0].crawl_delay is None

@@ -129,6 +129,74 @@ def srp_recall(spark, sf_dir: str) -> dict:
     }
 
 
+def borderline_minhash_recall(spark, sf_dir: str) -> dict:
+    """Adversarial S-curve shoulder (VERDICT r9 item 7): constructed
+    pairs at j ≈ 0.5–0.7 where 1-(1-j²)⁴ predicts 0.68–0.92 —
+    recall MUST dip below 1.0 here; a 1.0 reading would mean the
+    measurement isn't exercising the probabilistic layer at all.
+    Per-band counts land in the artifact next to the prediction."""
+    from diachronic_spark.catalog import load
+
+    corpus = D.with_borderline_near_duplicates(
+        load(spark, sf_dir, "documents")
+    )
+    arrs = D.shingle_arrays(corpus).persist()
+    arrs.count()
+    truth = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ppjoin_pairs(
+            arrs, J_THRESHOLD, cache_key="recall.bl.ppjoin"
+        ).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_for_pairs(
+            D.lsh_candidate_pairs(D.minhash_signature(arrs)), arrs
+        )
+        .filter(F.col("jaccard") >= J_THRESHOLD)
+        .collect()
+    }
+    arrs.unpersist()
+    assert not (found - set(truth)), "verify must never over-report"
+
+    bands: dict[str, list] = {}
+    for (a, b), j in truth.items():
+        hi = max(a, b)
+        band = (hi - 200000) // 10000 if hi >= 200000 else None
+        key = (
+            f"target_{(0.55, 0.60, 0.65, 0.70)[band]}"
+            if band is not None and 0 <= band <= 3
+            else "baseline_j_ge_0.9"
+        )
+        n_t, n_f, js = bands.setdefault(key, [0, 0, []])
+        bands[key][0] += 1
+        bands[key][1] += (a, b) in found
+        bands[key][2].append(j)
+
+    out = {"threshold": J_THRESHOLD, "bands": {}}
+    for key in sorted(bands):
+        n_t, n_f, js = bands[key]
+        jmin, jmax = min(js), max(js)
+        out["bands"][key] = {
+            "n_true_pairs": n_t,
+            "n_found": n_f,
+            "recall": round(n_f / n_t, 4),
+            "j_min": round(jmin, 4),
+            "j_max": round(jmax, 4),
+            # the banding's own guarantee at the band's weakest point
+            "s_curve_floor": round(1 - (1 - jmin**2) ** 4, 4),
+        }
+    border = [v for k, v in bands.items() if k != "baseline_j_ge_0.9"]
+    n_t = sum(b[0] for b in border)
+    n_f = sum(b[1] for b in border)
+    out["borderline_total"] = {
+        "n_true_pairs": n_t,
+        "n_found": n_f,
+        "recall": round(n_f / n_t, 4) if n_t else None,
+    }
+    return out
+
+
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -152,6 +220,12 @@ def main() -> None:
             spark, "/root/testdata/sf0.01"
         ),
         "srp_sf0.01": srp_recall(spark, "/root/testdata/sf0.01"),
+        "minhash_borderline_10x": borderline_minhash_recall(
+            spark, SCALED
+        ),
+        "minhash_borderline_sf0.01": borderline_minhash_recall(
+            spark, "/root/testdata/sf0.01"
+        ),
     }
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)

@@ -166,7 +166,7 @@ def borderline_minhash_recall(spark, sf_dir: str) -> dict:
         key = (
             f"target_{(0.55, 0.60, 0.65, 0.70)[band]}"
             if band is not None and 0 <= band <= 3
-            else "baseline_j_ge_0.9"
+            else "preexisting_pairs"
         )
         n_t, n_f, js = bands.setdefault(key, [0, 0, []])
         bands[key][0] += 1
@@ -186,7 +186,7 @@ def borderline_minhash_recall(spark, sf_dir: str) -> dict:
             # the banding's own guarantee at the band's weakest point
             "s_curve_floor": round(1 - (1 - jmin**2) ** 4, 4),
         }
-    border = [v for k, v in bands.items() if k != "baseline_j_ge_0.9"]
+    border = [v for k, v in bands.items() if k != "preexisting_pairs"]
     n_t = sum(b[0] for b in border)
     n_f = sum(b[1] for b in border)
     out["borderline_total"] = {

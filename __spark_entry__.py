@@ -118,7 +118,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # q185 (SHARDED Bloom frontier — segment-keyed bitmap rows,
 # equi-join probe, hash-matches q179's oracle bit-for-bit), q186
 # (RFC 9309 user-agent group selection + Crawl-delay — stacked UA
-# runs, most-specific-token choice, full window replay).
+# runs, most-specific-token choice, full window replay), q187
+# (politeness scheduler — allowed frontier urls serialize per
+# host at the chosen group's crawl-delay; slot window replayed).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -206,6 +206,7 @@ def main() -> None:
     # main pass; `queries`/`value` stay warm-min for continuity.
     STORE_FAMILY = (
         "q121", "q124", "q136", "q152", "q155", "q156", "q158",
+        "q184",
     )
 
     def _drop_caches() -> bool:

@@ -44,6 +44,7 @@ __all__ = [
     "parse_robots",
     "robots_allowed",
     "robots_allowed_ua",
+    "schedule_fetches",
 ]
 
 WORD_BITS = 32  # int64 words hold < 2^32 so shifts never touch sign
@@ -464,3 +465,47 @@ def probe_url_bloom_sharded(
         .agg(F.min("hit").alias("in_bloom"))
     )
     return probes.join(verdict, url_col, "left")
+
+
+def schedule_fetches(
+    frontier: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    priority_col: str = "priority",
+    default_delay: int = 1,
+) -> DataFrame:
+    """Politeness scheduler — the step AFTER the q182 work list: a
+    crawler may not hammer a host, so each host's fetches serialize
+    at its crawl-delay (q186's surface; ``default_delay`` where the
+    host declared none). Slots assign by (priority desc, url) —
+    deterministic — and ``fetch_at_s`` = slot × delay, the earliest
+    legal start offset per url.
+
+    Returns (url, host, slot, fetch_at_s). Scale shape: ONE window
+    partitioned by host (the natural crawl parallelism unit — a
+    frontier is wide in hosts, bounded per host), the delay table is
+    host-count-sized and broadcast; no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    host_of = F.lower(
+        F.regexp_extract(F.col(url_col), "^[^:/?#]+://([^/?#]*)", 1)
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col(priority_col).desc_nulls_last(), F.col(url_col)
+    )
+    return (
+        frontier.withColumn("host", host_of)
+        .join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "slot", (F.row_number().over(w) - 1).cast("bigint")
+        )
+        .select(
+            url_col,
+            "host",
+            "slot",
+            (
+                F.col("slot")
+                * F.coalesce("crawl_delay", F.lit(default_delay))
+            ).cast("bigint").alias("fetch_at_s"),
+        )
+    )

@@ -3976,3 +3976,138 @@ LEFT JOIN delays d
        v.url, '^[^:/?#]+://([^/?#]*)', 1))
 ORDER BY ua, url
 """
+
+# q187: politeness scheduler — the q186 group/selection replay for
+# examplebot composed with the per-host slot window: allowed urls
+# rank by (priority DESC NULLS LAST, url), slot = rank-1,
+# fetch_at_s = slot × coalesce(chosen-group crawl-delay, 1).
+from ..sources.robots_fixture import FRONTIER as _FRONTIER  # noqa: E402
+
+_FR_VALUES = ", ".join(
+    f"({_sqlstr(u)}, {'NULL' if p is None else p})"
+    for u, p in _FRONTIER
+)
+
+EXT_ORACLE["q187"] = f"""
+WITH bodies(target_uri, text) AS (VALUES
+  {_RB_VALUES}
+),
+resp AS (
+  SELECT lower(regexp_extract(
+           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
+  FROM bodies
+),
+lines AS (
+  SELECT host, g.ln,
+         trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
+  FROM (SELECT host, string_split(text, chr(10)) AS parts
+        FROM resp) t,
+       LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                AS ln) g
+),
+parsed AS (
+  SELECT host, ln,
+         lower(regexp_extract(
+           line, '(?i)^user-agent:\\s*(\\S+)', 1)) AS ua,
+         lower(regexp_extract(
+           line, '(?i)^(allow|disallow|crawl-delay):', 1)) AS rule,
+         trim(regexp_extract(
+           line, '(?i)^(?:allow|disallow|crawl-delay):\\s*(\\S*)',
+           1)) AS value
+  FROM lines
+),
+kept AS (
+  SELECT * FROM parsed
+  WHERE ua <> '' OR (rule <> '' AND value <> '')
+),
+runs AS (
+  SELECT *,
+         CASE WHEN ua <> '' AND NOT coalesce(
+                lag(ua <> '') OVER (PARTITION BY host ORDER BY ln),
+                FALSE)
+              THEN 1 ELSE 0 END AS run_start
+  FROM kept
+),
+rids AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY host ORDER BY ln
+             ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM runs
+),
+scoped AS (
+  SELECT *, max(CASE WHEN ua <> '' THEN run_id END)
+              OVER (PARTITION BY host ORDER BY ln
+                    ROWS UNBOUNDED PRECEDING) AS grp
+  FROM rids
+),
+uas AS (SELECT host, run_id AS grp, ua FROM scoped WHERE ua <> ''),
+rls AS (
+  SELECT host, grp, rule, value FROM scoped
+  WHERE rule <> '' AND value <> '' AND grp IS NOT NULL
+),
+grps AS (
+  SELECT u.host, u.ua, r.rule, r.value
+  FROM uas u JOIN rls r USING (host, grp)
+),
+matching AS (
+  SELECT g.host, g.ua, g.rule, g.value,
+         CASE WHEN g.ua = '*' THEN 0 ELSE length(g.ua) END AS spec
+  FROM grps g WHERE g.ua = '*' OR starts_with('examplebot', g.ua)
+),
+chosen AS (
+  SELECT host, ua FROM (
+    SELECT DISTINCT host, ua, spec FROM matching) t
+  QUALIFY row_number() OVER (
+    PARTITION BY host ORDER BY spec DESC, ua DESC) = 1
+),
+applicable AS (
+  SELECT m.* FROM matching m JOIN chosen USING (host, ua)
+),
+delays AS (
+  SELECT host, max(TRY_CAST(value AS BIGINT)) AS crawl_delay
+  FROM applicable WHERE rule = 'crawl-delay' GROUP BY host
+),
+frontier(url, priority) AS (VALUES {_FR_VALUES}),
+u AS (
+  SELECT url, priority,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM frontier
+),
+j AS (
+  SELECT u.url, a.rule, a.value AS prefix,
+         (a.value IS NOT NULL
+          AND starts_with(u.path, a.value)) AS hit
+  FROM u LEFT JOIN applicable a
+    ON a.host = u.host AND a.rule IN ('allow', 'disallow')
+),
+v AS (
+  SELECT url,
+         max(CASE WHEN hit THEN 1 ELSE 0 END) AS any_hit,
+         max_by(rule = 'allow',
+                CASE WHEN hit
+                     THEN length(prefix) * 2 +
+                          CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                     ELSE -1 END) AS winner_allow
+  FROM j GROUP BY url
+),
+gated AS (
+  SELECT u.url, u.priority, u.host
+  FROM u JOIN v ON v.url = u.url
+  WHERE v.any_hit = 0 OR v.winner_allow
+),
+slotted AS (
+  SELECT url, host,
+         CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC NULLS LAST, url) - 1
+         AS BIGINT) AS slot
+  FROM gated
+)
+SELECT s.url, s.host, s.slot,
+       CAST(s.slot * coalesce(d.crawl_delay, 1) AS BIGINT)
+         AS fetch_at_s
+FROM slotted s LEFT JOIN delays d ON d.host = s.host
+ORDER BY s.host, s.slot
+"""

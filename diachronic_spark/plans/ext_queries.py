@@ -4679,6 +4679,51 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q187: politeness scheduler — crawl-delay → per-host fetch slots --------
+# The step AFTER q182's work list and q186's delays: a crawler may
+# not hammer a host, so allowed frontier urls serialize per host at
+# the host's crawl-delay (default 1 s where none declared). Slots
+# assign by (priority desc NULLS LAST, url asc) — the fixture pins a
+# priority tie (url fallback), a NULL priority (sorts last), a
+# disallowed url that must NOT consume a slot, and three distinct
+# delays (2 s declared, 7 s declared, 1 s default). One window
+# partitioned by host — the crawl's natural parallelism unit; the
+# delay table is host-count-sized and broadcast. Oracle: the q186
+# group/selection replay composed with the same row_number window.
+def q187(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import (
+        parse_robots_groups,
+        robots_allowed_ua,
+        schedule_fetches,
+    )
+    from ..sources.robots_fixture import FRONTIER, ROBOTS_BODIES
+
+    ensure_confs(spark)
+    bodies = spark.createDataFrame(
+        ROBOTS_BODIES, "target_uri string, text string"
+    )
+    groups = parse_robots_groups(bodies)
+    frontier = spark.createDataFrame(
+        FRONTIER, "url string, priority double"
+    )
+    gated = frontier.join(
+        robots_allowed_ua(frontier, groups, "examplebot").select(
+            "url", "allowed", "crawl_delay"
+        ),
+        "url",
+    ).filter(F.col("allowed"))
+    delays = gated.select("url", "crawl_delay").withColumn(
+        "host",
+        F.lower(
+            F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
+        ),
+    ).groupBy("host").agg(F.max("crawl_delay").alias("crawl_delay"))
+    return schedule_fetches(
+        gated.select("url", "priority"), delays
+    ).orderBy("host", "slot")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4709,4 +4754,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
+    "q187": q187,
 }

@@ -76,3 +76,21 @@ ROBOTS_UA_CANDIDATES: tuple[str, ...] = (
 )
 
 CRAWLER_UAS: tuple[str, ...] = ("examplebot", "otherbot")
+
+# Frontier rows for the q187 politeness scheduler: (url, priority).
+# shop.example (examplebot delay 2) carries three allowed urls with
+# a priority TIE at 0.8 (slot order must fall back to url asc) plus
+# a NULL priority (sorts last); news.example exercises delay 7 and
+# an excluded (disallowed) url that must not consume a slot;
+# open.example has no robots — default delay 1.
+FRONTIER: list[tuple[str, float | None]] = [
+    ("https://shop.example/public/home", 0.8),
+    ("https://shop.example/public/sale", 0.8),
+    ("https://shop.example/public/new", 0.9),
+    ("https://shop.example/public/faq", None),
+    ("https://news.example/front", 0.7),
+    ("https://news.example/archive/2024", 0.4),
+    ("https://news.example/arch-old/x", 1.0),  # disallowed for all
+    ("https://open.example/a", 0.5),
+    ("https://open.example/b", 0.6),
+]

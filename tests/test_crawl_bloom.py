@@ -316,3 +316,47 @@ def test_malformed_crawl_delay_is_null_not_error(spark):
         "anybot",
     ).collect()
     assert rows[0].allowed is True and rows[0].crawl_delay is None
+
+
+def test_schedule_fetches_slots_and_offsets(spark):
+    """q187's politeness contract: slots per host by (priority desc
+    nulls last, url), fetch_at_s = slot x host delay (default 1),
+    disallowed urls never consume a slot."""
+    from diachronic_spark.plans import QUERIES
+
+    rows = QUERIES["q187"](spark, "/root/testdata/sf0.001").collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r)
+    # the disallowed news url is absent entirely
+    assert all("arch-old" not in r.url for r in rows)
+    shop = by_host["shop.example"]
+    assert [r.url.rsplit("/", 1)[1] for r in shop] == [
+        "new", "home", "sale", "faq"  # 0.9 > tie(home<sale) > NULL
+    ]
+    assert [r.fetch_at_s for r in shop] == [0, 2, 4, 6]  # delay 2
+    assert [r.fetch_at_s for r in by_host["news.example"]] == [0, 7]
+    assert [r.fetch_at_s for r in by_host["open.example"]] == [0, 1]
+
+
+def test_sharded_probe_plan_is_equijoin_not_nestedloop(spark):
+    """The layout's point: the probe joins on the segment KEY. A
+    NestedLoop/cartesian here would re-create the one-row-broadcast
+    shape the sharding exists to escape."""
+    seen = spark.createDataFrame(
+        [(f"https://s.example/{i}",) for i in range(20)],
+        "url string",
+    )
+    bloom = build_url_bloom_sharded(
+        seen, k=3, m=256, words_per_segment=2
+    )
+    pr = spark.createDataFrame(
+        [("https://s.example/1",), ("https://x.example/9",)],
+        "url string",
+    )
+    out = probe_url_bloom_sharded(
+        pr, bloom, k=3, m=256, words_per_segment=2
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

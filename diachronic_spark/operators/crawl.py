@@ -44,6 +44,7 @@ __all__ = [
     "parse_robots",
     "robots_allowed",
     "robots_allowed_ua",
+    "robots_allowed_multi_ua",
     "schedule_fetches",
 ]
 
@@ -290,66 +291,120 @@ def robots_allowed(
     )
 
 
+def robots_allowed_multi_ua(
+    urls: DataFrame,
+    groups: DataFrame,
+    crawler_uas: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """(ua, url, allowed, crawl_delay) for N NAMED crawlers in ONE
+    plan (VERDICT r9 item 4): per (crawler, host), pick the MOST
+    SPECIFIC matching user-agent token — longest ua that
+    case-insensitively prefixes the crawler name; `*` matches all at
+    specificity 0; length ties break lexicographically for
+    determinism — then apply ONLY that token's rules (all groups
+    sharing it combine, RFC 9309 §2.2.1) under the longest-prefix
+    verdict. ``crawl_delay`` = max of the chosen token's crawl-delay
+    values (bigint seconds, NULL when absent or non-numeric). Hosts
+    with no robots or no matching group default to (allowed, NULL).
+
+    A crawl farm evaluates every bot identity it operates in one
+    pass — the per-UA loop shape would re-run the group windows N
+    times. ``groups`` is :func:`parse_robots_groups` output —
+    KB-scale per host, broadcast with the crawler spine; the verdict
+    is one narrow aggregate per (ua, url)."""
+    from pyspark.sql import Window
+
+    spark = urls.sparkSession
+    crawlers = spark.createDataFrame(
+        [(u, u.lower()) for u in crawler_uas], "ua_in string, cua string"
+    )
+    matching = crawlers.crossJoin(groups).filter(
+        (F.col("ua") == "*") | F.col("cua").startswith(F.col("ua"))
+    )
+    spec = F.when(F.col("ua") == "*", F.lit(0)).otherwise(
+        F.length("ua")
+    )
+    w = Window.partitionBy("cua", "host").orderBy(
+        spec.desc(), F.col("ua").desc()
+    )
+    chosen = (
+        matching.select("cua", "host", "ua")
+        .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cua", "host", "ua")
+    )
+    applicable = matching.join(chosen, ["cua", "host", "ua"])
+    rules = applicable.filter(
+        F.col("rule").isin("allow", "disallow")
+    ).select(
+        "ua_in", "cua", "host", "rule",
+        F.col("value").alias("prefix"),
+    )
+    delays = applicable.filter(
+        F.col("rule") == "crawl-delay"
+    ).groupBy("ua_in", "host").agg(
+        # try_cast: a malformed delay is NULL, never an ANSI error
+        F.max(F.col("value").try_cast("bigint")).alias("crawl_delay")
+    )
+    u = urls.select(
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.regexp_extract(F.col(url_col), "^[^:/?#]+://([^/?#]*)", 1)
+        ).alias("host"),
+        F.regexp_extract(
+            F.col(url_col), "^[^:/?#]+://[^/?#]*([^?#]*)", 1
+        ).alias("path"),
+    ).crossJoin(F.broadcast(crawlers.select("ua_in")))
+    joined = u.join(
+        F.broadcast(rules), ["ua_in", "host"], "left"
+    ).withColumn(
+        "hit",
+        F.col("prefix").isNotNull()
+        & F.col("path").startswith(F.col("prefix")),
+    )
+    verdict = joined.groupBy("ua_in", "url").agg(
+        F.max_by(
+            F.col("rule") == "allow",
+            F.when(
+                F.col("hit"),
+                F.length("prefix") * 2
+                + (F.col("rule") == "allow").cast("int"),
+            ).otherwise(F.lit(-1)),
+        ).alias("winner_allow"),
+        F.max(F.when(F.col("hit"), 1).otherwise(0)).alias("any_hit"),
+    )
+    host_of = F.lower(
+        F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
+    )
+    return (
+        verdict.select(
+            "ua_in",
+            "url",
+            ((F.col("any_hit") == 0) | F.col("winner_allow")).alias(
+                "allowed"
+            ),
+        )
+        .withColumn("host", host_of)
+        .join(F.broadcast(delays), ["ua_in", "host"], "left")
+        .select(
+            F.col("ua_in").alias("ua"), "url", "allowed", "crawl_delay"
+        )
+    )
+
+
 def robots_allowed_ua(
     urls: DataFrame,
     groups: DataFrame,
     crawler_ua: str,
     url_col: str = "url",
 ) -> DataFrame:
-    """(url, allowed, crawl_delay) for a NAMED crawler (VERDICT r9
-    item 4): per host, pick the MOST SPECIFIC matching user-agent
-    token — longest ua that case-insensitively prefixes
-    ``crawler_ua``; `*` matches all at specificity 0; length ties
-    break lexicographically for determinism — then apply ONLY that
-    token's rules (all groups sharing it combine, RFC 9309 §2.2.1)
-    under the longest-prefix verdict. ``crawl_delay`` = max of the
-    chosen token's crawl-delay values (bigint seconds, NULL when
-    absent or non-numeric). Hosts with no robots or no matching
-    group default to (allowed, NULL).
-
-    ``groups`` is :func:`parse_robots_groups` output — KB-scale per
-    host, broadcast; the verdict is one narrow aggregate per url."""
-    from pyspark.sql import Window
-
-    ua_l = crawler_ua.lower()
-    matching = groups.filter(
-        (F.col("ua") == "*")
-        | F.lit(ua_l).startswith(F.col("ua"))
-    )
-    spec = F.when(F.col("ua") == "*", F.lit(0)).otherwise(
-        F.length("ua")
-    )
-    w = Window.partitionBy("host").orderBy(
-        spec.desc(), F.col("ua").desc()
-    )
-    chosen = (
-        matching.select("host", "ua")
-        .distinct()
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("host", "ua")
-    )
-    applicable = matching.join(chosen, ["host", "ua"])
-    rules = applicable.filter(
-        F.col("rule").isin("allow", "disallow")
-    ).select("host", "rule", F.col("value").alias("prefix"))
-    delays = applicable.filter(
-        F.col("rule") == "crawl-delay"
-    ).groupBy("host").agg(
-        # try_cast: a malformed delay is NULL, never an ANSI error
-        F.max(F.col("value").try_cast("bigint")).alias("crawl_delay")
-    )
-    verdicts = robots_allowed(urls, rules, url_col=url_col)
-    host_of = F.lower(
-        F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
-    )
-    return (
-        urls.select(F.col(url_col).alias("url"))
-        .join(verdicts, "url")
-        .withColumn("host", host_of)
-        .join(F.broadcast(delays), "host", "left")
-        .select("url", "allowed", "crawl_delay")
-    )
+    """Single-crawler surface of :func:`robots_allowed_multi_ua` —
+    (url, allowed, crawl_delay)."""
+    return robots_allowed_multi_ua(
+        urls, groups, [crawler_ua], url_col=url_col
+    ).drop("ua")
 
 
 # --- sharded bitmap (VERDICT r9 item 3) — the real-m representation ---------

@@ -4635,40 +4635,41 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
 # most-specific-token selection ('example' beats '*' for
 # examplebot; googlebot's group must NOT catch others), blank/
 # Sitemap/comment lines inside groups, case-folded field names, and
-# per-host Crawl-delay from the CHOSEN group only. Two crawlers run
-# the same candidates; the relation is (ua, url, allowed,
+# per-host Crawl-delay from the CHOSEN group only. Both crawlers evaluate in ONE plan
+# (robots_allowed_multi_ua — a crawl farm checks every bot identity
+# it operates in one pass); the relation is (ua, url, allowed,
 # crawl_delay). Oracle: the full window replay — group runs via
 # lag + running sum, token choice via QUALIFY row_number, the q180
 # longest-match verdict — over the same VALUES rows. Scale shape:
 # rules KB-sized and broadcast, verdict one narrow per-url
 # aggregate; nothing corpus-scaled touches Python.
 def q186(spark: SparkSession, sf: str) -> DataFrame:
-    from functools import reduce
-
     from ..catalog import ensure_confs
-    from ..operators.crawl import parse_robots_groups, robots_allowed_ua
+    from ..operators.crawl import (
+        parse_robots_groups,
+        robots_allowed_multi_ua,
+    )
     from ..sources.robots_fixture import (
         CRAWLER_UAS,
         ROBOTS_BODIES,
         ROBOTS_UA_CANDIDATES,
     )
 
+    from ..operators._cache import managed_persist
+
     ensure_confs(spark)
     bodies = spark.createDataFrame(
         ROBOTS_BODIES, "target_uri string, text string"
     )
-    groups = parse_robots_groups(bodies)
+    # KB-scale group table feeds several downstream plan uses
+    # (matching/chosen/applicable/delays) — persist once or the
+    # window-parse job re-executes per use
+    groups = managed_persist(parse_robots_groups(bodies), "q186.groups")
     cand = spark.createDataFrame(
         [(u,) for u in ROBOTS_UA_CANDIDATES], "url string"
     )
-    per_ua = [
-        robots_allowed_ua(cand, groups, ua).withColumn(
-            "ua", F.lit(ua)
-        )
-        for ua in CRAWLER_UAS
-    ]
     return (
-        reduce(lambda a, b: a.unionByName(b), per_ua)
+        robots_allowed_multi_ua(cand, groups, list(CRAWLER_UAS))
         .select(
             "ua",
             "url",
@@ -4699,11 +4700,13 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     )
     from ..sources.robots_fixture import FRONTIER, ROBOTS_BODIES
 
+    from ..operators._cache import managed_persist
+
     ensure_confs(spark)
     bodies = spark.createDataFrame(
         ROBOTS_BODIES, "target_uri string, text string"
     )
-    groups = parse_robots_groups(bodies)
+    groups = managed_persist(parse_robots_groups(bodies), "q187.groups")
     frontier = spark.createDataFrame(
         FRONTIER, "url string, priority double"
     )

@@ -120,7 +120,9 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (RFC 9309 user-agent group selection + Crawl-delay — stacked UA
 # runs, most-specific-token choice, full window replay), q187
 # (politeness scheduler — allowed frontier urls serialize per
-# host at the chosen group's crawl-delay; slot window replayed).
+# host at the chosen group's crawl-delay; slot window replayed),
+# q188 (WDS token-shard sink round trip — the tar twin of q184,
+# token mass verified at scan, key rule replayed in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -4111,3 +4111,12 @@ SELECT s.url, s.host, s.slot,
 FROM slotted s LEFT JOIN delays d ON d.host = s.host
 ORDER BY s.host, s.slot
 """
+
+# q188: WDS token-shard round trip — the tar layout is a physical
+# representation of q184's relation (the q148/q153/q185 precedent),
+# plus the key rendered by the writer's %04d-%08d rule.
+EXT_ORACLE["q188"] = f"""
+SELECT printf('%04d-%08d', bucket, pack_id) AS key, *
+FROM ({EXT_ORACLE["q184"]}) t
+ORDER BY bucket, pack_id
+"""

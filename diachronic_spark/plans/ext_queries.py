@@ -4727,6 +4727,57 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("host", "slot")
 
 
+# --- q188: WDS token-shard sink round trip — the tar twin of q184 -----------
+# The de-facto training-shard format: each pack lands as one
+# WebDataset sample (key.txt = the token stream newline-joined —
+# byte-BPE symbols are whitespace-free by construction, so the join
+# is unambiguous; key.json = {n_docs, pack_tokens}), one tar per
+# bucket, members adjacent in pack_id order (the q167 adjacency
+# law). The RE-READ relation is adjudicated, and the scan VERIFIES
+# token mass against the metadata (a corrupt shard is loud, never
+# silently mis-budgeted training data). Oracle: q184's composed
+# replay with the key rendered by the same %04d-%08d rule — the tar
+# layout is a physical representation of the identical relation.
+def q188(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog import ensure_confs
+    from ..operators.bpe import RE_TOKEN_UNI, build_packed_shards
+    from ..sources.bpe_fixture import load_byte_merges
+    from ..sources.c4_fixture import DOCS
+    from ..sources.files import (
+        read_wds_token_shards,
+        write_wds_token_shards,
+    )
+    from .streaming_queries import _EPHEMERAL_DIRS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    cleaned = T.c4_clean(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    packs = build_packed_shards(
+        cleaned,
+        load_byte_merges(),
+        bin_tokens=256,
+        n_buckets=2,
+        byte_level=True,
+        pretoken_re=RE_TOKEN_UNI,
+    )
+    path = tempfile.mkdtemp(prefix="diachronic_wds_tokens_q188_")
+    _EPHEMERAL_DIRS.append(path)
+    write_wds_token_shards(packs, path)
+    back = read_wds_token_shards(spark, path)
+    return back.select(
+        "key",
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
+        "tokens",
+    ).orderBy("bucket", "pack_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4757,5 +4808,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187,
+    "q187": q187, "q188": q188,
 }

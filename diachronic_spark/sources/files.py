@@ -506,3 +506,170 @@ def read_pdf_pages(
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(fn, PDF_PAGE_SCHEMA)
+
+
+TOKEN_SHARD_SCHEMA = (
+    "shard string, key string, bucket int, pack_id bigint, "
+    "n_docs bigint, pack_tokens bigint, tokens array<string>"
+)
+
+
+def write_wds_token_shards(
+    packs: DataFrame, out_dir: str
+) -> None:
+    """TOKEN-shard twin of the q184 parquet sink (VERDICT r9 item 2's
+    'or WDS tar' alternative): each pack becomes one WebDataset
+    sample — ``{bucket:04d}-{pack_id:08d}.txt`` holding the token
+    stream newline-joined (byte-level BPE symbols are printable and
+    whitespace-free BY CONSTRUCTION — Ġ/Ċ replace space/newline — so
+    the join is unambiguous) and ``.json`` holding the
+    {n_docs, pack_tokens} metadata; one tar per BUCKET (the same
+    sharding unit as the parquet twin; a data loader consumes one
+    tar per worker), members adjacent in pack_id order — exactly the
+    layout ``read_webdataset``'s adjacency law expects.
+
+    Scale shape: one ``applyInPandas`` task per bucket assembles and
+    writes its tar — the token payload is already grouped per pack,
+    so the write adds ONE narrow (bucket) shuffle and each task's
+    memory is bounded by its shard. Executor-side file writes, like
+    any file sink (object-store/shared-FS path on a cluster).
+    """
+    import io
+    import json as _json
+    import os
+    import tarfile
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pack_id", ignore_index=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        name = f"tokens-{bucket:04d}.tar"
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, row in pdf.iterrows():
+                key = f"{bucket:04d}-{int(row['pack_id']):08d}"
+                txt = "\n".join(row["tokens"]).encode("utf-8")
+                meta = _json.dumps(
+                    {
+                        "n_docs": int(row["n_docs"]),
+                        "pack_tokens": int(row["pack_tokens"]),
+                    }
+                ).encode("ascii")
+                for ext, data in (("txt", txt), ("json", meta)):
+                    ti = tarfile.TarInfo(f"{key}.{ext}")
+                    ti.size = len(data)
+                    ti.mtime = 0  # deterministic shard bytes
+                    tf.addfile(ti, io.BytesIO(data))
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(buf.getvalue())
+        return pd.DataFrame({"shard": [name], "n_samples": [len(pdf)]})
+
+    (
+        packs.repartition("bucket")
+        .groupBy("bucket")
+        .applyInPandas(write_shard, "shard string, n_samples bigint")
+        .collect()  # shard-count-sized action drives the write
+    )
+
+
+def read_wds_token_shards(
+    spark: SparkSession, path: str, glob: str = "*.tar*"
+) -> DataFrame:
+    """Re-read :func:`write_wds_token_shards` output: one row per
+    sample with the token stream and its metadata, the sample
+    grouping/adjacency law shared with :func:`read_webdataset`.
+    Token-mass is VERIFIED at scan time: a sample whose txt stream
+    disagrees with its json pack_tokens raises (a corrupt shard
+    must be loud, never silently mis-budgeted training data)."""
+    import io
+    import json as _json
+    import tarfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "shard", "key", "bucket", "pack_id", "n_docs",
+            "pack_tokens", "tokens",
+        )
+
+        def emit(out, p, key, members):
+            exts = dict(members)
+            if "txt" not in exts or "json" not in exts:
+                raise WdsError(
+                    f"token sample {key!r} lacks txt or json member "
+                    f"(has {[e for e, _ in members]})"
+                )
+            toks = (
+                exts["txt"].decode("utf-8").split("\n")
+                if exts["txt"]
+                else []
+            )
+            meta = _json.loads(exts["json"].decode("ascii"))
+            if len(toks) != meta["pack_tokens"]:
+                raise WdsError(
+                    f"token sample {key!r}: stream carries "
+                    f"{len(toks)} tokens, metadata claims "
+                    f"{meta['pack_tokens']} — corrupt shard"
+                )
+            b, _, pid = key.rpartition("-")
+            out["shard"].append(p)
+            out["key"].append(key)
+            out["bucket"].append(int(b))
+            out["pack_id"].append(int(pid))
+            out["n_docs"].append(int(meta["n_docs"]))
+            out["pack_tokens"].append(int(meta["pack_tokens"]))
+            out["tokens"].append(toks)
+
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                try:
+                    tf = tarfile.open(
+                        fileobj=io.BytesIO(bytes(blob)), mode="r:*"
+                    )
+                except tarfile.TarError as e:
+                    raise WdsError(f"bad tar shard {p}: {e}") from None
+                cur_key, members = None, []
+                seen: set = set()
+                with tf:
+                    for ti in tf:
+                        if not ti.isfile():
+                            continue
+                        d, _, base = ti.name.rpartition("/")
+                        dot = base.find(".")
+                        if dot <= 0:
+                            raise WdsError(
+                                f"member {ti.name!r} has no extension"
+                            )
+                        key = (d + "/" if d else "") + base[:dot]
+                        ext = base[dot + 1 :].lower()
+                        if key != cur_key:
+                            if cur_key is not None:
+                                emit(out, p, cur_key, members)
+                            if key in seen:
+                                raise WdsError(
+                                    f"sample {key!r} recurs "
+                                    "non-adjacently — malformed shard"
+                                )
+                            seen.add(key)
+                            cur_key, members = key, []
+                        members.append(
+                            (ext, tf.extractfile(ti).read())
+                        )
+                    if cur_key is not None:
+                        emit(out, p, cur_key, members)
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(fn, TOKEN_SHARD_SCHEMA)

@@ -129,3 +129,86 @@ def test_loud_rejections():
     # corrupt shard
     with pytest.raises(WdsError, match="bad tar shard"):
         _scan_blob(b"definitely not a tar" * 40)
+
+
+# --- token shards (q188; the tar twin of the q184 parquet sink) -------------
+
+
+def _token_tar(members) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def _scan_token_blob(spark_, blob: bytes, tmp_path) -> list:
+    from diachronic_spark.sources.files import read_wds_token_shards
+
+    p = tmp_path / "t.tar"
+    p.write_bytes(blob)
+    return read_wds_token_shards(spark_, str(tmp_path)).collect()
+
+
+def test_token_shards_roundtrip_matches_parquet_twin(spark, sf_dir):
+    """q188's relation must equal q184's row-for-row (same chain,
+    two at-rest layouts) with the key rendered by the writer rule —
+    and the shard bytes must be deterministic (mtime pinned)."""
+    from diachronic_spark.plans import QUERIES
+
+    wds = QUERIES["q188"](spark, sf_dir).collect()
+    pq = QUERIES["q184"](spark, sf_dir).collect()
+    assert len(wds) == len(pq)
+    for a, b in zip(wds, pq):
+        assert (a.bucket, a.pack_id, a.n_docs, a.pack_tokens) == (
+            b.bucket, b.pack_id, b.n_docs, b.pack_tokens
+        )
+        assert list(a.tokens) == list(b.tokens)
+        assert a.key == f"{b.bucket:04d}-{b.pack_id:08d}"
+
+
+def test_token_shard_write_is_byte_deterministic(spark, tmp_path):
+    from diachronic_spark.operators.bpe import (
+        RE_TOKEN_UNI,
+        build_packed_shards,
+    )
+    from diachronic_spark.sources.bpe_fixture import load_byte_merges
+    from diachronic_spark.sources.files import write_wds_token_shards
+
+    df = spark.createDataFrame(
+        [(i, f"word{i} common text") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    packs = build_packed_shards(
+        df, load_byte_merges(), bin_tokens=32, n_buckets=1,
+        byte_level=True, pretoken_re=RE_TOKEN_UNI,
+    )
+    d1, d2 = tmp_path / "a", tmp_path / "b"
+    write_wds_token_shards(packs, str(d1))
+    write_wds_token_shards(packs, str(d2))
+    (f1,) = list(d1.iterdir())
+    (f2,) = list(d2.iterdir())
+    assert f1.name == f2.name
+    assert f1.read_bytes() == f2.read_bytes()
+
+
+def test_token_shard_mass_mismatch_is_loud(spark, tmp_path):
+    from diachronic_spark.sources.files import WdsError
+
+    bad = _token_tar(
+        [
+            ("0000-00000000.txt", b"tok1\ntok2"),
+            ("0000-00000000.json",
+             b'{"n_docs": 1, "pack_tokens": 5}'),
+        ]
+    )
+    with pytest.raises(Exception, match="corrupt shard"):
+        _scan_token_blob(spark, bad, tmp_path)
+
+
+def test_token_shard_missing_member_is_loud(spark, tmp_path):
+    bad = _token_tar([("0000-00000001.txt", b"tok1")])
+    with pytest.raises(Exception, match="lacks txt or json"):
+        _scan_token_blob(spark, bad, tmp_path)

@@ -122,7 +122,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # (politeness scheduler — allowed frontier urls serialize per
 # host at the chosen group's crawl-delay; slot window replayed),
 # q188 (WDS token-shard sink round trip — the tar twin of q184,
-# token mass verified at scan, key rule replayed in the oracle).
+# token mass verified at scan, key rule replayed in the oracle),
+# q189 (incremental Bloom-frontier lifecycle — per-batch sharded
+# bitmaps bit-OR into the at-rest state, duplicate re-merge a
+# no-op; merge ≡ recompute, q179's bit replay as the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

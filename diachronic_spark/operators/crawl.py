@@ -40,6 +40,7 @@ __all__ = [
     "probe_url_bloom",
     "build_url_bloom_sharded",
     "probe_url_bloom_sharded",
+    "merge_bloom_segments",
     "parse_robots_groups",
     "parse_robots",
     "robots_allowed",
@@ -562,5 +563,31 @@ def schedule_fetches(
                 F.col("slot")
                 * F.coalesce("crawl_delay", F.lit(default_delay))
             ).cast("bigint").alias("fetch_at_s"),
+        )
+    )
+
+
+def merge_bloom_segments(
+    prev: DataFrame, delta: DataFrame
+) -> DataFrame:
+    """Fold a new batch's sharded bitmap into the at-rest frontier
+    state: per segment, words OR together (``zip_with`` bitwiseOR —
+    fixed-width arrays by construction). OR is idempotent and
+    commutative, so replayed/duplicated batches change NOTHING —
+    the exactly-once property a crawl frontier needs under
+    at-least-once delivery (the q156 merge≡recompute regime, bit-OR
+    instead of sum). Both sides are densified (every segment
+    present), so the join is a plain inner equi-join on the segment
+    key — segment-count-sized, never url-scaled."""
+    return (
+        prev.alias("a")
+        .join(delta.alias("b"), "segment")
+        .select(
+            "segment",
+            F.zip_with(
+                F.col("a.words"),
+                F.col("b.words"),
+                lambda x, y: x.bitwiseOR(y),
+            ).alias("words"),
         )
     )

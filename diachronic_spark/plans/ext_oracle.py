@@ -4120,3 +4120,10 @@ SELECT printf('%04d-%08d', bucket, pack_id) AS key, *
 FROM ({EXT_ORACLE["q184"]}) t
 ORDER BY bucket, pack_id
 """
+
+# q189: incremental frontier lifecycle — bit-OR merge is exactly
+# recompute (OR is associative/commutative/idempotent), so the
+# union-of-batches state equals the one-shot build and q179's bit
+# replay IS the oracle (same urls, k=2, m=256; the duplicate batch-1
+# re-merge must be invisible).
+EXT_ORACLE["q189"] = EXT_ORACLE["q179"]

@@ -4778,6 +4778,88 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bucket", "pack_id")
 
 
+# --- q189: incremental Bloom-frontier lifecycle — state at rest -------------
+# A real frontier never rebuilds: fetched-url batches fold into the
+# at-rest sharded bitmap by per-segment bit-OR (the q156 disk →
+# merge → disk regime, OR instead of sum). q179's 200 seen urls
+# split by id%4 into four batches; batch 0 founds the state table,
+# three successive refreshes each read the prior state from disk,
+# OR in one batch's segments, and write the next; batch 1 is ALSO
+# re-merged a second time — OR's idempotence makes the duplicate a
+# no-op, the exactly-once property at-least-once delivery needs
+# (adjudicated: any double-count would flip extra bits and change
+# the probe relation). Final state probed with q179's probe set —
+# merge ≡ recompute, so the oracle IS q179's bit replay. Scale
+# shape: the refresh is a segment-count-sized equi-join (never
+# url-scaled); each batch's delta is the same one narrow build
+# shuffle as q185.
+_Q189_DIRS: dict[str, str] = {}
+
+
+def q189(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog import ensure_confs
+    from ..operators.crawl import (
+        build_url_bloom_sharded,
+        merge_bloom_segments,
+        probe_url_bloom_sharded,
+    )
+
+    ensure_confs(spark)
+    K, M, WPS = 2, 256, 2
+    seen = spark.range(200).select(
+        F.col("id"),
+        F.format_string("https://seen.example/p%d", F.col("id"))
+        .alias("url"),
+    )
+
+    def batch_bloom(b: int):
+        return build_url_bloom_sharded(
+            seen.filter(F.col("id") % 4 == b).select("url"),
+            k=K, m=M, words_per_segment=WPS,
+        )
+
+    if sf not in _Q189_DIRS:
+        _Q189_DIRS[sf] = tempfile.mkdtemp(
+            prefix="diachronic_frontier_q189_"
+        )
+    root = _Q189_DIRS[sf]
+    batch_bloom(0).write.mode("overwrite").parquet(f"{root}/state_0")
+    for i in (1, 2, 3):
+        prev = spark.read.parquet(f"{root}/state_{i - 1}")
+        merge_bloom_segments(prev, batch_bloom(i)).write.mode(
+            "overwrite"
+        ).parquet(f"{root}/state_{i}")
+    # at-least-once replay: batch 1 arrives AGAIN — must be a no-op
+    final = merge_bloom_segments(
+        spark.read.parquet(f"{root}/state_3"), batch_bloom(1)
+    )
+    revisits = seen.filter(
+        F.col("id").isin(0, 50, 199)
+    ).select("url")
+    fresh = spark.range(10).select(
+        F.format_string("https://new.example/q%d", F.col("id"))
+        .alias("url")
+    )
+    probes = revisits.unionByName(fresh)
+    out = probe_url_bloom_sharded(
+        probes, final, k=K, m=M, words_per_segment=WPS
+    )
+    truth = seen.select("url").withColumn("seen", F.lit(True))
+    return (
+        out.join(truth, "url", "left")
+        .select(
+            "url",
+            "in_bloom",
+            F.coalesce("seen", F.lit(False)).alias("seen"),
+            (F.col("in_bloom") & ~F.coalesce("seen", F.lit(False)))
+            .alias("false_positive"),
+        )
+        .orderBy("url")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4808,5 +4890,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188,
+    "q187": q187, "q188": q188, "q189": q189,
 }

@@ -360,3 +360,33 @@ def test_sharded_probe_plan_is_equijoin_not_nestedloop(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_bloom_segment_merge_is_or_and_idempotent(spark):
+    """merge ≡ recompute for the frontier state: OR-merging per-batch
+    sharded bitmaps equals the one-shot build over the union, and
+    re-merging any batch is a no-op (at-least-once safety)."""
+    from diachronic_spark.operators.crawl import merge_bloom_segments
+
+    urls = [f"https://m.example/{i}" for i in range(40)]
+    half_a = spark.createDataFrame(
+        [(u,) for u in urls[:20]], "url string"
+    )
+    half_b = spark.createDataFrame(
+        [(u,) for u in urls[20:]], "url string"
+    )
+    full = spark.createDataFrame([(u,) for u in urls], "url string")
+    kw = dict(k=3, m=128, words_per_segment=2)
+    ba = build_url_bloom_sharded(half_a, **kw)
+    bb = build_url_bloom_sharded(half_b, **kw)
+    bf = build_url_bloom_sharded(full, **kw)
+
+    def words(df):
+        return {
+            r.segment: list(r.words) for r in df.collect()
+        }
+
+    merged = merge_bloom_segments(ba, bb)
+    assert words(merged) == words(bf)
+    # idempotent: OR-ing a batch in twice changes nothing
+    assert words(merge_bloom_segments(merged, bb)) == words(bf)

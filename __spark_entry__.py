@@ -125,7 +125,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # token mass verified at scan, key rule replayed in the oracle),
 # q189 (incremental Bloom-frontier lifecycle — per-batch sharded
 # bitmaps bit-OR into the at-rest state, duplicate re-merge a
-# no-op; merge ≡ recompute, q179's bit replay as the oracle).
+# no-op; merge ≡ recompute, q179's bit replay as the oracle),
+# q190 (DSIR importance resampling — hashed-unigram target/raw
+# models, dense LLR array literal, token-ordered fold, zero
+# doc-keyed shuffles; full list_reduce replay in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

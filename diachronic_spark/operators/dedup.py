@@ -1025,3 +1025,83 @@ def dedup_against_index(
             ).alias("survived"),
         )
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style paragraph-level corpus dedup (Wenzek et al. 2020
+    §3.1, public method): hash each NORMALIZED paragraph corpus-wide
+    and keep only its first occurrence — the standard boilerplate
+    remover (cookie banners, subscribe footers, nav text) that exact
+    whole-document dedup cannot touch.
+
+    Policy (sources/ccnet_fixture.py documents it as data):
+    paragraphs split on newline; normalization = lower + strip
+    non-alphanumerics + collapse whitespace + trim; empty-normalizing
+    paragraphs are non-content (dropped before dedup, counted
+    nowhere); keep-first = min (doc_id, position) per normalized
+    form; documents left with zero paragraphs drop out.
+
+    Scale shape (the CCNet design itself): exactly TWO shuffles —
+    one hash-partition on md5(normalized paragraph) with a
+    partition-local sort for the keep-first window (never a global
+    sort), one re-group on the document key to reassemble. The
+    within-group state is one row_number; reassembly carries only
+    surviving (pos, para) pairs. Paragraph-hash keys are
+    content-hashes — uniformly distributed, no skew salting needed;
+    a hot boilerplate paragraph's group is large but the window
+    computes rank-1 with a streaming sort, not a materialized group.
+
+    Returns (id_col, clean_text, n_paras_in, n_paras_kept) for
+    surviving documents.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn(
+            "__norm",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("para")), "[^a-z0-9\\s]", ""
+                    ),
+                    "\\s+",
+                    " ",
+                )
+            ),
+        )
+        .filter(F.col("__norm") != "")
+    )
+    w = Window.partitionBy(F.md5(F.col("__norm"))).orderBy(id_col, "pos")
+    flagged = paras.withColumn("__rn", F.row_number().over(w))
+    kept = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("__rn") == 1, F.struct(F.col("pos"), F.col("para"))
+            )
+        )
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paras_in"),
+            kept.alias("__kept"),
+        )
+        .withColumn("n_paras_kept", F.size("__kept"))
+        .filter(F.col("n_paras_kept") > 0)
+        .withColumn(
+            "clean_text",
+            F.concat_ws(
+                "\n", F.transform(F.col("__kept"), lambda s: s["para"])
+            ),
+        )
+        .select(
+            id_col, "clean_text", "n_paras_in",
+            F.col("n_paras_kept").cast("int").alias("n_paras_kept"),
+        )
+    )

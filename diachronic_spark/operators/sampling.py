@@ -202,3 +202,114 @@ def global_running_sum(
         .withColumn(out_col, cum)
         .drop("__pid", "__local", "__off", "__nnb")
     )
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method):
+    estimate hashed-unigram bag-of-words models over a TARGET corpus
+    and the RAW pool, then score each raw document by its importance
+    log-weight  sum_tokens log( p_target(bucket) / p_raw(bucket) ).
+    High-weight documents "look like" the target distribution and are
+    kept for training; the published method resamples with Gumbel
+    noise — this deterministic twin ranks by the weight itself so two
+    engines (and two cluster layouts) select the same rows.
+
+    Shape at 100 TB:
+      - tokens are exploded map-side; the ONLY shuffle is the
+        bucket-count aggregation, whose result is <= ``n_buckets``
+        rows (fixed by config — production uses ~10k buckets), with
+        map-side partial aggregation collapsing each partition to
+        <= n_buckets rows before the exchange;
+      - the dense log-likelihood-ratio table is collected (bounded by
+        ``n_buckets``, never by data) and folded back in as an array
+        LITERAL, so per-document scoring is a pure projection — zero
+        doc-keyed shuffles, no join, trivially parallel;
+      - the per-document weight is an ORDERED fold over the token
+        array (F.aggregate), each term pre-rounded to 10dp, so the
+        float sum is bit-identical on any engine that folds in token
+        order (the q51/q83 determinism pattern).
+
+    Tokens = the engine's canonical normalization (text.normalize_text:
+    lower, strip non-alphanumerics, collapse whitespace) split on
+    single spaces; bucket = md5_prefix32(token) % n_buckets — the
+    portable hash every deterministic operator here uses, replayable
+    in the DuckDB oracle via ext_oracle._h32.
+
+    Returns the RAW-side rows with ``n_tokens`` and ``log_weight``
+    (rounded 6dp). Smoothing is add-1 over ``n_buckets``.
+    """
+    import math
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    bucket = lambda c: F.pmod(md5_prefix32(c), F.lit(n_buckets))  # noqa: E731
+
+    with_toks = docs.withColumn("__toks", toks).withColumn(
+        "__is_target", target
+    )
+    # Corpus bucket counts: one tiny agg (<= n_buckets rows out).
+    tok = with_toks.select(
+        "__is_target", F.explode("__toks").alias("__w")
+    ).select("__is_target", bucket(F.col("__w")).alias("__b"))
+    counts = {
+        r["__b"]: (r["t_n"], r["r_n"])
+        for r in tok.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("t_n"),
+            F.sum(F.when(F.col("__is_target"), 0).otherwise(1)).alias("r_n"),
+        )
+        .collect()
+    }
+    t_tot = sum(t for t, _ in counts.values())
+    r_tot = sum(r for _, r in counts.values())
+    # Dense LLR array indexed by bucket (element_at is 1-based). The
+    # 10dp pre-round makes every downstream fold term a shared exact
+    # double on both engines; multiplicative HALF_UP (floor(x*m+.5)/m)
+    # is the graph._round_half_up form that matches DuckDB's round,
+    # NOT Python's banker's rounding.
+    m10 = 10.0**10
+    llr = [
+        math.floor(
+            math.log(
+                ((counts.get(b, (0, 0))[0] + 1) / (t_tot + n_buckets))
+                / ((counts.get(b, (0, 0))[1] + 1) / (r_tot + n_buckets))
+            )
+            * m10
+            + 0.5
+        )
+        / m10
+        for b in range(n_buckets)
+    ]
+    llr_arr = F.array(*[F.lit(v) for v in llr])
+    weight = F.aggregate(
+        F.transform(
+            F.col("__toks"),
+            lambda w: F.element_at(llr_arr, (bucket(w) + 1).cast("int")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # Final 6dp via the same floor(x*m+0.5)/m form on the ENGINE side
+    # (F.round rounds through the shortest-decimal repr and disagrees
+    # with DuckDB at half boundaries — graph._round_half_up's note).
+    return (
+        with_toks.filter(~F.col("__is_target"))
+        .withColumn("n_tokens", F.size("__toks").cast("bigint"))
+        .withColumn(
+            "log_weight",
+            F.floor(weight * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        )
+        .drop("__toks", "__is_target")
+    )

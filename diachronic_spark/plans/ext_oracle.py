@@ -4127,3 +4127,94 @@ ORDER BY bucket, pack_id
 # replay IS the oracle (same urls, k=2, m=256; the duplicate batch-1
 # re-merge must be invisible).
 EXT_ORACLE["q189"] = EXT_ORACLE["q179"]
+
+# q190: DSIR importance resampling — the full replay: normalize/
+# tokenize exactly like q44, md5-prefix bucket via _h32, add-1
+# smoothed bucket models, dense 256-entry LLR list, token-ORDERED
+# left fold seeded with 0.0 (list_prepend) so the double association
+# matches F.aggregate's init-first fold, and the multiplicative
+# HALF_UP floor(x*m+0.5)/m at both 10dp (terms) and 6dp (final) —
+# the q83 rounding form, shared with the Python-side literal build.
+_H32_W = _h32("w")
+EXT_ORACLE["q190"] = f"""
+WITH norm AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+  FROM documents),
+tok AS (
+  SELECT lang = 'en' AS is_t, ({_H32_W}) % 256 AS b
+  FROM (SELECT lang, unnest(toks) AS w FROM norm)),
+cnt AS (
+  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_n,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_n
+  FROM tok GROUP BY b),
+tot AS (SELECT sum(t_n) AS t_tot, sum(r_n) AS r_tot FROM cnt),
+dense AS (
+  SELECT g.b,
+         floor(ln(((coalesce(c.t_n, 0) + 1) / (t.t_tot + 256.0)) /
+                  ((coalesce(c.r_n, 0) + 1) / (t.r_tot + 256.0)))
+               * 1e10 + 0.5) / 1e10 AS llr
+  FROM generate_series(0, 255) AS g(b)
+  LEFT JOIN cnt c ON c.b = g.b CROSS JOIN tot t),
+lr AS (SELECT list(llr ORDER BY b) AS l FROM dense),
+scored AS (
+  SELECT n.doc_id, n.lang,
+         CAST(len(n.toks) AS BIGINT) AS n_tokens,
+         floor(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(n.toks,
+                 w -> lr.l[(({_H32_W}) % 256) + 1])),
+             (a, x) -> a + x) * 1e6 + 0.5) / 1e6 AS log_weight
+  FROM norm n CROSS JOIN lr
+  WHERE n.lang <> 'en')
+SELECT doc_id, lang, n_tokens, log_weight
+FROM scored
+ORDER BY log_weight DESC, doc_id
+LIMIT 25
+"""
+
+# q191: CCNet paragraph dedup — full window/list replay: split on
+# chr(10) with positions via list_zip(lines, generate_series),
+# house normalization, keep-first row_number over (doc_id, pos) per
+# normalized form (partitioning by the norm string = the same
+# equivalence classes as the engine's md5 key), reassembly via
+# string_agg ORDER BY pos, emptied documents dropped.
+from ..sources.ccnet_fixture import DOCS as _CC_DOCS
+
+_CC_VALUES = ",\n  ".join(
+    f"({i}, {_sqlstr(t)})" for i, t in _CC_DOCS
+)
+
+EXT_ORACLE["q191"] = f"""
+WITH docs(doc_id, text) AS (VALUES
+  {_CC_VALUES}
+),
+z AS (
+  SELECT doc_id,
+         unnest(list_zip(string_split(text, chr(10)),
+                         generate_series(1, len(string_split(text,
+                                                chr(10)))))) AS zp
+  FROM docs),
+p AS (
+  SELECT doc_id, CAST(zp[2] AS INT) - 1 AS pos, zp[1] AS para,
+         trim(regexp_replace(regexp_replace(lower(zp[1]),
+              '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+  FROM z),
+f AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (
+           PARTITION BY norm ORDER BY doc_id, pos) AS rn
+  FROM p WHERE norm <> ''),
+a AS (
+  SELECT doc_id,
+         CAST(count(*) AS INT) AS n_paras_in,
+         CAST(count(*) FILTER (rn = 1) AS INT) AS n_paras_kept,
+         string_agg(para, chr(10) ORDER BY pos)
+           FILTER (rn = 1) AS clean_text
+  FROM f GROUP BY doc_id)
+SELECT doc_id, clean_text, n_paras_in, n_paras_kept
+FROM a WHERE n_paras_kept > 0
+ORDER BY doc_id
+"""

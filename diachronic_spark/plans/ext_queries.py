@@ -4860,6 +4860,49 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q190: DSIR importance resampling (data selection) ----------------------
+# The published DSIR method (Xie et al. 2023): hashed-unigram bag-of-
+# words models over a target corpus vs the raw pool; raw documents
+# ranked by importance log-weight sum log(p_t(b)/p_r(b)). Here the
+# target is the English slice of the sf documents table and the raw
+# pool is everything else — the classic "resample the crawl toward a
+# trusted domain" setup. Deterministic twin of the Gumbel resampling:
+# rank by the weight itself (ties by doc_id) so both engines pick the
+# same rows. Per-doc scoring is a pure projection against a dense
+# 256-bucket LLR array literal (operators/sampling.dsir_log_weights);
+# the only shuffle is the <=256-row bucket-count agg. The fold is
+# token-ordered with 10dp pre-rounded terms, so the double sum is
+# bit-identical to DuckDB's list_reduce replay.
+def q190(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    scored = SA.dsir_log_weights(
+        docs, target=F.col("lang") == "en", n_buckets=256
+    )
+    return (
+        scored.select("doc_id", "lang", "n_tokens", "log_weight")
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(25)
+    )
+
+
+# --- q191: CCNet paragraph-level corpus dedup --------------------------------
+# The boilerplate remover whole-document dedup can't touch (Wenzek
+# et al. 2020 §3.1): normalized paragraphs hashed corpus-wide,
+# keep-first by (doc_id, position), empty-normalizing paragraphs
+# non-content, emptied documents dropped. Dedicated multi-paragraph
+# corpus (sources/ccnet_fixture.py — the sf documents are single-
+# paragraph soup); every policy clause has a decisive case there.
+# Two shuffles: paragraph-hash window + doc-key reassembly
+# (operators/dedup.paragraph_dedup).
+def q191(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..sources.ccnet_fixture import DOCS as _CC_DOCS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(_CC_DOCS, "doc_id bigint, text string")
+    return D.paragraph_dedup(docs).orderBy("doc_id")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4890,5 +4933,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191,
 }

@@ -381,3 +381,39 @@ def test_global_running_sum_decimal_stays_exact(spark):
     }
     assert got == want
     assert got[49] == Decimal("1230.0")  # sum(0..49) + 50*0.1, exact
+
+
+def test_dsir_log_weights_prefers_target_like_docs(spark):
+    """A raw doc written in the target's vocabulary must outscore a
+    raw doc written in the raw pool's own vocabulary, and the weight
+    must be a pure function of the token multiset (fold order fixed
+    by token order, terms from the dense LLR table)."""
+    from diachronic_spark.operators.sampling import dsir_log_weights
+
+    target_words = "alpha beta gamma delta"
+    raw_words = "omega psi chi phi"
+    rows = (
+        # target corpus: repeats its vocabulary
+        [(i, f"{target_words} {target_words}", True) for i in range(5)]
+        # raw pool background: its own vocabulary
+        + [(10 + i, f"{raw_words} {raw_words}", False) for i in range(5)]
+        # the two probes
+        + [(100, target_words, False), (101, raw_words, False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, t boolean")
+    out = dsir_log_weights(df, target=F.col("t"), n_buckets=64)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {10, 11, 12, 13, 14, 100, 101}
+    assert got[100].log_weight > got[101].log_weight
+    assert got[100].n_tokens == 4
+    # permutation of the same tokens scores identically (sum of the
+    # same 10dp-rounded terms in a different order can differ in the
+    # last ulp only if terms differ in magnitude wildly; the 6dp final
+    # round absorbs that — assert equality as the contract)
+    df2 = spark.createDataFrame(
+        rows + [(102, "delta gamma beta alpha", False)],
+        "doc_id bigint, text string, t boolean",
+    )
+    out2 = {r.doc_id: r for r in dsir_log_weights(
+        df2, target=F.col("t"), n_buckets=64).collect()}
+    assert out2[102].log_weight == out2[100].log_weight

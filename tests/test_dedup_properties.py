@@ -510,3 +510,27 @@ def test_ppjoin_is_complete(spark, texts, threshold):
             if union and inter / union >= threshold:
                 want.add((a, b))
     assert got == want
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    """Corpus-wide keep-first is (doc_id, pos) min; within-doc repeats
+    collapse; surviving text preserves original paragraph order; a
+    fully-boilerplate doc disappears."""
+    from diachronic_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nshared para\nunique two"),
+            # doc 2's copy of "shared para" sits at an EARLIER pos,
+            # but doc 1 wins on doc_id
+            (2, "shared para\nSHARED, para!\nonly here"),
+            (3, "shared para"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in D.paragraph_dedup(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].clean_text == "unique one\nshared para\nunique two"
+    # doc 2: both shared variants (raw + case/punct) dedup away
+    assert got[2].clean_text == "only here"
+    assert got[2].n_paras_in == 3 and got[2].n_paras_kept == 1

@@ -128,7 +128,13 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # no-op; merge ≡ recompute, q179's bit replay as the oracle),
 # q190 (DSIR importance resampling — hashed-unigram target/raw
 # models, dense LLR array literal, token-ordered fold, zero
-# doc-keyed shuffles; full list_reduce replay in the oracle).
+# doc-keyed shuffles; full list_reduce replay in the oracle),
+# q191 (CCNet paragraph-level corpus dedup — normalized paragraphs
+# hashed corpus-wide, keep-first (doc_id, pos), dedicated
+# multi-paragraph fixture; window+string_agg replay), q192 (crawl
+# link graph — anchor extraction + canonical resolution from the
+# linkgraph WARC fixture, host-level weighted edges, PageRank; the
+# q83 unrolled-PR chain over the regex+canon replay).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

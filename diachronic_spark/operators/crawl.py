@@ -591,3 +591,83 @@ def merge_bloom_segments(
             ).alias("words"),
         )
     )
+
+
+_HREF_DQ = '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"'
+_HREF_SQ = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'"
+
+
+def extract_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Anchor extraction + resolution for the crawl link graph —
+    expression-only (regexp_extract_all + canonical_url, codegen-
+    fused, zero Python): one output row per resolved link, columns
+    ``src`` (canonical page URL) and ``dst`` (canonical target).
+
+    Declared policy (sources/linkgraph_fixture.py is the decisive
+    corpus): <a ... href> in either quote style, any attribute
+    order/case; absolute http(s) targets kept, protocol-relative
+    resolved with the page scheme, root-relative with the page
+    scheme+host; document-relative / mailto: / javascript: /
+    fragment-only are out of scope and dropped; both endpoints go
+    through the house canonical_url policy, NULL canons filtered.
+
+    Scale shape: pure map-side fan-out (explode of per-page href
+    arrays) — at 100 TB this rides the WARC scan's file-level
+    parallelism; the first shuffle is whatever edge aggregation
+    follows, keyed by host, never by page.
+    """
+    from ..functions import canonical_url
+
+    src = canonical_url(F.col(url_col))
+    scheme = F.regexp_extract(src, "^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(src, "^[^:/?#]+://([^/?#]*)", 1)
+    hrefs = F.concat(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_DQ), 1),
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_SQ), 1),
+    )
+    href = F.col("href")
+    # resolution must reference the PROJECTED scheme/host columns —
+    # the canonical-src expressions name url_col, which the explode
+    # projection below no longer carries
+    resolved = (
+        F.when(href.rlike("(?i)^https?://"), href)
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("__scheme"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"), href
+            ),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        pages.select(
+            src.alias("src"),
+            scheme.alias("__scheme"),
+            host.alias("__host"),
+            F.explode(hrefs).alias("href"),
+        )
+        .withColumn("dst", canonical_url(resolved))
+        .filter(F.col("dst").isNotNull() & F.col("src").isNotNull())
+        .select("src", "dst")
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Host-level link-graph edges from (src, dst) canonical URL
+    pairs: weight = link count, self-loops dropped (cross-host
+    endorsement is the crawl-prioritization signal). One narrow
+    shuffle on the (src_host, dst_host) pair."""
+    sh = F.regexp_extract("src", "^[^:/?#]+://([^/?#]*)", 1)
+    dh = F.regexp_extract("dst", "^[^:/?#]+://([^/?#]*)", 1)
+    return (
+        links.select(sh.alias("src_host"), dh.alias("dst_host"))
+        .filter(F.col("src_host") != F.col("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )

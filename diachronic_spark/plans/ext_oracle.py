@@ -4218,3 +4218,53 @@ SELECT doc_id, clean_text, n_paras_in, n_paras_kept
 FROM a WHERE n_paras_kept > 0
 ORDER BY doc_id
 """
+
+# q192: crawl link-graph PageRank — full replay over the pre-assembly
+# truth rows: the same two href regexes, the declared resolution
+# CASE, _canon_url_expr on both endpoints, host self-loop drop, then
+# the q83 unrolled-PR chain verbatim (same CTE names e/nodes/nn/
+# outw/frac/r0, same 10dp per-iteration round, same 6dp final).
+from ..sources.linkgraph_fixture import TRUTH_PATH as _LINKGRAPH_TRUTH
+
+_HREF_DQ_SQL = _sqlstr('(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"')
+_HREF_SQ_SQL = _sqlstr("(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'")
+_HOST_OF = "regexp_extract({0}, '^[^:/?#]+://([^/?#]*)', 1)"
+
+EXT_ORACLE["q192"] = f"""
+WITH resp AS (
+  SELECT {_canon_url_expr('raw_uri')} AS src, text
+  FROM read_parquet('{_LINKGRAPH_TRUTH}')
+  WHERE rec_type = 'response' AND mime = 'text/html'),
+h AS (
+  SELECT src,
+         regexp_extract(src, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         {_HOST_OF.format('src')} AS host,
+         unnest(list_concat(
+           regexp_extract_all(text, {_HREF_DQ_SQL}, 1),
+           regexp_extract_all(text, {_HREF_SQ_SQL}, 1))) AS href
+  FROM resp WHERE src IS NOT NULL),
+rsv AS (
+  SELECT host AS src_host,
+         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+              WHEN href LIKE '//%' THEN scheme || ':' || href
+              WHEN href LIKE '/%' THEN scheme || '://' || host || href
+              ELSE NULL END AS dst_raw
+  FROM h),
+d AS (
+  SELECT src_host, {_canon_url_expr('dst_raw')} AS dst FROM rsv),
+e AS (
+  SELECT src_host AS u, {_HOST_OF.format('dst')} AS v, count(*) AS w
+  FROM d
+  WHERE dst IS NOT NULL AND src_host <> {_HOST_OF.format('dst')}
+  GROUP BY 1, 2),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT u AS node, sum(w) AS wout FROM e GROUP BY u),
+frac AS (SELECT e.u, e.v, e.w * 1.0 / o.wout AS frac
+         FROM e JOIN outw o ON e.u = o.node),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{_PR_CHAIN}
+SELECT node AS host,
+       floor(pr * 1000000 + 0.5) / 1000000 + 0.0 AS pagerank
+FROM r{_PR_ITERS} ORDER BY host
+"""

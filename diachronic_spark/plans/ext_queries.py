@@ -4903,6 +4903,44 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     return D.paragraph_dedup(docs).orderBy("doc_id")
 
 
+# --- q192: crawl link graph — anchor extraction -> host PageRank ------------
+# The crawl-prioritization stage real schedulers run between
+# discovery (q181) and fetch (q187): extract <a href> links from
+# archived HTML (expression-only regex + the house canonical_url),
+# aggregate to host-level weighted edges (self-loops dropped), and
+# PageRank the host graph (operators/graph.pagerank — 5 damped
+# dangling-aware iterations, 10dp per-iteration rounding). The
+# fixture web (sources/linkgraph_fixture.py) makes every policy
+# clause decisive: quote styles, attribute case, protocol-/root-
+# relative resolution, out-of-scope href schemes, canonicalization
+# collapsing D.example:443, a text/plain body with anchor markup
+# that must contribute nothing, and a dangling host. Oracle =
+# full replay: regex + _canon_url_expr + the q83 unrolled-PR chain.
+def q192(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import extract_links, host_edges
+    from ..sources.files import read_warc
+    from ..sources.linkgraph_fixture import LINKGRAPH_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, LINKGRAPH_DIR, "*.warc*")
+    pages = recs.filter(
+        (F.col("rec_type") == "response") & (F.col("mime") == "text/html")
+    ).select(F.col("target_uri").alias("url"), F.col("text").alias("html"))
+    edges = host_edges(extract_links(pages))
+    pr = G.pagerank(
+        edges, src="src_host", dst="dst_host", weight="w",
+        damping=0.85, iterations=5, precision=10,
+    )
+    return pr.select(
+        F.col("node").alias("host"),
+        (
+            F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            + F.lit(0.0)
+        ).alias("pagerank"),
+    ).orderBy("host")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4933,5 +4971,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192,
 }

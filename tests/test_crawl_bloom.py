@@ -390,3 +390,47 @@ def test_bloom_segment_merge_is_or_and_idempotent(spark):
     assert words(merged) == words(bf)
     # idempotent: OR-ing a batch in twice changes nothing
     assert words(merge_bloom_segments(merged, bb)) == words(bf)
+
+
+def test_extract_links_policy_and_host_edges(spark):
+    """Every declared policy clause of the link extractor: quote
+    styles, attribute case, protocol-/root-relative resolution,
+    out-of-scope schemes dropped, canonicalization collapsing
+    case/port/fragment, and self-loop removal at the edge stage."""
+    from diachronic_spark.operators.crawl import extract_links, host_edges
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://A.example:443/#frag",
+                '<a href="https://b.example/x">b</a>'
+                "<A HREF='//c.example/y'>c</A>"
+                '<a data-x="1" href = "/self">self</a>'
+                '<a href="mailto:x@y">m</a>'
+                '<a href="#top">t</a>'
+                '<a href="rel/path">r</a>',
+            ),
+            (
+                "https://b.example/page",
+                "<a href='HTTP://C.example:80/z?b=2&a=1'>c2</a>",
+            ),
+        ],
+        "url string, html string",
+    )
+    links = {(r.src, r.dst) for r in extract_links(pages).collect()}
+    assert links == {
+        ("https://a.example/", "https://b.example/x"),
+        ("https://a.example/", "https://c.example/y"),
+        ("https://a.example/", "https://a.example/self"),
+        ("https://b.example/page", "http://c.example/z?a=1&b=2"),
+    }
+    edges = {
+        (r.src_host, r.dst_host): r.w
+        for r in host_edges(extract_links(pages)).collect()
+    }
+    # the a.example self link dropped at the edge stage
+    assert edges == {
+        ("a.example", "b.example"): 1,
+        ("a.example", "c.example"): 1,
+        ("b.example", "c.example"): 1,
+    }

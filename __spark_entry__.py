@@ -134,7 +134,13 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # multi-paragraph fixture; window+string_agg replay), q192 (crawl
 # link graph — anchor extraction + canonical resolution from the
 # linkgraph WARC fixture, host-level weighted edges, PageRank; the
-# q83 unrolled-PR chain over the regex+canon replay).
+# q83 unrolled-PR chain over the regex+canon replay), q193
+# (anchor-text aggregation per canonical link target — the
+# query/document training-pair signal; DISTINCT-sorted string_agg
+# replay), q194 (quality-classifier TRAINING — distributed GD over
+# hashed features on the prose-vs-spam fixture; integer-quantized
+# exact gradients, hard-sigmoid, 5 unrolled-CTE iterations in the
+# oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -1,0 +1,164 @@
+"""Distributed quality-classifier training (q194) — the fasttext-
+style linear filter every production corpus runs (C4's langID gate,
+LLaMA's "quality" fasttext filter are public examples): hashed
+bag-of-words features, a linear model, full-batch gradient descent
+where each iteration is ONE aggregation over the corpus.
+
+This is the iterative-algorithm shape (like operators/graph.pagerank)
+applied to model training:
+
+- featurization is map-side and happens ONCE (persisted): tokens →
+  md5-bucket counts → a dense ``n_buckets``+bias int array per doc;
+- each GD iteration is a single agg producing ``n_buckets``+1
+  BIGINT gradient sums — bounded driver state (the weight vector),
+  exactly the bounded-collect regime of pagerank's rank vector;
+- at 100 TB: iterations scan the persisted featurized relation
+  (narrow, no shuffle beyond the tree-agg), gradients are
+  map-side-combined partial sums, and the model stays KB-sized.
+
+Determinism contract (both engines replay bit-for-bit):
+- margins are ORDERED folds over the weight×feature products
+  (F.zip_with + F.aggregate vs list_transform + list_reduce with a
+  prepended 0.0 — same association);
+- probabilities use the HARD sigmoid max(0, min(1, 0.25·m + 0.5))
+  (the piecewise-linear logistic stand-in used in efficient NN
+  inference — public technique). The REAL sigmoid needs exp(), and
+  exp differs between JVM Math.exp and libm in the last ulp, which
+  the quantization below would amplify across iterations; the hard
+  sigmoid is closed under exact double arithmetic;
+- per-doc gradient terms are quantized to a 1e-9 integer grid
+  (floor(v·1e9 + 0.5) as BIGINT) so the cross-partition sum is
+  INTEGER — associative, order-free, exact (documented bound:
+  |sum| must stay under 2^53 for the final double cast — holds to
+  ~1e6 docs × 1e3 tokens at this grid);
+- weight updates round to 10dp with the multiplicative HALF_UP form
+  (graph._round_half_up's rationale: matches DuckDB, not banker's).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark import StorageLevel
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import md5_prefix32
+
+
+def _featurize(
+    docs: DataFrame, label: Column, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(y double, x array<int> of n_buckets counts + trailing bias 1)
+    — map-side only; one md5 per token, bucket comparison per slot."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    bt = F.transform(
+        toks, lambda w: F.pmod(md5_prefix32(w), F.lit(n_buckets))
+    )
+    # relative frequencies, not raw counts: raw counts at ~200-token
+    # docs put margins deep into the hard sigmoid's saturated region
+    # after one update (perceptron oscillation); frequencies keep the
+    # model in the linear regime. One exact double division per slot.
+    denom = F.greatest(F.size(bt), F.lit(1))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.size(F.filter(bt, lambda v: v == b)).cast("double")
+        / denom,
+    )
+    x = F.concat(counts, F.array(F.lit(1.0)))
+    return docs.select(
+        label.cast("double").alias("y"), x.alias("x")
+    )
+
+
+def _margin(w: list[float]) -> Column:
+    """Ordered fold of w·x — zip_with preserves index order, so the
+    double accumulation sequence matches the oracle's list_reduce
+    over a 0.0-prepended term list."""
+    warr = F.array(*[F.lit(v) for v in w])
+    return F.aggregate(
+        F.zip_with(warr, F.col("x"), lambda wi, xi: wi * xi),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _hard_sigmoid(m: Column) -> Column:
+    return F.greatest(
+        F.lit(0.0), F.least(F.lit(1.0), F.lit(0.25) * m + F.lit(0.5))
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    lr: float = 0.01,
+    iterations: int = 5,
+) -> DataFrame:
+    """Train the hashed-feature linear quality classifier; returns
+    one row per model weight: (feature, weight, n_correct, n_docs) —
+    'b00'…'b{n-1}' then 'bias', with the training-set decision count
+    (margin ≥ 0 ⇔ positive) repeated on every row so the relation is
+    self-contained."""
+    spark = docs.sparkSession
+    dim = n_buckets + 1
+    feat = _featurize(docs, label, text_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        n = feat.count()
+        m10, grid = 10.0**10, 1e9
+        w = [0.0] * dim
+        for _ in range(iterations):
+            err = F.col("y") - _hard_sigmoid(_margin(w))
+            sums = feat.select(
+                *[
+                    F.sum(
+                        F.floor(
+                            F.element_at("x", i)
+                            * err
+                            * F.lit(grid)
+                            + F.lit(0.5)
+                        ).cast("bigint")
+                    ).alias(f"s{i}")
+                    for i in range(1, dim + 1)
+                ]
+            ).collect()[0]
+            w = [
+                math.floor(
+                    (
+                        w[i - 1]
+                        + lr * (float(sums[f"s{i}"]) / float(n) / grid)
+                    )
+                    * m10
+                    + 0.5
+                )
+                / m10
+                for i in range(1, dim + 1)
+            ]
+        n_correct = feat.select(
+            F.sum(
+                F.when(
+                    (_margin(w) >= 0) == (F.col("y") == 1.0), 1
+                ).otherwise(0)
+            ).alias("c")
+        ).collect()[0]["c"]
+    finally:
+        feat.unpersist()
+    names = [f"b{i:02d}" for i in range(n_buckets)] + ["bias"]
+    return spark.createDataFrame(
+        [
+            (names[i], w[i], int(n_correct), int(n))
+            for i in range(dim)
+        ],
+        "feature string, weight double, n_correct bigint, n_docs bigint",
+    )

@@ -671,3 +671,83 @@ def host_edges(links: DataFrame) -> DataFrame:
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+
+
+_ANCHOR_DQ = '(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_SQ = "(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>"
+
+
+def extract_anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(anchor text -> target URL) pairs from archived HTML — the
+    web's free labeled data: anchor texts are human descriptions of
+    the page they point to (classic IR signal; in LLM pipelines they
+    become query/document training pairs). Expression-only, same
+    declared href scope as ``extract_links`` (both quote styles,
+    same resolution CASE, canonical endpoints); anchors are
+    single-tag-line scope (the dot doesn't cross newlines), inner
+    markup is stripped from the text, whitespace collapsed, and
+    empty texts dropped.
+
+    Returns (src, dst, anchor_text) — one row per kept anchor.
+    Map-side fan-out like extract_links; the aggregation that
+    follows (per-target collection) is the first shuffle, keyed by
+    the TARGET — the key you want at scale, since anchor evidence
+    for a page arrives from everywhere.
+    """
+    from ..functions import canonical_url
+
+    src = canonical_url(F.col(url_col))
+    scheme = F.regexp_extract(src, "^([a-z][a-z0-9+.-]*)://", 1)
+    host = F.regexp_extract(src, "^[^:/?#]+://([^/?#]*)", 1)
+
+    def pairs(pattern: str) -> Column:
+        return F.zip_with(
+            F.regexp_extract_all(F.col(html_col), F.lit(pattern), 1),
+            F.regexp_extract_all(F.col(html_col), F.lit(pattern), 2),
+            lambda h, t: F.struct(h.alias("href"), t.alias("raw")),
+        )
+
+    href = F.col("a.href")
+    resolved = (
+        F.when(href.rlike("(?i)^https?://"), href)
+        .when(
+            href.startswith("//"),
+            F.concat(F.col("__scheme"), F.lit(":"), href),
+        )
+        .when(
+            href.startswith("/"),
+            F.concat(
+                F.col("__scheme"), F.lit("://"), F.col("__host"), href
+            ),
+        )
+        .otherwise(F.lit(None))
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("a.raw"), "<[^>]*>", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        pages.select(
+            src.alias("src"),
+            scheme.alias("__scheme"),
+            host.alias("__host"),
+            F.explode(
+                F.concat(pairs(_ANCHOR_DQ), pairs(_ANCHOR_SQ))
+            ).alias("a"),
+        )
+        .select(
+            "src",
+            canonical_url(resolved).alias("dst"),
+            text.alias("anchor_text"),
+        )
+        .filter(
+            F.col("dst").isNotNull()
+            & F.col("src").isNotNull()
+            & (F.col("anchor_text") != "")
+        )
+    )

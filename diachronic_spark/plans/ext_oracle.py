@@ -4268,3 +4268,134 @@ SELECT node AS host,
        floor(pr * 1000000 + 0.5) / 1000000 + 0.0 AS pagerank
 FROM r{_PR_ITERS} ORDER BY host
 """
+
+# q193: anchor-text aggregation — same truth-side replay as q192 for
+# the href scope/resolution, with the two-group anchor regexes
+# (href, inner html) zipped per quote style, markup strip +
+# whitespace collapse on the text, empties dropped, then per-target
+# DISTINCT-sorted string_agg.
+_ANCH_DQ_SQL = _sqlstr('(?i)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>')
+_ANCH_SQ_SQL = _sqlstr("(?i)<a\\s[^>]*?href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a>")
+
+EXT_ORACLE["q193"] = f"""
+WITH resp AS (
+  SELECT {_canon_url_expr('raw_uri')} AS src, text
+  FROM read_parquet('{_LINKGRAPH_TRUTH}')
+  WHERE rec_type = 'response' AND mime = 'text/html'),
+z AS (
+  SELECT src,
+         regexp_extract(src, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         {_HOST_OF.format('src')} AS host,
+         unnest(list_concat(
+           list_zip(regexp_extract_all(text, {_ANCH_DQ_SQL}, 1),
+                    regexp_extract_all(text, {_ANCH_DQ_SQL}, 2)),
+           list_zip(regexp_extract_all(text, {_ANCH_SQ_SQL}, 1),
+                    regexp_extract_all(text, {_ANCH_SQ_SQL}, 2)))) AS a
+  FROM resp WHERE src IS NOT NULL),
+rsv AS (
+  SELECT src,
+         CASE WHEN regexp_matches(a[1], '(?i)^https?://') THEN a[1]
+              WHEN a[1] LIKE '//%' THEN scheme || ':' || a[1]
+              WHEN a[1] LIKE '/%' THEN scheme || '://' || host || a[1]
+              ELSE NULL END AS dst_raw,
+         trim(regexp_replace(regexp_replace(a[2], '<[^>]*>', '', 'g'),
+              '\\s+', ' ', 'g')) AS anchor_text
+  FROM z),
+d AS (
+  SELECT src, {_canon_url_expr('dst_raw')} AS dst, anchor_text
+  FROM rsv)
+SELECT dst,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT src) AS BIGINT) AS n_src_pages,
+       string_agg(DISTINCT anchor_text, '|' ORDER BY anchor_text)
+         AS anchor_texts
+FROM d
+WHERE dst IS NOT NULL AND anchor_text <> ''
+GROUP BY dst
+ORDER BY dst
+"""
+
+# q194: quality-classifier training — 5 unrolled GD iterations (the
+# q83 pattern applied to model training). Per iteration: margins as
+# 0.0-prepended ordered folds over relative-frequency features,
+# hard-sigmoid clamp, per-doc gradient terms quantized to the 1e-9
+# integer grid (exact BIGINT sums), 10dp multiplicative-HALF_UP
+# weight update; final pass scores the training set with the learned
+# weights. feat is MATERIALIZED (the q162 lesson: it is referenced
+# by every iteration).
+from ..sources.classifier_fixture import DOCS as _CLS_DOCS
+
+_CLS_VALUES = ",\n  ".join(
+    f"({i}, {_sqlstr(t)}, {y})" for i, t, y in _CLS_DOCS
+)
+
+_LR_DIM = 17  # 16 md5 buckets + bias
+_LR_RATE = "4.0"
+_LR_STEP = """
+m{t} AS (
+  SELECT y, x,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, {dim}), i ->
+             w.w[i] * x[i])), (a, b) -> a + b) AS margin
+  FROM feat CROSS JOIN w{p} w),
+e{t} AS (
+  SELECT x, y - greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         0.25 * margin + 0.5)) AS err
+  FROM m{t}),
+g{t} AS (
+  SELECT gi.i,
+         sum(CAST(floor(x[gi.i] * err * 1e9 + 0.5) AS BIGINT)) AS s
+  FROM e{t} CROSS JOIN gi GROUP BY gi.i),
+w{t} AS (
+  SELECT list(floor((w.w[g.i] + {lr} * (CAST(g.s AS DOUBLE) / nn.nd / 1e9))
+              * 1e10 + 0.5) / 1e10 ORDER BY g.i) AS w
+  FROM g{t} g CROSS JOIN w{p} w CROSS JOIN nn)"""
+
+_LR_ITERS = 5
+_LR_CHAIN = ",".join(
+    _LR_STEP.format(t=t, p=t - 1, dim=_LR_DIM, lr=_LR_RATE)
+    for t in range(1, _LR_ITERS + 1)
+)
+
+EXT_ORACLE["q194"] = f"""
+WITH docs(doc_id, text, label) AS (VALUES
+  {_CLS_VALUES}
+),
+norm AS (
+  SELECT label,
+         list_filter(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM docs),
+feat AS MATERIALIZED (
+  SELECT CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y,
+         list_append(list_transform(generate_series(0, 15), b ->
+           CAST(len(list_filter(bt, v -> v = b)) AS DOUBLE)
+             / greatest(len(bt), 1)), CAST(1.0 AS DOUBLE)) AS x
+  FROM (SELECT label,
+               list_transform(toks, w -> ({_H32_W}) % 16) AS bt
+        FROM norm)),
+nn AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM feat),
+gi AS (SELECT unnest(generate_series(1, {_LR_DIM})) AS i),
+w0 AS (SELECT list_transform(generate_series(1, {_LR_DIM}),
+              i -> CAST(0.0 AS DOUBLE)) AS w),
+{_LR_CHAIN},
+mf AS (
+  SELECT y,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, {_LR_DIM}), i ->
+             w.w[i] * x[i])), (a, b) -> a + b) AS margin
+  FROM feat CROSS JOIN w{_LR_ITERS} w),
+nc AS (
+  SELECT CAST(sum(CASE WHEN (margin >= 0) = (y = 1.0) THEN 1 ELSE 0 END)
+         AS BIGINT) AS c
+  FROM mf)
+SELECT CASE WHEN gi.i <= 16
+            THEN 'b' || lpad(CAST(gi.i - 1 AS VARCHAR), 2, '0')
+            ELSE 'bias' END AS feature,
+       w.w[gi.i] AS weight,
+       nc.c AS n_correct,
+       CAST(nn.n AS BIGINT) AS n_docs
+FROM gi CROSS JOIN w{_LR_ITERS} w CROSS JOIN nc CROSS JOIN nn
+ORDER BY feature
+"""

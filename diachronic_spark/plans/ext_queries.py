@@ -4941,6 +4941,73 @@ def q192(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("host")
 
 
+# --- q193: anchor-text aggregation per link target ---------------------------
+# The web's free labels: anchor texts describing the page they point
+# to, collected per canonical TARGET — the classic IR signal that in
+# LLM pipelines becomes (query, document) training pairs. Same
+# declared href scope/resolution as q192, plus inner-markup strip +
+# whitespace collapse on the text; distinct texts sorted and joined
+# so the relation is one deterministic row per target. The shuffle
+# is keyed by the TARGET (anchor evidence for a page arrives from
+# every crawling host).
+def q193(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.crawl import extract_anchor_texts
+    from ..sources.files import read_warc
+    from ..sources.linkgraph_fixture import LINKGRAPH_DIR
+
+    ensure_confs(spark)
+    recs = read_warc(spark, LINKGRAPH_DIR, "*.warc*")
+    pages = recs.filter(
+        (F.col("rec_type") == "response") & (F.col("mime") == "text/html")
+    ).select(F.col("target_uri").alias("url"), F.col("text").alias("html"))
+    return (
+        extract_anchor_texts(pages)
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.count_distinct("src").cast("bigint").alias("n_src_pages"),
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("anchor_text"))
+            ).alias("anchor_texts"),
+        )
+        .orderBy("dst")
+    )
+
+
+# --- q194: quality-classifier TRAINING (distributed GD) ----------------------
+# The fasttext-style linear filter real corpora gate on (C4, LLaMA's
+# quality classifier — public precedents), trained IN the engine:
+# hashed bag-of-words features (16 md5 buckets + bias), 5 full-batch
+# GD iterations where each iteration is ONE aggregation producing 17
+# BIGINT gradient sums (per-doc terms quantized to a 1e-9 integer
+# grid, so the cross-partition sum is exact and order-free), hard-
+# sigmoid probabilities (exp() differs between JVM and libm in the
+# last ulp — the piecewise-linear stand-in is closed under exact
+# double arithmetic), 10dp multiplicative-HALF_UP weight rounding.
+# Corpus: the dedicated prose-vs-spam fixture
+# (sources/classifier_fixture.py) — the sf documents share ONE
+# 31-word vocabulary across every label column, so nothing over them
+# is honestly learnable (measured: logistic regression plateaus at
+# the majority rate); the fixture's two distributions plus ambiguous
+# mixed docs make the learned boundary non-trivial. The oracle
+# unrolls all 5 iterations as CTEs (the q83 pattern applied to
+# model training).
+def q194(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.classifier import train_quality_classifier
+    from ..sources.classifier_fixture import DOCS as _CLS_DOCS
+
+    ensure_confs(spark)
+    docs = spark.createDataFrame(
+        _CLS_DOCS, "doc_id bigint, text string, label int"
+    )
+    return train_quality_classifier(
+        docs, label=F.col("label") == 1, n_buckets=16,
+        lr=4.0, iterations=5,
+    ).orderBy("feature")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -4971,5 +5038,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194,
 }

@@ -379,3 +379,60 @@ def test_q148_bucketed_join_has_no_join_exchange(spark, sf_dir):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_q190_dsir_scoring_has_no_doc_keyed_shuffle(spark, sf_dir):
+    """DSIR's per-document scoring is a pure projection against the
+    LLR array literal: the plan may shuffle for the tiny bucket-count
+    agg and the final top-k, but never exchange on a doc key, join,
+    or fall back to a row UDF."""
+    p = plan_str(QUERIES["q190"](spark, sf_dir))
+    assert "Join" not in p, "LLR lookup must be an array literal, not a join"
+    assert "BatchEvalPython" not in p
+    assert "TakeOrderedAndProject" in p, "top-k must not global-sort"
+
+
+def test_q191_paragraph_dedup_is_two_exchanges(spark, sf_dir):
+    """CCNet paragraph dedup = exactly the paragraph-hash window
+    shuffle plus the doc-key reassembly shuffle."""
+    p = plan_str(QUERIES["q191"](spark, sf_dir))
+    # AQE wraps exchanges; count the shuffle origins
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, f"expected hash window + regroup, got:\n{p}"
+    assert "SinglePartition" not in p
+    assert "NestedLoop" not in p
+
+
+def test_q192_link_extraction_is_expression_only(spark, sf_dir):
+    """Anchor extraction/resolution/canonicalization must stay
+    JVM-side; PageRank's edge aggregation is the first shuffle.
+    The only Python in the plan is the WARC scan's Arrow batch."""
+    p = plan_str(QUERIES["q192"](spark, sf_dir))
+    assert "BatchEvalPython" not in p, "row-at-a-time Python in plan"
+    assert p.count("MapInPandas") <= 1, "only the WARC parse is Python"
+    assert "CartesianProduct" not in p
+
+
+def test_q194_classifier_gradient_agg_is_partial(spark, sf_dir):
+    """Each GD iteration's gradient aggregation must map-side combine
+    (partial_sum before the exchange) — the property that keeps
+    iterations scan-shaped at 100 TB."""
+    from diachronic_spark.operators.classifier import (
+        _featurize, _hard_sigmoid, _margin,
+    )
+    from diachronic_spark.sources.classifier_fixture import DOCS
+
+    docs = spark.createDataFrame(
+        DOCS, "doc_id bigint, text string, label int"
+    )
+    feat = _featurize(docs, F.col("label") == 1, "text", 16)
+    err = F.col("y") - _hard_sigmoid(_margin([0.0] * 17))
+    agg = feat.select(
+        F.sum(
+            F.floor(F.element_at("x", 1) * err * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+        ).alias("s1")
+    )
+    p = plan_str(agg)
+    assert "partial_sum" in p, "gradient sums must map-side combine"
+    assert "BatchEvalPython" not in p

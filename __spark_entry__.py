@@ -140,7 +140,11 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # replay), q194 (quality-classifier TRAINING — distributed GD over
 # hashed features on the prose-vs-spam fixture; integer-quantized
 # exact gradients, hard-sigmoid, 5 unrolled-CTE iterations in the
-# oracle).
+# oracle), q195 (crawl-scheduler capstone — links -> host PageRank
+# priority -> RFC 9309 gate for rankbot (specific group overrides a
+# closed `*`) -> per-host politeness slots; ONE composed oracle over
+# the linkgraph truth: q192 replay + shared robots chain + q187
+# slot window).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -3859,16 +3859,12 @@ _RB_VALUES = ",\n  ".join(
 _RC_VALUES = ", ".join(f"({_sqlstr(u)})" for u in _ROBOTS_UA_CANDS)
 _CU_VALUES = ", ".join(f"({_sqlstr(u)})" for u in _CRAWLER_UAS)
 
-EXT_ORACLE["q186"] = f"""
-WITH bodies(target_uri, text) AS (VALUES
-  {_RB_VALUES}
-),
-resp AS (
-  SELECT lower(regexp_extract(
-           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
-  FROM bodies
-),
-lines AS (
+# Shared robots-group parse replay (bodies -> RFC 9309 groups):
+# the window chain from line split through stacked-UA-run group
+# assembly, single-sourced for q186/q187/q195 (the ADVICE r9
+# canon-URL regime applied to the robots policy). Expects a
+# preceding CTE `resp(host, text)`.
+_ROBOTS_GROUPS_CHAIN = """lines AS (
   SELECT host, g.ln,
          trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
   FROM (SELECT host, string_split(text, chr(10)) AS parts
@@ -3918,7 +3914,18 @@ rls AS (
 grps AS (
   SELECT u.host, u.ua, r.rule, r.value
   FROM uas u JOIN rls r USING (host, grp)
+),"""
+
+EXT_ORACLE["q186"] = f"""
+WITH bodies(target_uri, text) AS (VALUES
+  {_RB_VALUES}
 ),
+resp AS (
+  SELECT lower(regexp_extract(
+           target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
+  FROM bodies
+),
+{_ROBOTS_GROUPS_CHAIN}
 crawlers(cua) AS (VALUES {_CU_VALUES}),
 matching AS (
   SELECT c.cua, g.host, g.ua, g.rule, g.value,
@@ -3997,57 +4004,7 @@ resp AS (
            target_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
   FROM bodies
 ),
-lines AS (
-  SELECT host, g.ln,
-         trim(regexp_replace(parts[g.ln], '\r$', '')) AS line
-  FROM (SELECT host, string_split(text, chr(10)) AS parts
-        FROM resp) t,
-       LATERAL (SELECT unnest(generate_series(1, len(parts)))
-                AS ln) g
-),
-parsed AS (
-  SELECT host, ln,
-         lower(regexp_extract(
-           line, '(?i)^user-agent:\\s*(\\S+)', 1)) AS ua,
-         lower(regexp_extract(
-           line, '(?i)^(allow|disallow|crawl-delay):', 1)) AS rule,
-         trim(regexp_extract(
-           line, '(?i)^(?:allow|disallow|crawl-delay):\\s*(\\S*)',
-           1)) AS value
-  FROM lines
-),
-kept AS (
-  SELECT * FROM parsed
-  WHERE ua <> '' OR (rule <> '' AND value <> '')
-),
-runs AS (
-  SELECT *,
-         CASE WHEN ua <> '' AND NOT coalesce(
-                lag(ua <> '') OVER (PARTITION BY host ORDER BY ln),
-                FALSE)
-              THEN 1 ELSE 0 END AS run_start
-  FROM kept
-),
-rids AS (
-  SELECT *, sum(run_start) OVER (PARTITION BY host ORDER BY ln
-             ROWS UNBOUNDED PRECEDING) AS run_id
-  FROM runs
-),
-scoped AS (
-  SELECT *, max(CASE WHEN ua <> '' THEN run_id END)
-              OVER (PARTITION BY host ORDER BY ln
-                    ROWS UNBOUNDED PRECEDING) AS grp
-  FROM rids
-),
-uas AS (SELECT host, run_id AS grp, ua FROM scoped WHERE ua <> ''),
-rls AS (
-  SELECT host, grp, rule, value FROM scoped
-  WHERE rule <> '' AND value <> '' AND grp IS NOT NULL
-),
-grps AS (
-  SELECT u.host, u.ua, r.rule, r.value
-  FROM uas u JOIN rls r USING (host, grp)
-),
+{_ROBOTS_GROUPS_CHAIN}
 matching AS (
   SELECT g.host, g.ua, g.rule, g.value,
          CASE WHEN g.ua = '*' THEN 0 ELSE length(g.ua) END AS spec
@@ -4398,4 +4355,121 @@ SELECT CASE WHEN gi.i <= 16
        CAST(nn.n AS BIGINT) AS n_docs
 FROM gi CROSS JOIN w{_LR_ITERS} w CROSS JOIN nc CROSS JOIN nn
 ORDER BY feature
+"""
+
+# q195: crawl-scheduler capstone — the q192 link/PR replay + the
+# shared robots-group chain (rankbot's single-UA selection, the q187
+# tail) + the per-host slot window, composed into one statement over
+# the linkgraph truth rows.
+EXT_ORACLE["q195"] = f"""
+WITH pg AS (
+  SELECT {_canon_url_expr('raw_uri')} AS src, text
+  FROM read_parquet('{_LINKGRAPH_TRUTH}')
+  WHERE rec_type = 'response' AND mime = 'text/html'),
+h AS (
+  SELECT src,
+         regexp_extract(src, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         {_HOST_OF.format('src')} AS host,
+         unnest(list_concat(
+           regexp_extract_all(text, {_HREF_DQ_SQL}, 1),
+           regexp_extract_all(text, {_HREF_SQ_SQL}, 1))) AS href
+  FROM pg WHERE src IS NOT NULL),
+rsv AS (
+  SELECT host AS src_host,
+         CASE WHEN regexp_matches(href, '(?i)^https?://') THEN href
+              WHEN href LIKE '//%' THEN scheme || ':' || href
+              WHEN href LIKE '/%' THEN scheme || '://' || host || href
+              ELSE NULL END AS dst_raw
+  FROM h),
+d AS (
+  SELECT src_host, {_canon_url_expr('dst_raw')} AS dst FROM rsv),
+e AS (
+  SELECT src_host AS u, {_HOST_OF.format('dst')} AS v, count(*) AS w
+  FROM d
+  WHERE dst IS NOT NULL AND src_host <> {_HOST_OF.format('dst')}
+  GROUP BY 1, 2),
+nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT u AS node, sum(w) AS wout FROM e GROUP BY u),
+frac AS (SELECT e.u, e.v, e.w * 1.0 / o.wout AS frac
+         FROM e JOIN outw o ON e.u = o.node),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+{_PR_CHAIN},
+pr6 AS (
+  SELECT node AS host,
+         floor(pr * 1000000 + 0.5) / 1000000 + 0.0 AS priority
+  FROM r{_PR_ITERS}),
+resp AS (
+  SELECT lower(regexp_extract(
+           raw_uri, '^[^:/?#]+://([^/?#]*)', 1)) AS host, text
+  FROM read_parquet('{_LINKGRAPH_TRUTH}')
+  WHERE rec_type = 'response' AND raw_uri LIKE '%/robots.txt'),
+{_ROBOTS_GROUPS_CHAIN}
+matching AS (
+  SELECT g.host, g.ua, g.rule, g.value,
+         CASE WHEN g.ua = '*' THEN 0 ELSE length(g.ua) END AS spec
+  FROM grps g WHERE g.ua = '*' OR starts_with('rankbot', g.ua)
+),
+chosen AS (
+  SELECT host, ua FROM (
+    SELECT DISTINCT host, ua, spec FROM matching) t
+  QUALIFY row_number() OVER (
+    PARTITION BY host ORDER BY spec DESC, ua DESC) = 1
+),
+applicable AS (
+  SELECT m.* FROM matching m JOIN chosen USING (host, ua)
+),
+delays AS (
+  SELECT host, max(TRY_CAST(value AS BIGINT)) AS crawl_delay
+  FROM applicable WHERE rule = 'crawl-delay' GROUP BY host
+),
+cand AS (SELECT DISTINCT dst AS url FROM d WHERE dst IS NOT NULL),
+u AS (
+  SELECT url,
+         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           AS host,
+         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1)
+           AS path
+  FROM cand
+),
+j AS (
+  SELECT u.url, a.rule, a.value AS prefix,
+         (a.value IS NOT NULL
+          AND starts_with(u.path, a.value)) AS hit
+  FROM u LEFT JOIN applicable a
+    ON a.host = u.host AND a.rule IN ('allow', 'disallow')
+),
+v AS (
+  SELECT url,
+         max(CASE WHEN hit THEN 1 ELSE 0 END) AS any_hit,
+         max_by(rule = 'allow',
+                CASE WHEN hit
+                     THEN length(prefix) * 2 +
+                          CASE WHEN rule = 'allow' THEN 1 ELSE 0 END
+                     ELSE -1 END) AS winner_allow
+  FROM j GROUP BY url
+),
+gated AS (
+  SELECT u.url, u.host
+  FROM u JOIN v ON v.url = u.url
+  WHERE v.any_hit = 0 OR v.winner_allow
+),
+fr AS (
+  SELECT g.url, g.host, p.priority
+  FROM gated g LEFT JOIN pr6 p USING (host)
+),
+slotted AS (
+  SELECT url, host, priority,
+         CAST(row_number() OVER (
+           PARTITION BY host
+           ORDER BY priority DESC NULLS LAST, url) - 1
+         AS BIGINT) AS slot
+  FROM fr
+)
+SELECT s.url, s.host, s.slot,
+       CAST(s.slot * coalesce(dl.crawl_delay, 1) AS BIGINT)
+         AS fetch_at_s,
+       s.priority
+FROM slotted s LEFT JOIN delays dl ON dl.host = s.host
+ORDER BY s.host, s.slot
 """

@@ -5008,6 +5008,83 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("feature")
 
 
+# --- q195: crawl-scheduler capstone — links -> rank -> robots -> slots -------
+# The planning loop a production crawler runs BETWEEN crawls: from
+# the archived corpus, extract the out-links (q192's policy), rank
+# hosts by PageRank (the crawl-prioritization signal), gate the
+# discovered URLs through RFC 9309 for THIS crawler's identity
+# (rankbot — d.example's specific group must override its closed `*`
+# group, c.example's `*` group blocks /feed and carries a
+# crawl-delay), and serialize fetches per host at the chosen group's
+# delay with the host's rank as the slot priority. One fixture
+# universe (linkgraph WARC) feeds every stage; the oracle composes
+# the q192 replay + the shared robots-group chain + the q187 slot
+# window into ONE statement.
+def q195(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators._cache import managed_persist
+    from ..operators.crawl import (
+        extract_links,
+        host_edges,
+        parse_robots_groups,
+        robots_allowed_ua,
+        schedule_fetches,
+    )
+    from ..sources.files import read_warc
+    from ..sources.linkgraph_fixture import LINKGRAPH_DIR
+
+    ensure_confs(spark)
+    recs = managed_persist(
+        read_warc(spark, LINKGRAPH_DIR, "*.warc*"), "q195.recs"
+    )
+    pages = recs.filter(
+        (F.col("rec_type") == "response") & (F.col("mime") == "text/html")
+    ).select(F.col("target_uri").alias("url"), F.col("text").alias("html"))
+    links = managed_persist(extract_links(pages), "q195.links")
+    pr = G.pagerank(
+        host_edges(links), src="src_host", dst="dst_host", weight="w",
+        damping=0.85, iterations=5, precision=10,
+    )
+    pr6 = pr.select(
+        F.col("node").alias("host"),
+        (
+            F.floor(F.col("pr") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+            + F.lit(0.0)
+        ).alias("priority"),
+    )
+    disc = links.select(F.col("dst").alias("url")).distinct()
+    robots = recs.filter(
+        (F.col("rec_type") == "response")
+        & F.col("target_uri").endswith("/robots.txt")
+    ).select("target_uri", "text")
+    groups = managed_persist(parse_robots_groups(robots), "q195.groups")
+    gated = disc.join(
+        robots_allowed_ua(disc, groups, "rankbot").select(
+            "url", "allowed", "crawl_delay"
+        ),
+        "url",
+    ).filter(F.col("allowed"))
+    host_of = F.lower(
+        F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
+    )
+    delays = (
+        gated.withColumn("host", host_of)
+        .groupBy("host")
+        .agg(F.max("crawl_delay").alias("crawl_delay"))
+    )
+    frontier = (
+        gated.withColumn("host", host_of)
+        .join(F.broadcast(pr6), "host", "left")
+        .select("url", "priority")
+    )
+    return (
+        schedule_fetches(frontier, delays)
+        .join(frontier, "url")
+        .select("url", "host", "slot", "fetch_at_s", "priority")
+        .orderBy("host", "slot")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5038,5 +5115,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195,
 }

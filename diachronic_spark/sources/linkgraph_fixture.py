@@ -95,6 +95,14 @@ def _record_defs(file_id: int) -> list:
                 "uri": "https://a.example/",
                 "content": b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
             },
+            # robots policy for the q195 scheduler capstone (plain
+            # text, NO anchors — q192/q193 must not see it): the `*`
+            # group blocks /feed and slows the host down
+            _resp(
+                "https://c.example/robots.txt",
+                "User-agent: *\nDisallow: /feed\nCrawl-delay: 5",
+                "text/plain",
+            ),
         ]
     return [
         _html(
@@ -109,6 +117,14 @@ def _record_defs(file_id: int) -> list:
             "https://b.example/dup",
             '<a href="https://c.example/feed">c1</a>'
             "<a href='https://c.example/feed?y=2&x=1'>c2</a>",
+        ),
+        # a specific-UA group that must OVERRIDE the closed `*`
+        # group for the capstone's crawler identity (rankbot)
+        _resp(
+            "https://d.example/robots.txt",
+            "User-agent: rankbot\nDisallow: /private\nCrawl-delay: 2"
+            "\n\nUser-agent: *\nDisallow: /",
+            "text/plain",
         ),
     ]
 

@@ -4473,3 +4473,63 @@ SELECT s.url, s.host, s.slot,
 FROM slotted s LEFT JOIN delays dl ON dl.host = s.host
 ORDER BY s.host, s.slot
 """
+
+# q196: tokenizer fertility per language — the q183 recursive
+# byte-BPE replay re-aggregated at lang grain, plus byte mass
+# (strlen = UTF-8 bytes in DuckDB) and the two HALF_UP ratios.
+EXT_ORACLE["q196"] = f"""
+WITH RECURSIVE
+m AS MATERIALIZED (
+  SELECT rank, lft, rgt FROM read_parquet('{_BPE_BYTE_MERGES}')),
+corpus AS (SELECT doc_id, lang, text FROM documents),
+words AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(regexp_extract_all(
+        text, '{_RE_UNI_SQL}')) AS w
+    FROM corpus) u
+),
+{_BYTE_SEED_CTES},
+enc(w, it, toks) AS (
+  SELECT w, 0, toks FROM mapped
+  UNION ALL
+  SELECT w, it + 1,
+         toks[1:pos-1] || [toks[pos] || toks[pos+1]] || toks[pos+2:]
+  FROM (
+    SELECT w, it, toks,
+      (SELECT min_by(g.i, m.rank * 1000000 + g.i)
+       FROM (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g
+       JOIN m ON m.lft = toks[g.i] AND m.rgt = toks[g.i + 1]) AS pos
+    FROM enc) s
+  WHERE pos IS NOT NULL
+),
+vocab AS (SELECT w, len(max_by(toks, it)) AS n_toks FROM enc GROUP BY w),
+doc_words AS (
+  SELECT doc_id, lang, w, count(*) AS c FROM (
+    SELECT doc_id, lang, unnest(regexp_extract_all(
+        text, '{_RE_UNI_SQL}')) AS w
+    FROM corpus) u
+  GROUP BY doc_id, lang, w
+),
+counts AS (
+  SELECT doc_id, lang,
+         sum(c) AS n_pretoks,
+         sum(c * n_toks) AS n_tokens,
+         sum(c * strlen(w)) AS n_bytes
+  FROM doc_words JOIN vocab USING (w) GROUP BY doc_id, lang
+),
+by_lang AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_pretoks) AS BIGINT) AS n_pretokens,
+         CAST(sum(n_tokens) AS BIGINT) AS n_bpe_tokens,
+         CAST(sum(n_bytes) AS BIGINT) AS n_bytes
+  FROM counts GROUP BY lang
+)
+SELECT lang, n_docs, n_pretokens, n_bpe_tokens, n_bytes,
+       floor(CAST(n_bpe_tokens AS DOUBLE) / CAST(n_pretokens AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS fertility,
+       floor(CAST(n_bytes AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS bytes_per_token
+FROM by_lang
+ORDER BY lang
+"""

@@ -5085,6 +5085,62 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q196: tokenizer fertility / compression stats per language --------------
+# The standard tokenizer-evaluation metrics (fertility = BPE tokens
+# per pre-token/word; compression = UTF-8 bytes per BPE token),
+# grouped by language over the sf documents — how a tokenizer team
+# decides whether a vocab serves a corpus slice. Rides the q183
+# byte-BPE machinery (JVM pre-tokenize, vocabulary-sized Python
+# encode, measured broadcast-vs-shuffle vocab join); byte mass is an
+# ordered integer fold over the pre-token array (exact, order-free
+# after the per-lang BIGINT sums). Ratios round via the
+# multiplicative HALF_UP form.
+def q196(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import RE_TOKEN_UNI, bpe_token_counts
+    from ..sources.bpe_fixture import load_byte_merges
+
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    counts = bpe_token_counts(
+        docs.select("doc_id", "text"),
+        load_byte_merges(),
+        byte_level=True,
+        pretoken_re=RE_TOKEN_UNI,
+    )
+    nbytes = F.aggregate(
+        F.transform(
+            F.regexp_extract_all("text", F.lit(RE_TOKEN_UNI), F.lit(0)),
+            lambda w: F.octet_length(w).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    per_doc = docs.select(
+        "doc_id", "lang", nbytes.alias("n_bytes")
+    ).join(counts, "doc_id")
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pretoks").cast("bigint").alias("n_pretokens"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        )
+        .select(
+            "lang", "n_docs", "n_pretokens", "n_bpe_tokens", "n_bytes",
+            r6(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_pretokens").cast("double")
+            ).alias("fertility"),
+            r6(
+                F.col("n_bytes").cast("double")
+                / F.col("n_bpe_tokens").cast("double")
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5115,5 +5171,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196,
 }

@@ -144,7 +144,12 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # priority -> RFC 9309 gate for rankbot (specific group overrides a
 # closed `*`) -> per-host politeness slots; ONE composed oracle over
 # the linkgraph truth: q192 replay + shared robots chain + q187
-# slot window).
+# slot window), q196 (tokenizer fertility/compression per language
+# — the q183 byte-BPE replay re-aggregated at lang grain with
+# strlen byte mass), q197 (STREAMING classifier gate — q194's
+# trained weights deployed as a stateless micro-batch projection,
+# gated at margin >= 0; stream equals the batch training+scoring
+# replay bit-exactly).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -96,20 +96,17 @@ def _hard_sigmoid(m: Column) -> Column:
     )
 
 
-def train_quality_classifier(
+def train_quality_weights(
     docs: DataFrame,
     label: Column,
     text_col: str = "text",
     n_buckets: int = 16,
     lr: float = 0.01,
     iterations: int = 5,
-) -> DataFrame:
-    """Train the hashed-feature linear quality classifier; returns
-    one row per model weight: (feature, weight, n_correct, n_docs) —
-    'b00'…'b{n-1}' then 'bias', with the training-set decision count
-    (margin ≥ 0 ⇔ positive) repeated on every row so the relation is
-    self-contained."""
-    spark = docs.sparkSession
+) -> tuple[list[float], int, int]:
+    """Core trainer: returns (weights b0..b{n-1}+bias, n_correct,
+    n_docs). The weight vector is the deployable artifact — q197
+    folds it into a STREAMING gate as a pure projection."""
     dim = n_buckets + 1
     feat = _featurize(docs, label, text_col, n_buckets).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -154,11 +151,62 @@ def train_quality_classifier(
         ).collect()[0]["c"]
     finally:
         feat.unpersist()
+    return w, int(n_correct), int(n)
+
+
+def score_margin(
+    weights: list[float], text_col: str = "text"
+) -> Column:
+    """The trained model as a deployable EXPRESSION: margin = w·x
+    over the same featurization, an ordered fold against the weight
+    literal — stateless, codegen-fused, usable unchanged in a
+    streaming micro-batch (q197's gate). n_buckets is implied by
+    len(weights) - 1 (trailing bias)."""
+    n_buckets = len(weights) - 1
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    toks = F.filter(F.split(norm, " "), lambda t: t != "")
+    bt = F.transform(
+        toks, lambda w: F.pmod(md5_prefix32(w), F.lit(n_buckets))
+    )
+    denom = F.greatest(F.size(bt), F.lit(1))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.size(F.filter(bt, lambda v: v == b)).cast("double")
+        / denom,
+    )
+    x = F.concat(counts, F.array(F.lit(1.0)))
+    warr = F.array(*[F.lit(v) for v in weights])
+    return F.aggregate(
+        F.zip_with(warr, x, lambda wi, xi: wi * xi),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    n_buckets: int = 16,
+    lr: float = 0.01,
+    iterations: int = 5,
+) -> DataFrame:
+    """Train the hashed-feature linear quality classifier; returns
+    one row per model weight: (feature, weight, n_correct, n_docs) —
+    'b00'…'b{n-1}' then 'bias', with the training-set decision count
+    (margin ≥ 0 ⇔ positive) repeated on every row so the relation is
+    self-contained."""
+    w, n_correct, n = train_quality_weights(
+        docs, label, text_col, n_buckets, lr, iterations
+    )
     names = [f"b{i:02d}" for i in range(n_buckets)] + ["bias"]
-    return spark.createDataFrame(
-        [
-            (names[i], w[i], int(n_correct), int(n))
-            for i in range(dim)
-        ],
+    return docs.sparkSession.createDataFrame(
+        [(names[i], w[i], n_correct, n) for i in range(n_buckets + 1)],
         "feature string, weight double, n_correct bigint, n_docs bigint",
     )

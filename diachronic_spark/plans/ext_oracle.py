@@ -4533,3 +4533,44 @@ SELECT lang, n_docs, n_pretokens, n_bpe_tokens, n_bytes,
 FROM by_lang
 ORDER BY lang
 """
+
+# q197 (streaming classifier gate): the q194 training chain with
+# doc_id/label carried through the feature relation, re-scored per
+# document with the final weights, gated at margin >= 0 — the
+# batch replay the drained stream must equal. Registered by
+# streaming_queries.STREAM_ORACLE (q197 is a streaming query).
+Q197_STREAM_ORACLE = f"""
+WITH docs(doc_id, text, label) AS (VALUES
+  {_CLS_VALUES}
+),
+norm AS (
+  SELECT doc_id, label,
+         list_filter(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM docs),
+feat AS MATERIALIZED (
+  SELECT doc_id, label,
+         CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y,
+         list_append(list_transform(generate_series(0, 15), b ->
+           CAST(len(list_filter(bt, v -> v = b)) AS DOUBLE)
+             / greatest(len(bt), 1)), CAST(1.0 AS DOUBLE)) AS x
+  FROM (SELECT doc_id, label,
+               list_transform(toks, w -> ({_H32_W}) % 16) AS bt
+        FROM norm)),
+nn AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM feat),
+gi AS (SELECT unnest(generate_series(1, {_LR_DIM})) AS i),
+w0 AS (SELECT list_transform(generate_series(1, {_LR_DIM}),
+              i -> CAST(0.0 AS DOUBLE)) AS w),
+{_LR_CHAIN},
+mf AS (
+  SELECT doc_id, label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, {_LR_DIM}), i ->
+             w.w[i] * x[i])), (a, b) -> a + b) AS margin
+  FROM feat CROSS JOIN w{_LR_ITERS} w)
+SELECT doc_id, CAST(label AS INT) AS label,
+       floor(margin * 1e6 + 0.5) / 1e6 + 0.0 AS margin
+FROM mf WHERE margin >= 0
+ORDER BY doc_id
+"""

@@ -77,6 +77,60 @@ assert WATERMARK == "1 day" and WATERMARK_MS == 24 * 3600 * 1000
 _STAGE_CACHE: dict[str, str] = {}
 
 
+def q197(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming quality gate — q194's trained model DEPLOYED on the
+    ingest stream, the production shape of a corpus quality filter:
+    train offline (the same exact-gradient batch loop), fold the
+    KB-sized weight vector into the micro-batch as a pure projection
+    (operators/classifier.score_margin — stateless, codegen-fused,
+    no state store at all), and gate docs at margin >= 0 in flight.
+    Oracle: the q194 unrolled-training chain re-scored per document —
+    stream and batch must agree row-for-row, margins bit-exact (the
+    ordered-fold + literal-weights contract)."""
+    from ..operators.classifier import (
+        score_margin,
+        train_quality_weights,
+    )
+    from ..sources.classifier_fixture import DOCS as _CLS_DOCS
+
+    def docs() -> DataFrame:
+        base = spark.createDataFrame(
+            _CLS_DOCS, "doc_id bigint, text string, label int"
+        )
+        # synthetic ingest time: _stage range-partitions the staged
+        # files on ts; arrival order is doc order (the gate is
+        # stateless, so the result is order-independent anyway)
+        return base.withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2025-06-01 12:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("int")),
+        )
+
+    w, _, _ = train_quality_weights(
+        docs(), F.col("label") == 1, n_buckets=16, lr=4.0, iterations=5
+    )
+    src = _stage(spark, f"classifier:{sf}", docs)
+    stream = (
+        spark.readStream.schema(
+            "doc_id bigint, text string, label int, ts timestamp"
+        )
+        .parquet(src)
+        .withColumn("margin", score_margin(w, "text"))
+        .filter(F.col("margin") >= 0)
+        .select(
+            "doc_id",
+            "label",
+            (
+                F.floor(F.col("margin") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+                + F.lit(0.0)
+            ).alias("margin"),
+        )
+    )
+    sink = _drain_to_table(stream, "append", sink_key="q197")
+    return sink.orderBy("doc_id")
+
+
 @atexit.register
 def _cleanup_stage_dirs() -> None:
     """Staged copies are process-scoped scratch; without this, every
@@ -1180,7 +1234,7 @@ STREAM_QUERIES = {
     "q101": q101, "q102": q102, "q103": q103, "q104": q104,
     "q106": q106, "q107": q107, "q110": q110, "q111": q111,
     "q117": q117, "q134": q134, "q136": q136, "q137": q137,
-    "q158": q158, "q177": q177,
+    "q158": q158, "q177": q177, "q197": q197,
 }
 
 STREAM_ORACLE = {
@@ -1492,3 +1546,9 @@ ORDER BY page_id, day
 from .ext_oracle import EXT_ORACLE as _EXT_ORACLE  # noqa: E402
 
 STREAM_ORACLE["q177"] = _EXT_ORACLE["q173"]
+
+# q197: the streaming gate must equal the batch training+scoring
+# replay (margins bit-exact: literal weights + ordered folds).
+from .ext_oracle import Q197_STREAM_ORACLE as _Q197_ORACLE  # noqa: E402
+
+STREAM_ORACLE["q197"] = _Q197_ORACLE

@@ -149,7 +149,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # strlen byte mass), q197 (STREAMING classifier gate — q194's
 # trained weights deployed as a stateless micro-batch projection,
 # gated at margin >= 0; stream equals the batch training+scoring
-# replay bit-exactly).
+# replay bit-exactly), q198 (curation-funnel report — raw ->
+# quality band -> LSH near-dedup -> greedy token-budget fill over
+# the aug corpus; the two-phase global_running_sum carries the
+# budget stage, no single-partition window).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -4574,3 +4574,65 @@ SELECT doc_id, CAST(label AS INT) AS label,
 FROM mf WHERE margin >= 0
 ORDER BY doc_id
 """
+
+# q198: curation funnel — the q23 aug-corpus/minhash replay gated
+# stage by stage: quality band, LSH candidates + exact jaccard >=
+# 0.5 (smaller doc_id survives), then the greedy longest-first
+# token-budget window (1/3 of surviving mass). _SHINGLES is re-based
+# onto the quality survivors by CTE rename (single-sourced text).
+_SHINGLES2 = _SHINGLES.replace("FROM corpus", "FROM corpus2")
+
+EXT_ORACLE["q198"] = f"""
+WITH {_CORPUS},
+s1 AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              x -> x <> '')) AS BIGINT) AS ntok
+  FROM corpus),
+s2 AS (SELECT * FROM s1 WHERE ntok BETWEEN 30 AND 90),
+corpus2 AS (SELECT doc_id, text FROM s2),
+{_SHINGLES2},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT doc_a, doc_b, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = doc_a
+  JOIN sh sb ON sb.doc_id = doc_b AND sa.shingle = sb.shingle
+  GROUP BY doc_a, doc_b),
+dropd AS (
+  SELECT DISTINCT doc_b
+  FROM inter
+  JOIN sizes za ON za.doc_id = doc_a
+  JOIN sizes zb ON zb.doc_id = doc_b
+  WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5),
+s3 AS (
+  SELECT s2.* FROM s2
+  LEFT JOIN dropd ON s2.doc_id = dropd.doc_b
+  WHERE dropd.doc_b IS NULL),
+tot AS (SELECT CAST(floor(sum(ntok) / 3) AS BIGINT) AS budget FROM s3),
+cums AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY ntok DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s3),
+s4 AS (SELECT c.* FROM cums c CROSS JOIN tot WHERE c.cum <= tot.budget)
+SELECT CAST(1 AS INT) AS stage_idx, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS n_tokens FROM s1
+UNION ALL
+SELECT CAST(2 AS INT), 'quality', CAST(count(*) AS BIGINT),
+       CAST(sum(ntok) AS BIGINT) FROM s2
+UNION ALL
+SELECT CAST(3 AS INT), 'near_dedup', CAST(count(*) AS BIGINT),
+       CAST(sum(ntok) AS BIGINT) FROM s3
+UNION ALL
+SELECT CAST(4 AS INT), 'token_budget', CAST(count(*) AS BIGINT),
+       CAST(sum(ntok) AS BIGINT) FROM s4
+ORDER BY stage_idx
+"""

@@ -5141,6 +5141,68 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q198: curation-funnel report ---------------------------------------------
+# The relation every data team publishes with a corpus release: how
+# many documents/tokens survive each curation gate. Stages over the
+# near-dup-augmented corpus (the q23 fixture regime): (1) raw, (2)
+# quality gate 30 <= tokens <= 90, (3) LSH near-dedup (4-band/8-
+# minhash candidates, exact jaccard >= 0.5, the smaller doc_id
+# survives), (4) token-budget fill — greedy longest-first until 1/3
+# of the surviving token mass (self-scaling, decisive at every sf),
+# using the two-phase global_running_sum (NO single-partition
+# window; integer val = bit-exact contract). One row per stage.
+def q198(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions import whitespace_tokens
+
+    aug = D.with_near_duplicates(load(spark, sf, "documents"))
+    s1 = managed_persist(
+        aug.withColumn(
+            "ntok", F.size(whitespace_tokens(F.col("text"))).cast("bigint")
+        ),
+        "q198.s1",
+    )
+    s2 = managed_persist(
+        s1.filter((F.col("ntok") >= 30) & (F.col("ntok") <= 90)),
+        "q198.s2",
+    )
+    arrs = D.shingle_arrays(s2, n=3)
+    jacc = D.jaccard_for_pairs(
+        D.lsh_candidate_pairs(D.minhash_signature(arrs)), arrs
+    )
+    drop = jacc.filter(F.col("jaccard") >= 0.5).select("doc_b").distinct()
+    s3 = managed_persist(
+        s2.join(drop, s2.doc_id == drop.doc_b, "left_anti"), "q198.s3"
+    )
+    tot = s3.agg(
+        F.floor(F.sum("ntok") / F.lit(3)).cast("bigint").alias("budget")
+    )
+    cum = SA.global_running_sum(
+        s3.withColumn("neg", -F.col("ntok")),
+        "ntok",
+        ["neg", "doc_id"],
+        cache_key="q198.grs",
+    )
+    s4 = cum.crossJoin(F.broadcast(tot)).filter(
+        F.col("cum") <= F.col("budget")
+    )
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+
+    return (
+        stage(1, "raw", s1)
+        .unionByName(stage(2, "quality", s2))
+        .unionByName(stage(3, "near_dedup", s3))
+        .unionByName(stage(4, "token_budget", s4))
+        .orderBy("stage_idx")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5171,5 +5233,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q168": q168, "q169": q169, "q170": q170, "q171": q171,
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
-    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196,
+    "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
 }

@@ -4207,9 +4207,9 @@ rsv AS (
               WHEN href LIKE '/%' THEN scheme || '://' || host || href
               ELSE NULL END AS dst_raw
   FROM h),
-d AS (
+d AS MATERIALIZED (
   SELECT src_host, {_canon_url_expr('dst_raw')} AS dst FROM rsv),
-e AS (
+e AS MATERIALIZED (
   SELECT src_host AS u, {_HOST_OF.format('dst')} AS v, count(*) AS w
   FROM d
   WHERE dst IS NOT NULL AND src_host <> {_HOST_OF.format('dst')}
@@ -4381,9 +4381,9 @@ rsv AS (
               WHEN href LIKE '/%' THEN scheme || '://' || host || href
               ELSE NULL END AS dst_raw
   FROM h),
-d AS (
+d AS MATERIALIZED (
   SELECT src_host, {_canon_url_expr('dst_raw')} AS dst FROM rsv),
-e AS (
+e AS MATERIALIZED (
   SELECT src_host AS u, {_HOST_OF.format('dst')} AS v, count(*) AS w
   FROM d
   WHERE dst IS NOT NULL AND src_host <> {_HOST_OF.format('dst')}

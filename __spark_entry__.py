@@ -152,7 +152,14 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # replay bit-exactly), q198 (curation-funnel report — raw ->
 # quality band -> LSH near-dedup -> greedy token-budget fill over
 # the aug corpus; the two-phase global_running_sum carries the
-# budget stage, no single-partition window).
+# budget stage, no single-partition window), q199 (ExactSubstr span
+# REMOVAL — the apply half of Lee et al. 2022: cross-doc duplicate
+# windows cut position-wise, global-min (doc_id, pos) occurrence
+# canonical, per-doc covered-set + indexed array filter reassembly;
+# full window replay in the oracle), q200 (Okapi BM25 ranked
+# retrieval — mid-df data-driven query terms, saturation + length
+# normalization, term-ordered 10dp fold, broadcast query/stats,
+# TakeOrdered top-k; full relational replay in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -820,6 +820,125 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr REMOVAL — the second half of "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al. 2022, public method).
+    ``duplicated_spans`` only measures the cross-document duplicated-
+    window mass; this operator actually rewrites the corpus: every
+    token position covered by a non-canonical occurrence of a
+    cross-document duplicate window is cut, and each document is
+    reassembled from its surviving tokens in order.
+
+    Policy (each clause deterministic and oracle-replayable):
+      - window = ``width`` consecutive whitespace tokens, hashed md5
+        over the space-joined span (identical to ``duplicated_spans``);
+      - a hash qualifies only if it appears in >= 2 DISTINCT documents
+        (within-doc repeats are ``repetition_signals``' jurisdiction);
+      - the CANONICAL occurrence of a qualifying hash is the global
+        minimum (doc_id, position) — its tokens stay; every other
+        occurrence marks positions [i, i+width-1] as covered;
+      - a token is removed iff covered by ANY non-canonical occurrence
+        (a canonical span can still lose tokens to a different
+        overlapping duplicate — removal is position-wise, not
+        span-wise, exactly as suffix-array cutting behaves);
+      - documents shorter than ``width`` tokens pass through unchanged
+        (no windows), and reassembly join-normalizes whitespace on
+        every path so short and long docs are comparable.
+
+    Scale shape: the window-hash explode is row-local; ONE hash-keyed
+    aggregation produces both the distinct-doc count and the canonical
+    argmin (min of struct(doc, pos) — no second shuffle for keep-first);
+    covered positions collapse to a per-doc set (bounded by the doc's
+    own token count, never corpus-scaled) in one doc-keyed shuffle, and
+    the cut + reassembly is a pure indexed array filter on the doc row
+    — no token explode, no anti-join. Content hashes are uniform so no
+    skew salting is needed; at 100 TB add the same stride/df-cap
+    subsampling documented on ``duplicated_spans``.
+
+    Returns (id_col, n_tokens, n_removed, cleaned_text).
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    base = managed_persist(
+        df.select(
+            F.col(id_col),
+            whitespace_tokens(F.col(text_col)).alias("__toks"),
+        ),
+        "dedup.rmspans.base",
+    )
+    # wins feeds BOTH the qualifier agg and the covered-position join;
+    # persist so the per-window md5 pipeline (the dominant CPU) runs
+    # once (the duplicated_spans precedent).
+    wins = managed_persist(
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    n >= width,
+                    F.transform(
+                        F.sequence(F.lit(1), n - (width - 1)),
+                        lambda i: F.md5(
+                            F.concat_ws(" ", F.slice(toks, i, width))
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("p0", "h"),
+        ).select(F.col(id_col), (F.col("p0") + 1).alias("i"), "h"),
+        "dedup.rmspans.wins",
+    )
+    # One agg yields BOTH the cross-doc qualifier and the canonical
+    # (keep-first) occurrence — argmin via min(struct(doc, pos)).
+    dup = (
+        wins.groupBy("h")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("nd"),
+            F.min(F.struct(F.col(id_col).alias("d"), F.col("i").alias("i")))
+            .alias("keep"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keep")
+    )
+    # Covered positions collapse to ONE per-doc set (bounded by the
+    # doc's own token count — row-local state, never corpus-scaled);
+    # the cut + reassembly is then a pure indexed array filter on the
+    # doc row — no token explode, no anti-join, no collect_list sort.
+    cov = (
+        wins.join(dup, "h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("keep.d"))
+                & (F.col("i") == F.col("keep.i"))
+            )
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (width - 1))
+            ).alias("p"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("p").alias("__cov"))
+    )
+    empty = F.array().cast("array<int>")
+    kept = F.filter(
+        toks,
+        lambda t, ix: ~F.array_contains(
+            F.coalesce(F.col("__cov"), empty), (ix + 1).cast("int")
+        ),
+    )
+    return base.join(cov, id_col, "left").select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )
+
+
 def append_to_minhash_index(
     survivors: DataFrame, path: str, arrs: DataFrame | None = None
 ) -> None:

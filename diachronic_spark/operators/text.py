@@ -464,6 +464,128 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_query_terms: int = 3,
+    skip_top_df: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (Robertson & Walker, the standard
+    lexical-retrieval scorer) — the length-normalized complement of
+    ``tfidf_top_terms`` (per-doc term importance) and the q73/q74
+    boolean postings machinery (set retrieval): disjunctive SCORED
+    retrieval with saturation (k1) and document-length normalization
+    (b), the function every retrieval-based curation/RAG pipeline runs
+    first.
+
+    The query is data-driven and self-scaling: the ``n_query_terms``
+    terms ranked ``skip_top_df+1 .. skip_top_df+n_query_terms`` by
+    document frequency (desc, ties by term) — mid-frequency terms, the
+    band real queries live in (the top-``skip_top_df`` df heads are the
+    corpus' stopwords, exactly what q73 surfaces).
+
+    score(d) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))  — always > 0.
+
+    Determinism across engines: each per-term contribution is
+    pre-rounded to 10dp (multiplicative HALF_UP), the per-doc sum is an
+    ORDERED fold over the term-sorted contribution array (F.aggregate —
+    the q51/q83/q190 pattern), avgdl is an explicit exact-integer
+    sum(dl)/N division (never engine-avg), and ranking is by the
+    6dp-rounded score desc then doc id (the q56 ulp guard).
+
+    Scale shape: one (doc, term) count shuffle with map-side partials;
+    df is vocabulary-sized and aggregated from tf (no second corpus
+    scan); the query-term table (<= n_query_terms rows) and the 1-row
+    (N, avgdl) stats arrive as broadcasts; scoring touches only the tf
+    rows of the query terms (a semi-join-shaped inner join against the
+    broadcast); the final top-k is a TakeOrdered, never a global sort.
+
+    Returns (id_col, dl, score) — the ``top_k`` best documents.
+    """
+    # toks feeds tf AND the length/stats branch; tf feeds df, the
+    # query-term ranking, and scoring — persist both so the tokenize
+    # (CPU) and the (doc, term) shuffle each run exactly once.
+    toks = managed_persist(
+        df.select(
+            F.col(id_col),
+            whitespace_tokens(F.lower(F.col(text_col))).alias("__toks"),
+        ),
+        "text.bm25.toks",
+    )
+    lens = toks.select(F.col(id_col), F.size("__toks").alias("dl"))
+    tf = managed_persist(
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        "text.bm25.tf",
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # limit-first (the q74 shape): the global row_number window only
+    # ever sees skip_top_df + n_query_terms rows.
+    w = Window.orderBy(F.desc("df"), "term")
+    qterms = (
+        dfreq.orderBy(F.desc("df"), "term")
+        .limit(skip_top_df + n_query_terms)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > skip_top_df)
+        .select("term", "df")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ).select(
+        "n_docs",
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    m10 = F.lit(1e10)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0)) / norm
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            "term",
+            "dl",
+            (F.floor(contrib * m10 + F.lit(0.5)) / m10).alias("c"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.first("dl").alias("dl"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "c"))),
+                lambda s: s["c"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return (
+        agg.select(
+            F.col(id_col),
+            F.col("dl").cast("bigint").alias("dl"),
+            (F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), id_col)
+        .limit(top_k)
+    )
+
+
 # Rolling-hash parameters: Horner fold acc*B + code mod P. P = 2^31-1
 # (Mersenne) keeps acc*B + 0xFFFF < 2^39, far from int64 overflow, and
 # is portable to any engine with 64-bit integer arithmetic.

@@ -4636,3 +4636,106 @@ SELECT CAST(4 AS INT), 'token_budget', CAST(count(*) AS BIGINT),
        CAST(sum(ntok) AS BIGINT) FROM s4
 ORDER BY stage_idx
 """
+
+# q199: ExactSubstr span removal — full replay of the removal policy:
+# the q118 window hashing, the >= 2-distinct-docs qualifier, canonical
+# occurrence = rn 1 over (doc_id, i) per hash (the same equivalence as
+# the engine's min(struct(doc, pos)) argmin), covered positions
+# exploded from every non-canonical occurrence, tokens anti-joined by
+# (doc, pos) and reassembled with string_agg ORDER BY pos. Parallel
+# unnests zip positionally (DuckDB semantics), so token/position pairs
+# line up with posexplode's.
+EXT_ORACLE["q199"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents),
+win AS (
+  SELECT doc_id, i,
+         md5(array_to_string(list_slice(w, i, i + 7), ' ')) AS h
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 7)) AS g(i)
+  WHERE len(w) >= 8),
+qual AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+  SELECT win.doc_id, win.i,
+         row_number() OVER (PARTITION BY win.h
+                            ORDER BY win.doc_id, win.i) AS rn
+  FROM win JOIN qual USING (h)),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, unnest(generate_series(i, i + 7)) AS p
+    FROM occ WHERE rn > 1)),
+tokpos AS (
+  SELECT doc_id, unnest(w) AS tok,
+         unnest(generate_series(1, len(w))) AS p
+  FROM t),
+kept AS (
+  SELECT tp.doc_id, tp.p, tp.tok
+  FROM tokpos tp
+  LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+  WHERE cov.doc_id IS NULL),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       CAST(len(t.w) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM t LEFT JOIN reb r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+# q200: Okapi BM25 — full replay: lowercased whitespace tokens, tf /
+# df from the same relations, query = df ranks 11-13 (DESC, ties by
+# term), avgdl as the explicit exact-integer sum(dl)/N division,
+# per-term contributions with the IDENTICAL association
+# (ln(1 + (N - df + 0.5)/(df + 0.5)) * (tf * 2.2) / (tf + 1.2 * (0.25
+# + 0.75 * dl / avgdl))) pre-rounded 10dp HALF_UP, term-ordered left
+# fold seeded 0.0 (matches F.aggregate), final 6dp HALF_UP, rank by
+# score DESC then doc_id.
+EXT_ORACLE["q200"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+lens AS (SELECT doc_id, len(w) AS dl FROM tk),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS term FROM tk)
+  GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn
+    FROM dfq)
+  WHERE rn > 10 AND rn <= 13),
+st AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM lens),
+sc AS (
+  SELECT tf.doc_id, tf.term, lens.dl,
+         floor((ln(1.0 + (st.n_docs - q.df + 0.5) / (q.df + 0.5))
+                * (tf.tf * 2.2)
+                / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / st.avgdl)))
+               * 1e10 + 0.5) / 1e10 AS c
+  FROM tf
+  JOIN q USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  CROSS JOIN st),
+agg AS (
+  SELECT doc_id, any_value(dl) AS dl,
+         floor(list_reduce(
+             list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(
+                 list_sort(list({'term': term, 'c': c})),
+                 s -> s.c)),
+             (a, x) -> a + x) * 1e6 + 0.5) / 1e6 AS score
+  FROM sc GROUP BY doc_id)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl, score + 0.0 AS score
+FROM agg
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""

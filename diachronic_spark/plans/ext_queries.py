@@ -5203,6 +5203,39 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q199: ExactSubstr span REMOVAL — sequence-level dedup, applied --------
+# q118 measures cross-document duplicated-window mass; this is the
+# other half of Lee et al. 2022: actually CUT the duplicated spans
+# and re-emit the cleaned corpus. Policy (operators/dedup.
+# remove_duplicated_spans): md5 window hashes at width 8, a hash
+# qualifies at >= 2 distinct docs, the global-min (doc_id, pos)
+# occurrence is canonical and keeps its tokens, every other
+# occurrence's positions are cut; docs reassemble from surviving
+# tokens in order (whitespace join-normalized on every path). The
+# sf documents carry real cross-doc span mass (measured: 45 docs /
+# 1115 dup hashes at sf0.001), so removal is decisive on the raw
+# table — no augmentation needed.
+def q199(spark: SparkSession, sf: str) -> DataFrame:
+    docs = widen(load(spark, sf, "documents").select("doc_id", "text"))
+    return D.remove_duplicated_spans(docs, width=8).orderBy("doc_id")
+
+
+# --- q200: Okapi BM25 ranked retrieval (the IR story completed) -------------
+# q56 ranks terms WITHIN a doc (TF-IDF), q73/q74 run boolean set
+# retrieval over the postings; BM25 is the missing piece — scored
+# disjunctive retrieval with tf saturation and length normalization,
+# the first stage of every retrieval-based curation/RAG pipeline.
+# Query = the 3 mid-df terms (df ranks 11-13 — below the q73
+# stopword head), self-scaling at any sf. Determinism: 10dp
+# pre-rounded contributions folded in term order, explicit
+# sum(dl)/N avgdl, 6dp-rounded ranking (operators/text.bm25_topk).
+def q200(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return T.bm25_topk(
+        docs, n_query_terms=3, skip_top_df=10, k1=1.2, b=0.75, top_k=10
+    ).select("doc_id", "dl", (F.col("score") + F.lit(0.0)).alias("score"))
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5234,4 +5267,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
+    "q199": q199, "q200": q200,
 }

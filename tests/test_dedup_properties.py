@@ -534,3 +534,75 @@ def test_paragraph_dedup_keep_first_and_reassembly(spark):
     # doc 2: both shared variants (raw + case/punct) dedup away
     assert got[2].clean_text == "only here"
     assert got[2].n_paras_in == 3 and got[2].n_paras_kept == 1
+
+
+def test_remove_duplicated_spans_policy_clauses(spark):
+    """Every clause decisive: the global-min (doc_id, pos) occurrence
+    keeps its tokens, the non-canonical occurrence is cut, within-doc
+    repeats and short docs pass through, and reassembly is
+    whitespace-join-normalized on every path."""
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} tail a b c"),
+            (2, f"lead x {shared} y z"),
+            # within-doc repeat only — not cross-doc, never cut
+            (4, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+            (5, "too   short"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in D.remove_duplicated_spans(docs, width=8).collect()
+    }
+    # doc 1 holds the canonical (min doc_id) occurrence — untouched
+    assert rows[1].n_removed == 0
+    assert rows[1].cleaned_text == f"{shared} tail a b c"
+    # doc 2's occurrence is non-canonical — exactly the 8 span tokens go
+    assert rows[2].n_removed == 8
+    assert rows[2].cleaned_text == "lead x y z"
+    assert rows[4].n_removed == 0 and rows[4].n_tokens == 16
+    assert rows[5].n_removed == 0
+    assert rows[5].cleaned_text == "too short"  # join-normalized
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_CORPUS)
+def test_remove_duplicated_spans_matches_pure_python(spark, texts):
+    """The full removal policy (qualify at >=2 distinct docs, keep the
+    global-min (doc, pos) occurrence, cut covered positions, reassemble
+    in order) agrees with a direct Python replay at width 3."""
+    width = 3
+    toks = {
+        i: [w for w in t.split() if w] for i, t in enumerate(texts)
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for i, ts in toks.items():
+        for j in range(len(ts) - width + 1):
+            occ.setdefault(" ".join(ts[j : j + width]), []).append(
+                (i, j + 1)
+            )
+    covered: dict[int, set[int]] = {i: set() for i in toks}
+    for positions in occ.values():
+        if len({d for d, _ in positions}) >= 2:
+            keep = min(positions)
+            for d, p in positions:
+                if (d, p) != keep:
+                    covered[d].update(range(p, p + width))
+    expected = {}
+    for i, ts in toks.items():
+        kept = [
+            t for k, t in enumerate(ts, start=1) if k not in covered[i]
+        ]
+        expected[i] = (len(ts), len(ts) - len(kept), " ".join(kept))
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.cleaned_text)
+        for r in D.remove_duplicated_spans(docs, width=width).collect()
+    }
+    assert got == expected

@@ -436,3 +436,25 @@ def test_q194_classifier_gradient_agg_is_partial(spark, sf_dir):
     p = plan_str(agg)
     assert "partial_sum" in p, "gradient sums must map-side combine"
     assert "BatchEvalPython" not in p
+
+
+def test_q199_span_removal_no_token_explode_join(spark, sf_dir):
+    """ExactSubstr removal reassembles via a per-doc covered-set array
+    and an indexed array filter — the plan must carry no anti-join (the
+    token-grain rewrite this replaced), no Python, and no nested loop;
+    the final doc join stays an equi-join."""
+    p = plan_str(QUERIES["q199"](spark, sf_dir))
+    assert "BatchEvalPython" not in p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "LeftAnti" not in p, "token-grain anti-join crept back in"
+
+
+def test_q200_bm25_broadcasts_query_and_stats(spark, sf_dir):
+    """BM25 scoring touches only the query-term tf rows: the <=3-row
+    query-term table and the 1-row (N, avgdl) stats must arrive as
+    broadcasts, the top-k must be a TakeOrdered (never a global sort),
+    and nothing falls back to Python."""
+    p = plan_str(QUERIES["q200"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p

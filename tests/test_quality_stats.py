@@ -326,3 +326,61 @@ def test_pack_sequences_greedy_validation(spark):
 
     with _pytest.raises(ValueError, match="bin_tokens"):
         T.pack_sequences_greedy(None, bin_tokens=0)
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    """BM25 scores and ranking agree with a direct Python computation
+    of the Okapi formula (k1=1.2, b=0.75) over a corpus where the
+    data-driven query (df ranks 1-2 here, skip_top_df=0) and the
+    length normalization are both decisive."""
+    import math
+
+    from diachronic_spark.operators.text import bm25_topk
+
+    texts = {
+        1: "apple banana apple cherry",
+        2: "apple banana banana banana date egg fig grape",
+        3: "apple cherry cherry date",
+        4: "banana date",
+        5: "egg fig grape hazel icefruit jack kiwi lemon",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = [
+        (r.doc_id, r.dl, r.score)
+        for r in bm25_topk(
+            docs, n_query_terms=2, skip_top_df=0, top_k=5
+        ).collect()
+    ]
+
+    toks = {i: t.split() for i, t in texts.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict[str, int] = {}
+    for ts in toks.values():
+        for w in set(ts):
+            df[w] = df.get(w, 0) + 1
+    qterms = sorted(df, key=lambda w: (-df[w], w))[:2]
+    k1, b = 1.2, 0.75
+    expected = []
+    for i, ts in toks.items():
+        contribs = []
+        for w in sorted(qterms):
+            tf = ts.count(w)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+            c = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+            contribs.append(math.floor(c * 1e10 + 0.5) / 1e10)
+        if contribs:
+            s = 0.0
+            for c in contribs:
+                s += c
+            expected.append(
+                (i, len(ts), math.floor(s * 1e6 + 0.5) / 1e6)
+            )
+    expected.sort(key=lambda r: (-r[2], r[0]))
+    assert got == expected

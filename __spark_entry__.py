@@ -159,7 +159,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # full window replay in the oracle), q200 (Okapi BM25 ranked
 # retrieval — mid-df data-driven query terms, saturation + length
 # normalization, term-ordered 10dp fold, broadcast query/stats,
-# TakeOrdered top-k; full relational replay in the oracle).
+# TakeOrdered top-k; full relational replay in the oracle), q201
+# (hard-negative mining — per-anchor top-3 different-label cosine
+# neighbors via the salted two-phase window, anchors broadcast;
+# single-window replay in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

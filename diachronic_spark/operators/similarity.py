@@ -685,6 +685,88 @@ def cosine_near_dup_pairs(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    n_anchors: int = 8,
+    k: int = 3,
+    round_to: int = 4,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data op (public
+    precedent: DPR's hard negatives, FaceNet's triplet mining): for
+    each ANCHOR vector, the ``k`` most cosine-similar vectors carrying
+    a DIFFERENT label. Those near-miss negatives are what make a
+    trained embedding model discriminate; random negatives are too
+    easy to carry gradient.
+
+    Anchors = the ``n_anchors`` smallest vec_ids (a training batch —
+    bounded by config, never by data), broadcast against one corpus
+    scan; the dot product is expression-only (JVM codegen).
+
+    Per-anchor top-k at scale: with few anchors a plain window keyed
+    by anchor collapses the whole corpus onto n_anchors partitions —
+    the classic skew trap. Instead the top-k runs in TWO phases: a
+    window over (anchor, salt) keeps k per salt bucket (salt =
+    hash(vec_id) % salt_buckets, so phase 1 spreads over
+    n_anchors*salt_buckets keys and its output is <= that * k rows),
+    then the tiny residue re-ranks per anchor. The salt provably never
+    changes the result — each bucket's local top-k is a superset of
+    its contribution to the global top-k.
+
+    Ranking is by cosine ROUNDED to ``round_to`` desc then vec_id (the
+    q19 ulp guard). Returns (anchor_id, anchor_label, rank, vec_id,
+    label, cos_sim) ordered by (anchor_id, rank).
+    """
+    anchors = (
+        emb.orderBy("vec_id")
+        .limit(n_anchors)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            F.col("embedding").alias("__a_emb"),
+        )
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity("embedding", "__a_emb"), round_to
+            ).alias("cos_sim"),
+        )
+    )
+    w1 = Window.partitionBy("anchor_id", "__salt").orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+    pruned = (
+        cand.withColumn(
+            "__salt", F.pmod(F.hash("vec_id"), F.lit(salt_buckets))
+        )
+        .withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= k)
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("rank").cast("bigint").alias("rank"),
+            "vec_id",
+            "label",
+            "cos_sim",
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
 # --- IVF store at rest: cell as a physical partition column ---------------
 
 def write_ivf_store(

@@ -4739,3 +4739,35 @@ FROM agg
 ORDER BY score DESC, doc_id
 LIMIT 10
 """
+
+# q201: hard-negative mining — full replay: the 8 smallest-vec_id
+# anchors, cosine against every different-label vector (the q19 list-
+# comprehension dot product, 4dp round), rank per anchor by rounded
+# cosine DESC then vec_id — the single-window form the engine's salted
+# two-phase top-k provably equals.
+EXT_ORACLE["q201"] = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+c AS (
+  SELECT a.anchor_id, a.anchor_label, e.vec_id, e.label,
+         round(
+           list_sum([e.embedding[i]::DOUBLE * a.ae[i]::DOUBLE
+                     FOR i IN generate_series(1, 64)])
+           / (sqrt(list_sum([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE
+                             FOR i IN generate_series(1, 64)]))
+              * sqrt(list_sum([a.ae[i]::DOUBLE * a.ae[i]::DOUBLE
+                               FOR i IN generate_series(1, 64)]))), 4)
+           AS cos_sim
+  FROM embeddings e, a
+  WHERE e.label <> a.anchor_label),
+r AS (
+  SELECT anchor_id, anchor_label, vec_id, label, cos_sim,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos_sim DESC, vec_id) AS rank
+  FROM c)
+SELECT anchor_id, anchor_label, CAST(rank AS BIGINT) AS rank,
+       vec_id, label, cos_sim
+FROM r WHERE rank <= 3
+ORDER BY anchor_id, rank
+"""

@@ -5236,6 +5236,20 @@ def q200(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "dl", (F.col("score") + F.lit(0.0)).alias("score"))
 
 
+# --- q201: hard-negative mining (contrastive-training data) ----------------
+# The embedding-training complement of the ANN family: q19/q27/q51
+# retrieve nearest neighbors, q141 prunes semantic dups — this mines
+# the NEAR-MISS negatives (most-similar vectors with a different
+# label) that contrastive training needs (DPR/FaceNet precedent).
+# 8-anchor batch broadcast against one corpus scan; per-anchor top-3
+# via the salted TWO-PHASE window (never n_anchors partitions — the
+# skew trap a plain window would be at 100 TB). Oracle replays the
+# single-window form — the salt provably never changes the result.
+def q201(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.hard_negatives(emb, n_anchors=8, k=3, round_to=4)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5267,5 +5281,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
-    "q199": q199, "q200": q200,
+    "q199": q199, "q200": q200, "q201": q201,
 }

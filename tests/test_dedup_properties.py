@@ -606,3 +606,44 @@ def test_remove_duplicated_spans_matches_pure_python(spark, texts):
         for r in D.remove_duplicated_spans(docs, width=width).collect()
     }
     assert got == expected
+
+
+def test_hard_negatives_two_phase_equals_single_window(spark):
+    """The salted phase-1 prune never changes the result: compare
+    against a direct single-window computation (numpy) on random
+    vectors, including the different-label constraint and the
+    rounded-cosine/vec_id tie order."""
+    import numpy as np
+
+    from diachronic_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    labels = (rng.integers(0, 3, size=n)).astype(int)
+    emb = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in vecs[i]], int(labels[i]))
+            for i in range(n)
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    got = [
+        (r.anchor_id, r.rank, r.vec_id, r.cos_sim)
+        for r in hard_negatives(
+            emb, n_anchors=4, k=3, salt_buckets=5
+        ).collect()
+    ]
+    expected = []
+    for a in range(4):
+        cands = []
+        for j in range(n):
+            if labels[j] == labels[a]:
+                continue
+            va, vj = vecs[a].astype(float), vecs[j].astype(float)
+            cos = float(va @ vj / (np.linalg.norm(va) * np.linalg.norm(vj)))
+            cands.append((j, round(cos, 4)))
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (j, cos) in enumerate(cands[:3], start=1):
+            expected.append((a, rank, j, cos))
+    assert got == expected

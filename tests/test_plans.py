@@ -458,3 +458,16 @@ def test_q200_bm25_broadcasts_query_and_stats(spark, sf_dir):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q201_hard_negatives_two_phase_no_single_partition(spark, sf_dir):
+    """The per-anchor top-k must run as the salted two-phase window
+    (phase 1 keyed by (anchor, salt)) — never collapse the corpus onto
+    n_anchors partitions or a single partition; anchors arrive
+    broadcast."""
+    p = plan_str(QUERIES["q201"](spark, sf_dir))
+    assert "Exchange SinglePartition" not in p
+    assert p.count("Window") >= 2, "two-phase top-k collapsed to one window"
+    assert "__salt" in p, "phase-1 salt key missing from the plan"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p

@@ -162,7 +162,11 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # TakeOrdered top-k; full relational replay in the oracle), q201
 # (hard-negative mining — per-anchor top-3 different-label cosine
 # neighbors via the salted two-phase window, anchors broadcast;
-# single-window replay in the oracle).
+# single-window replay in the oracle), q202 (temperature-based
+# multilingual rebalancing — XLM-R alpha=0.3 exponential smoothing:
+# per-language rates q_l*N/n_l, deterministic floor(r)+Bernoulli
+# copies via the house md5-uniform, upsample and downsample in one
+# pass; rate-fold + per-doc-k replay in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

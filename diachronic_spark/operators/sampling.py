@@ -96,6 +96,85 @@ def weighted_sample_k(
     )
 
 
+def temperature_rebalance(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    mod: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-based multilingual rebalancing — the exponential-
+    smoothing sampler of XLM-R (Conneau et al. 2020 §3.1; mBERT used
+    the same recipe): with p_l the raw per-language share, resample to
+    q_l ∝ p_l^alpha, which UPWEIGHTS low-resource languages (alpha<1
+    flattens the distribution; alpha=1 is identity, alpha=0 uniform).
+    The per-language rate against a same-size target corpus is
+    r_l = q_l * N / n_l: rates > 1 mean replication (epochs), < 1 mean
+    downsampling — this operator does both, deterministically.
+
+    Every document yields floor(r_l) full copies plus one more iff
+    u(doc) < frac(r_l), where u = (md5_bucket(id) + 0.5)/mod — the
+    house reproducible uniform (same construction as q43/q78), so the
+    draw is a pure function of the key: engines, reruns, and partition
+    layouts all emit the same multiset.
+
+    Determinism of the rate table: language counts are collected
+    (bounded by #languages, never by data — the dsir regime), p^alpha
+    terms are 10dp HALF_UP pre-rounded and summed in sorted-language
+    order, q and r round the same way; the oracle replays the
+    identical fold. Copies materialize via sequence+explode — a pure
+    row-local expansion whose output is budget-sized (sum r_l * n_l =
+    N), so the op stays scan-shaped at 100 TB.
+
+    Returns the input columns plus (epoch, rate) — one row per emitted
+    copy, epoch in 1..copies.
+    """
+    import math
+
+    m10 = 10.0**10
+
+    def _f10(x: float) -> float:
+        return math.floor(x * m10 + 0.5) / m10
+
+    counts = {
+        r["l"]: r["n"]
+        for r in docs.groupBy(F.col(lang_col).alias("l"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_total = sum(counts.values())
+    pa = {l: _f10(math.pow(c / n_total, alpha)) for l, c in counts.items()}
+    spa = 0.0
+    for l in sorted(pa):
+        spa += pa[l]
+    rate = {
+        l: _f10(_f10(pa[l] / spa) * n_total / counts[l]) for l in counts
+    }
+    rate_expr = F.lit(None).cast("double")
+    for l in sorted(rate):
+        rate_expr = F.when(
+            F.col(lang_col) == F.lit(l), F.lit(rate[l])
+        ).otherwise(rate_expr)
+    u = (_md5_bucket(F.col(id_col), mod) + F.lit(0.5)) / F.lit(float(mod))
+    with_k = docs.select(
+        "*",
+        rate_expr.alias("rate"),
+        (
+            F.floor(rate_expr).cast("bigint")
+            + F.when(u < rate_expr - F.floor(rate_expr), 1).otherwise(0)
+        ).alias("__k"),
+    )
+    return (
+        with_k.filter(F.col("__k") >= 1)
+        .select(
+            "*",
+            F.explode(F.sequence(F.lit(1), F.col("__k").cast("int")))
+            .alias("epoch"),
+        )
+        .drop("__k")
+    )
+
+
 def global_running_sum(
     df: DataFrame,
     val_col: str,

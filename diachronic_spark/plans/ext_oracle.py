@@ -4771,3 +4771,49 @@ SELECT anchor_id, anchor_label, CAST(rank AS BIGINT) AS rank,
 FROM r WHERE rank <= 3
 ORDER BY anchor_id, rank
 """
+
+
+# q202: temperature rebalancing — rate-table replay (10dp HALF_UP
+# p^alpha terms summed in sorted-language order via the list fold,
+# the same q/r rounding chain as the engine's driver-side build),
+# then the per-doc copy count k = floor(r) + (u < frac(r)) with the
+# house md5-uniform; no explode needed — sum(k) is the emitted-row
+# count and count(k>=1) the docs used.
+_H32_DOC = _h32("doc_id::VARCHAR")
+EXT_ORACLE["q202"] = f"""
+WITH nl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM nl),
+pa AS (
+  SELECT lang, n_docs,
+         floor(pow(n_docs / CAST(t.n AS DOUBLE), 0.3) * 1e10 + 0.5) / 1e10
+           AS pa
+  FROM nl CROSS JOIN tot t),
+sp AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({{'lang': lang, 'pa': pa}})),
+                            x -> x.pa)),
+           (a, b) -> a + b) AS spa
+  FROM pa),
+rt AS (
+  SELECT lang, n_docs,
+         floor((floor(pa / sp.spa * 1e10 + 0.5) / 1e10) * t.n / n_docs
+               * 1e10 + 0.5) / 1e10 AS rate
+  FROM pa CROSS JOIN sp CROSS JOIN tot t),
+perdoc AS (
+  SELECT d.lang, d.doc_id, r.n_docs, r.rate,
+         CAST(floor(r.rate) AS BIGINT)
+         + CASE WHEN ((({_H32_DOC}) % 1000000) + 0.5) / 1000000.0
+                     < r.rate - floor(r.rate)
+                THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN rt r USING (lang))
+SELECT lang,
+       CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(CASE WHEN k >= 1 THEN doc_id END) AS BIGINT)
+         AS n_docs_used,
+       CAST(sum(k) AS BIGINT) AS n_sampled,
+       floor(any_value(rate) * 1e6 + 0.5) / 1e6 AS rate
+FROM perdoc
+GROUP BY lang
+ORDER BY lang
+"""

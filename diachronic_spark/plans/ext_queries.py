@@ -5250,6 +5250,40 @@ def q201(spark: SparkSession, sf: str) -> DataFrame:
     return S.hard_negatives(emb, n_anchors=8, k=3, round_to=4)
 
 
+# --- q202: temperature-based multilingual rebalancing (XLM-R alpha) --------
+# The published low-resource-language upsampler (Conneau et al. 2020
+# §3.1, alpha=0.3): resample language shares p_l to q_l ∝ p_l^0.3,
+# rate r_l = q_l*N/n_l, each doc emitting floor(r) copies + one more
+# iff the house md5-uniform < frac(r). Report at language grain:
+# raw docs, distinct docs used, emitted rows, and the 6dp rate —
+# every policy clause (upsample >1, downsample <1, deterministic
+# Bernoulli residue) lands in the numbers. Oracle replays the rate
+# fold (10dp sorted-language sum) and the per-doc k without any
+# explode (sum k ≡ row count).
+def q202(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    sampled = SA.temperature_rebalance(docs, alpha=0.3)
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs_used"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+            (
+                F.floor(F.max("rate") * F.lit(1e6) + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("rate"),
+        )
+        .join(
+            docs.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs")
+            ),
+            "lang",
+        )
+        .select("lang", "n_docs", "n_docs_used", "n_sampled", "rate")
+        .orderBy("lang")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5281,5 +5315,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
-    "q199": q199, "q200": q200, "q201": q201,
+    "q199": q199, "q200": q200, "q201": q201, "q202": q202,
 }

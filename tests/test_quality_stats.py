@@ -384,3 +384,39 @@ def test_bm25_topk_matches_pure_python(spark):
             )
     expected.sort(key=lambda r: (-r[2], r[0]))
     assert got == expected
+
+
+def test_temperature_rebalance_properties(spark):
+    """alpha=1 is the identity (every rate 1.0, corpus unchanged);
+    alpha=0.3 flattens: the dominant language's rate < 1 < the rare
+    language's rate, emitted mass ~ N, epochs enumerate 1..copies,
+    and the draw is deterministic across invocations."""
+    from diachronic_spark.operators.sampling import temperature_rebalance
+
+    rows = [(i, "big") for i in range(90)] + [
+        (100 + i, "small") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+    ident = temperature_rebalance(docs, alpha=1.0)
+    assert ident.count() == 100
+    assert ident.select("rate").distinct().collect()[0].rate == 1.0
+
+    flat = temperature_rebalance(docs, alpha=0.3)
+    rates = {r.lang: r.rate for r in flat.select("lang", "rate").distinct().collect()}
+    assert rates["big"] < 1.0 < rates["small"]
+    total = flat.count()
+    assert abs(total - 100) <= 5  # Bernoulli residue, not drift
+    # epochs enumerate 1..copies for an upsampled doc
+    eps = sorted(
+        r.epoch
+        for r in flat.filter("lang = 'small' and doc_id = 100").collect()
+    )
+    assert eps == list(range(1, len(eps) + 1)) and len(eps) >= 1
+    # pure function of the key: second run emits the identical multiset
+    a = sorted((r.doc_id, r.epoch) for r in flat.collect())
+    b = sorted(
+        (r.doc_id, r.epoch)
+        for r in temperature_rebalance(docs, alpha=0.3).collect()
+    )
+    assert a == b

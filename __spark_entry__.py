@@ -166,7 +166,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # multilingual rebalancing — XLM-R alpha=0.3 exponential smoothing:
 # per-language rates q_l*N/n_l, deterministic floor(r)+Bernoulli
 # copies via the house md5-uniform, upsample and downsample in one
-# pass; rate-fold + per-doc-k replay in the oracle).
+# pass; rate-fold + per-doc-k replay in the oracle), q203
+# (margin-based bitext mining — Artetxe & Schwenk ratio-margin over
+# the label-0/label-1 embedding sides, per-side k-NN windows over a
+# persisted candidate relation; full window+fold replay).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -767,6 +767,96 @@ def hard_negatives(
     )
 
 
+def margin_bitext_mine(
+    emb: DataFrame,
+    src_label: int = 0,
+    tgt_label: int = 1,
+    k: int = 4,
+    top: int = 20,
+) -> DataFrame:
+    """Margin-based parallel-corpus mining (Artetxe & Schwenk 2019 —
+    the CCMatrix/WikiMatrix method, public): a (source, target) pair
+    is a translation candidate not when its cosine is high in absolute
+    terms but when it is high RELATIVE to each side's neighborhood —
+    margin(x, y) = cos(x, y) / ((sum_NNk(x) + sum_NNk(y)) / 2k),
+    where NNk(x) are x's k nearest vectors on the OTHER side. The
+    ratio cancels hubness (vectors that are near everything), the
+    failure mode absolute-threshold mining hits first.
+
+    Shape: the two sides come from one scan (label partition); the
+    candidate pair relation is built once and persisted (it feeds the
+    margin numerator AND both neighborhood sums). Per-side kNN sums
+    use rank-truncated windows keyed by that side's id. At fixture
+    scale candidates are the full bipartite product with the smaller
+    side broadcast; at 100 TB the candidate generator swaps for the
+    IVF/SRP machinery (q27/q37) with IDENTICAL downstream scoring —
+    the margin stage never changes shape.
+
+    Determinism: cosines pre-rounded 6dp HALF_UP, neighborhood sums
+    folded in ascending (cos, partner) order (the shared exact-fold
+    pattern), margin rounded 6dp, ranking by margin desc then
+    (src_id, tgt_id).
+
+    Returns (src_id, tgt_id, cos_sim, margin) — the ``top`` best pairs.
+    """
+    m6 = F.lit(1e6)
+    a = emb.filter(F.col("label") == src_label).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("__ea")
+    )
+    b = emb.filter(F.col("label") == tgt_label).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("__eb")
+    )
+    pairs = managed_persist(
+        a.crossJoin(F.broadcast(b)).select(
+            "src_id",
+            "tgt_id",
+            (
+                F.floor(cosine_similarity("__ea", "__eb") * m6 + F.lit(0.5))
+                / m6
+            ).alias("c"),
+        ),
+        "similarity.margin.pairs",
+    )
+
+    def _knn_sum(part_col: str, other_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(F.desc("c"), other_col)
+        return (
+            pairs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .groupBy(part_col)
+            .agg(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("c", other_col))
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias(out)
+            )
+        )
+
+    sx = _knn_sum("src_id", "tgt_id", "__sx")
+    sy = _knn_sum("tgt_id", "src_id", "__sy")
+    denom = (F.col("__sx") + F.col("__sy")) / F.lit(2.0 * k)
+    return (
+        pairs.join(sx, "src_id")
+        .join(sy, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("c").alias("cos_sim"),
+            (F.floor(F.col("c") / denom * m6 + F.lit(0.5)) / m6).alias(
+                "margin"
+            ),
+        )
+        .orderBy(F.desc("margin"), "src_id", "tgt_id")
+        .limit(top)
+    )
+
+
 # --- IVF store at rest: cell as a physical partition column ---------------
 
 def write_ivf_store(

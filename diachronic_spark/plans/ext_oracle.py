@@ -4817,3 +4817,60 @@ FROM perdoc
 GROUP BY lang
 ORDER BY lang
 """
+
+# q203: margin-based bitext mining — full replay: 6dp HALF_UP cosines
+# over the label-0 x label-1 product (the q19 dot-product idiom), per-
+# side k-NN rank windows (cos DESC, partner id), neighborhood sums as
+# ascending (cos, partner) list folds seeded 0.0 (matches the engine's
+# array_sort+aggregate), margin = cos / ((sx + sy) / 2k) rounded 6dp,
+# top-20 by margin DESC then (src_id, tgt_id).
+EXT_ORACLE["q203"] = """
+WITH a AS (SELECT vec_id AS src_id, embedding AS ea FROM embeddings
+           WHERE label = 0),
+b AS (SELECT vec_id AS tgt_id, embedding AS eb FROM embeddings
+      WHERE label = 1),
+pairs AS (
+  SELECT src_id, tgt_id,
+         floor(
+           (list_sum([ea[i]::DOUBLE * eb[i]::DOUBLE
+                      FOR i IN generate_series(1, 64)])
+            / (sqrt(list_sum([ea[i]::DOUBLE * ea[i]::DOUBLE
+                              FOR i IN generate_series(1, 64)]))
+               * sqrt(list_sum([eb[i]::DOUBLE * eb[i]::DOUBLE
+                                FOR i IN generate_series(1, 64)]))))
+           * 1e6 + 0.5) / 1e6 AS c
+  FROM a, b),
+rx AS (
+  SELECT src_id, c, tgt_id,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY c DESC, tgt_id) AS rn
+  FROM pairs),
+sx AS (
+  SELECT src_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({'c': c, 'id': tgt_id})),
+                            s -> s.c)),
+           (acc, x) -> acc + x) AS sxv
+  FROM rx WHERE rn <= 4 GROUP BY src_id),
+ry AS (
+  SELECT tgt_id, c, src_id,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY c DESC, src_id) AS rn
+  FROM pairs),
+sy AS (
+  SELECT tgt_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({'c': c, 'id': src_id})),
+                            s -> s.c)),
+           (acc, x) -> acc + x) AS syv
+  FROM ry WHERE rn <= 4 GROUP BY tgt_id)
+SELECT p.src_id, p.tgt_id, p.c AS cos_sim,
+       floor(p.c / ((sx.sxv + sy.syv) / 8.0) * 1e6 + 0.5) / 1e6 AS margin
+FROM pairs p
+JOIN sx ON sx.src_id = p.src_id
+JOIN sy ON sy.tgt_id = p.tgt_id
+ORDER BY margin DESC, p.src_id, p.tgt_id
+LIMIT 20
+"""

@@ -5284,6 +5284,20 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q203: margin-based bitext mining (parallel-corpus discovery) ----------
+# Artetxe & Schwenk 2019 (CCMatrix/WikiMatrix, public): translation
+# pairs scored by cosine RELATIVE to each side's k-NN neighborhood —
+# margin = cos / ((sum_NNk(src) + sum_NNk(tgt)) / 2k) — the ratio
+# that cancels hubness. Sides = the embeddings fixture's label 0 vs
+# label 1; the candidate relation is built once (smaller side
+# broadcast) and persisted for the numerator and both neighborhood
+# windows. Oracle replays the windows and the ascending (cos, id)
+# neighborhood folds.
+def q203(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.margin_bitext_mine(emb, src_label=0, tgt_label=1, k=4, top=20)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5315,5 +5329,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
-    "q199": q199, "q200": q200, "q201": q201, "q202": q202,
+    "q199": q199, "q200": q200, "q201": q201, "q202": q202, "q203": q203,
 }

@@ -647,3 +647,70 @@ def test_hard_negatives_two_phase_equals_single_window(spark):
         for rank, (j, cos) in enumerate(cands[:3], start=1):
             expected.append((a, rank, j, cos))
     assert got == expected
+
+
+def test_margin_bitext_mine_matches_numpy(spark):
+    """Margin scores and ranking agree with a direct numpy replay of
+    Artetxe & Schwenk's ratio-margin (k-NN sums over the other side,
+    6dp rounding at each declared point)."""
+    import math
+
+    import numpy as np
+
+    from diachronic_spark.operators.similarity import margin_bitext_mine
+
+    rng = np.random.default_rng(11)
+    na, nb, dim = 12, 9, 8
+    va = rng.normal(size=(na, dim)).astype(np.float32)
+    vb = rng.normal(size=(nb, dim)).astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in va[i]], 0) for i in range(na)
+    ] + [
+        (100 + int(j), [float(x) for x in vb[j]], 1) for j in range(nb)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = [
+        (r.src_id, r.tgt_id, r.cos_sim, r.margin)
+        for r in margin_bitext_mine(emb, k=3, top=10).collect()
+    ]
+
+    def f6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    cos = {}
+    for i in range(na):
+        for j in range(nb):
+            x, y = va[i].astype(float), vb[j].astype(float)
+            cos[(i, 100 + j)] = f6(
+                float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+            )
+    def knn_sum(pairs_for, key_is_src):
+        out = {}
+        ids = range(na) if key_is_src else [100 + j for j in range(nb)]
+        for a in ids:
+            cands = sorted(
+                (
+                    (c, other)
+                    for (s, t), c in cos.items()
+                    for other in [t if key_is_src else s]
+                    if (s if key_is_src else t) == a
+                ),
+                key=lambda p: (-p[0], p[1]),
+            )[:3]
+            s = 0.0
+            for c, _ in sorted(cands, key=lambda p: (p[0], p[1])):
+                s += c
+            out[a] = s
+        return out
+
+    sx, sy = knn_sum(cos, True), knn_sum(cos, False)
+    expected = sorted(
+        (
+            (s, t, c, f6(c / ((sx[s] + sy[t]) / 6.0)))
+            for (s, t), c in cos.items()
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:10]
+    assert got == expected

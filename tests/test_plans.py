@@ -471,3 +471,15 @@ def test_q201_hard_negatives_two_phase_no_single_partition(spark, sf_dir):
     assert "__salt" in p, "phase-1 salt key missing from the plan"
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
+
+
+def test_q203_margin_pairs_built_once_and_broadcast(spark, sf_dir):
+    """The candidate pair relation feeds the numerator and BOTH
+    neighborhood windows — it must come from the persisted cache
+    (InMemoryTableScan), the smaller side must broadcast, and nothing
+    drops to Python."""
+    p = plan_str(QUERIES["q203"](spark, sf_dir))
+    assert "InMemoryTableScan" in p, "pair relation recomputed per branch"
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+    assert "TakeOrderedAndProject" in p

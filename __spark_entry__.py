@@ -169,7 +169,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # pass; rate-fold + per-doc-k replay in the oracle), q203
 # (margin-based bitext mining — Artetxe & Schwenk ratio-margin over
 # the label-0/label-1 embedding sides, per-side k-NN windows over a
-# persisted candidate relation; full window+fold replay).
+# persisted candidate relation; full window+fold replay), q204
+# (classifier evaluation — exact rank-sum AUC over a held-out eval
+# split with forced ties and label inversions, confusion at the
+# deployed margin>=0 gate; training-chain + margin-grain replay).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -4874,3 +4874,98 @@ JOIN sy ON sy.tgt_id = p.tgt_id
 ORDER BY margin DESC, p.src_id, p.tgt_id
 LIMIT 20
 """
+
+# q204: classifier evaluation — the q194 training chain verbatim
+# (same _CLS_VALUES/feat/gradient/weight CTEs), the learned w5 then
+# scores the HELD-OUT eval split (classifier_fixture.EVAL_DOCS — the
+# identical-text opposite-label pair and the two hard inversions keep
+# accuracy/AUC strictly inside (0,1)); margins at distinct-value
+# grain: cumq = negatives strictly below each margin,
+# 2*AUC*np*nq = sum p*(2*cumq) + p*q (ties at 1/2), exact integers
+# until the final 6dp-rounded divisions; confusion at the deployed
+# margin >= 0 gate.
+from ..sources.classifier_fixture import EVAL_DOCS as _CLS_EVAL_DOCS
+
+_CLS_EVAL_VALUES = ",\n  ".join(
+    f"({i}, {_sqlstr(t)}, {y})" for i, t, y in _CLS_EVAL_DOCS
+)
+
+EXT_ORACLE["q204"] = f"""
+WITH docs(doc_id, text, label) AS (VALUES
+  {_CLS_VALUES}
+),
+evals(doc_id, text, label) AS (VALUES
+  {_CLS_EVAL_VALUES}
+),
+norm AS (
+  SELECT label,
+         list_filter(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM docs),
+feat AS MATERIALIZED (
+  SELECT CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y,
+         list_append(list_transform(generate_series(0, 15), b ->
+           CAST(len(list_filter(bt, v -> v = b)) AS DOUBLE)
+             / greatest(len(bt), 1)), CAST(1.0 AS DOUBLE)) AS x
+  FROM (SELECT label,
+               list_transform(toks, w -> ({_H32_W}) % 16) AS bt
+        FROM norm)),
+nn AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nd FROM feat),
+gi AS (SELECT unnest(generate_series(1, {_LR_DIM})) AS i),
+w0 AS (SELECT list_transform(generate_series(1, {_LR_DIM}),
+              i -> CAST(0.0 AS DOUBLE)) AS w),
+{_LR_CHAIN},
+norme AS (
+  SELECT label,
+         list_filter(string_split(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+           '\\s+', ' ', 'g')), ' '), t -> t <> '') AS toks
+  FROM evals),
+feate AS (
+  SELECT CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y,
+         list_append(list_transform(generate_series(0, 15), b ->
+           CAST(len(list_filter(bt, v -> v = b)) AS DOUBLE)
+             / greatest(len(bt), 1)), CAST(1.0 AS DOUBLE)) AS x
+  FROM (SELECT label,
+               list_transform(toks, w -> ({_H32_W}) % 16) AS bt
+        FROM norme)),
+mf AS (
+  SELECT y,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, {_LR_DIM}), i ->
+             w.w[i] * x[i])), (a, b) -> a + b) AS margin
+  FROM feate CROSS JOIN w{_LR_ITERS} w),
+g AS (
+  SELECT margin,
+         CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(sum(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS q
+  FROM mf GROUP BY margin),
+c AS (
+  SELECT p, q,
+         CAST(sum(q) OVER (ORDER BY margin
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) - q AS cumq
+  FROM g),
+st AS (
+  SELECT CAST(sum(p * (2 * cumq) + p * q) AS BIGINT) AS numer2,
+         CAST(sum(p) AS BIGINT) AS n_pos,
+         CAST(sum(q) AS BIGINT) AS n_neg
+  FROM c),
+conf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN y = 1.0 AND margin >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN y = 0.0 AND margin >= 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN y = 0.0 AND margin < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS tn,
+         CAST(sum(CASE WHEN y = 1.0 AND margin < 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS fn
+  FROM mf)
+SELECT n_docs, n_pos, n_neg, tp, fp, tn, fn,
+       floor(CAST(tp + tn AS DOUBLE) / n_docs * 1e6 + 0.5) / 1e6
+         AS accuracy,
+       floor(CAST(numer2 AS DOUBLE) / (2.0 * n_pos * n_neg) * 1e6 + 0.5)
+         / 1e6 AS auc
+FROM conf CROSS JOIN st
+"""

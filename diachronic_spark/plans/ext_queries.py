@@ -5298,6 +5298,81 @@ def q203(spark: SparkSession, sf: str) -> DataFrame:
     return S.margin_bitext_mine(emb, src_label=0, tgt_label=1, k=4, top=20)
 
 
+# --- q204: classifier evaluation — exact rank-sum AUC + gate confusion -----
+# The eval step a quality-gate pipeline runs before deploying q194's
+# model on the stream (q197): ROC-AUC via the Mann-Whitney rank-sum
+# identity computed EXACTLY — at distinct-margin grain, with cumq the
+# count of negatives strictly below a margin value,
+#   2*AUC*n_pos*n_neg = sum_v p_v*(2*cumq_<v) + p_v*q_v
+# (ties contribute the standard 1/2) — all-integer until the single
+# final division, so there is no float-accumulation question at any
+# partitioning. The cumulative runs through global_running_sum (the
+# two-phase prefix sum; margins are unique per group row), never an
+# Exchange SinglePartition. Confusion counts at the deployed margin
+# >= 0 gate round out the report. Oracle: the q194 training chain +
+# margin-grain window replay.
+def q204(spark: SparkSession, sf: str) -> DataFrame:
+    from ..catalog import ensure_confs
+    from ..operators.classifier import score_margin, train_quality_weights
+    from ..sources.classifier_fixture import DOCS as _CLS_DOCS
+    from ..sources.classifier_fixture import EVAL_DOCS as _CLS_EVAL
+
+    ensure_confs(spark)
+    schema = "doc_id bigint, text string, label int"
+    docs = spark.createDataFrame(_CLS_DOCS, schema)
+    w, _, _ = train_quality_weights(
+        docs, F.col("label") == 1, "text", 16, 4.0, 5
+    )
+    m = spark.createDataFrame(_CLS_EVAL, schema).select(
+        "label", score_margin(w).alias("m")
+    )
+    g = m.groupBy("m").agg(
+        F.sum(F.when(F.col("label") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+        F.sum(F.when(F.col("label") == 1, 0).otherwise(1))
+        .cast("bigint")
+        .alias("q"),
+    )
+    cum = SA.global_running_sum(g, "q", ["m"], cache_key="q204.grs")
+    stats = cum.agg(
+        F.sum(
+            F.col("p") * (2 * (F.col("cum") - F.col("q")))
+            + F.col("p") * F.col("q")
+        ).alias("numer2"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum("q").cast("bigint").alias("n_neg"),
+    )
+    conf = m.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("m") >= 0), 1)
+              .otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("m") >= 0), 1)
+              .otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("m") < 0), 1)
+              .otherwise(0)).cast("bigint").alias("tn"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("m") < 0), 1)
+              .otherwise(0)).cast("bigint").alias("fn"),
+    )
+    m6 = F.lit(1e6)
+    return conf.crossJoin(F.broadcast(stats)).select(
+        "n_docs", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        (
+            F.floor(
+                (F.col("tp") + F.col("tn")).cast("double")
+                / F.col("n_docs") * m6 + F.lit(0.5)
+            ) / m6
+        ).alias("accuracy"),
+        (
+            F.floor(
+                F.col("numer2").cast("double")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                * m6 + F.lit(0.5)
+            ) / m6
+        ).alias("auc"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5329,5 +5404,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
-    "q199": q199, "q200": q200, "q201": q201, "q202": q202, "q203": q203,
+    "q199": q199, "q200": q200, "q201": q201, "q202": q202, "q203": q203, "q204": q204,
 }

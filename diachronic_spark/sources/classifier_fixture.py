@@ -63,3 +63,38 @@ def _build() -> list[tuple[int, str, int]]:
 
 
 DOCS: list[tuple[int, str, int]] = _build()
+
+
+def _build_eval() -> list[tuple[int, str, int]]:
+    """Held-out EVAL split for q204's classifier evaluation. The
+    training corpus is linearly separable by design (q194 converges
+    to 48/48), so a decisive evaluation needs documents the model
+    CANNOT all get right:
+
+    - three easy pairs (pure prose / pure spam) — the sanity mass;
+    - one IDENTICAL 50/50 mixture under BOTH labels — same text, same
+      margin, so exactly one of the two is wrong at any threshold and
+      the AUC rank-sum crosses a genuine tie (the 1/2 term);
+    - two hard inversions — a spam-dominant page labeled prose and a
+      prose-dominant page labeled spam — mislabeled-data reality that
+      keeps accuracy and AUC strictly inside (0, 1).
+    """
+    ev: list[tuple[int, str, int]] = []
+    eid = 100
+    for d in range(3):
+        ev.append((eid, _doc(_PROSE, 50 + d, 18 + d), 1))
+        eid += 1
+        ev.append((eid, _doc(_SPAM, 50 + d, 18 + d), 0))
+        eid += 1
+    half = _doc(_PROSE, 60, 12) + " " + _doc(_SPAM, 60, 12)
+    ev.append((eid, half, 1))
+    eid += 1
+    ev.append((eid, half, 0))
+    eid += 1
+    ev.append((eid, _doc(_SPAM, 61, 20) + " " + _doc(_PROSE, 61, 6), 1))
+    eid += 1
+    ev.append((eid, _doc(_PROSE, 62, 20) + " " + _doc(_SPAM, 62, 6), 0))
+    return ev
+
+
+EVAL_DOCS: list[tuple[int, str, int]] = _build_eval()

@@ -483,3 +483,19 @@ def test_q203_margin_pairs_built_once_and_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "BatchEvalPython" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q204_auc_cumulative_is_two_phase_and_aggs_partial(spark, sf_dir):
+    """The margin-grain cumulative must ride the two-phase prefix sum
+    (range partition + pid window), never a global ORDER BY window —
+    and every global aggregate must map-side combine (partial_sum
+    before its exchange), so the only SinglePartition exchanges are
+    1-row agg finalizes."""
+    p = plan_str(QUERIES["q204"](spark, sf_dir))
+    assert "rangepartitioning(m" in p, "prefix sum lost its range phase"
+    assert "partial_sum" in p, "global aggs must map-side combine"
+    # no WINDOW runs on a single partition (agg finalizes may)
+    import re
+    for m in re.finditer(r"Window .{0,400}", p):
+        assert "SinglePartition" not in m.group(0)
+    assert "BatchEvalPython" not in p

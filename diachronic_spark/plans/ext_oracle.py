@@ -4171,7 +4171,8 @@ a AS (
          string_agg(para, chr(10) ORDER BY pos)
            FILTER (rn = 1) AS clean_text
   FROM f GROUP BY doc_id)
-SELECT doc_id, clean_text, n_paras_in, n_paras_kept
+SELECT CAST(doc_id AS BIGINT) AS doc_id, clean_text,
+       n_paras_in, n_paras_kept
 FROM a WHERE n_paras_kept > 0
 ORDER BY doc_id
 """
@@ -4569,7 +4570,7 @@ mf AS (
            list_transform(generate_series(1, {_LR_DIM}), i ->
              w.w[i] * x[i])), (a, b) -> a + b) AS margin
   FROM feat CROSS JOIN w{_LR_ITERS} w)
-SELECT doc_id, CAST(label AS INT) AS label,
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS INT) AS label,
        floor(margin * 1e6 + 0.5) / 1e6 + 0.0 AS margin
 FROM mf WHERE margin >= 0
 ORDER BY doc_id

@@ -172,7 +172,10 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # persisted candidate relation; full window+fold replay), q204
 # (classifier evaluation — exact rank-sum AUC over a held-out eval
 # split with forced ties and label inversions, confusion at the
-# deployed margin>=0 gate; training-chain + margin-grain replay).
+# deployed margin>=0 gate; training-chain + margin-grain replay),
+# q205 (FUZZY benchmark decontamination — MinHash-LSH (train, eval)
+# candidates with eval bands broadcast, exact Jaccard >= 0.5; the
+# q23 chain side-split in the oracle).
 # Changed since their last driver row (round-10 edits): q162/q175
 # (pack_sequences_greedy gained return_assignments; expression path
 # unchanged), q172/q176 (bpe encode plumbing gained byte_level/

@@ -4970,3 +4970,33 @@ SELECT n_docs, n_pos, n_neg, tp, fp, tn, fn,
          / 1e6 AS auc
 FROM conf CROSS JOIN st
 """
+
+
+# q205: fuzzy decontamination — the q23 signature/band chain with the
+# candidate join SIDE-SPLIT (train doc_id >= 50 x eval doc_id < 50)
+# instead of the self-join's doc_a < doc_b, exact shingle-intersection
+# Jaccard >= 0.5 adjudicating the LSH candidates.
+EXT_ORACLE["q205"] = f"""
+WITH {_CORPUS}, {_SHINGLES},
+sig AS (SELECT doc_id, {_MINHASH_COLS} FROM sh GROUP BY doc_id),
+bands AS ({_BANDS}),
+cand AS (
+  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+  FROM bands t JOIN bands e
+    ON t.band = e.band AND t.bh = e.bh
+  WHERE t.doc_id >= 50 AND e.doc_id < 50),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT train_doc, eval_doc, count(*) AS icnt
+  FROM cand
+  JOIN sh sa ON sa.doc_id = train_doc
+  JOIN sh sb ON sb.doc_id = eval_doc AND sa.shingle = sb.shingle
+  GROUP BY train_doc, eval_doc)
+SELECT train_doc, eval_doc,
+       round(icnt / (za.sz + zb.sz - icnt), 2) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = train_doc
+JOIN sizes zb ON zb.doc_id = eval_doc
+WHERE icnt / (za.sz + zb.sz - icnt) >= 0.5
+ORDER BY train_doc, eval_doc
+"""

@@ -5373,6 +5373,47 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- q205: FUZZY benchmark decontamination (MinHash-LSH vs the eval set) ---
+# The fuzzy complement of q46's exact shingle probe — the Llama-2-era
+# practice: a training doc is contaminated when it NEAR-duplicates an
+# eval item (paraphrases/truncations that share no exact 13-gram
+# still leak the answer). Eval suite = docs 0-49 of the aug corpus
+# (whose injected +100000 near-dup twins sit in the train pool, so
+# contamination is decisive); LSH bands generate (train, eval)
+# candidates via the band equi-join — eval bands BROADCAST (an eval
+# suite is KBs at any corpus scale, so decontamination stays a
+# map-side probe of the training scan, never a corpus shuffle) —
+# and exact Jaccard >= 0.5 adjudicates. Oracle replays the full
+# signature/band/intersection chain (the q23 CTEs, side-split).
+def q205(spark: SparkSession, sf: str) -> DataFrame:
+    aug = D.with_near_duplicates(load(spark, sf, "documents"))
+    arrs = managed_persist(D.shingle_arrays(aug, n=3), "q205.arrs")
+    bands = managed_persist(
+        D.band_table(D.minhash_signature(arrs)), "q205.bands"
+    )
+    ev = bands.filter(F.col("doc_id") < 50)
+    tr = bands.filter(F.col("doc_id") >= 50)
+    cand = (
+        tr.alias("t")
+        .join(F.broadcast(ev.alias("e")), ["band", "bh"])
+        .select(
+            F.col("t.doc_id").alias("doc_a"),
+            F.col("e.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = D.jaccard_for_pairs(cand, arrs)
+    return (
+        j.filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_a").alias("train_doc"),
+            F.col("doc_b").alias("eval_doc"),
+            _r2(F.col("jaccard")).alias("jaccard"),
+        )
+        .orderBy("train_doc", "eval_doc")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23": q23, "q24": q24, "q25": q25, "q26": q26, "q27": q27,
     "q28": q28, "q29": q29, "q30": q30, "q31": q31, "q32": q32,
@@ -5404,5 +5445,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q172": q172, "q173": q173, "q174": q174, "q175": q175, "q176": q176, "q178": q178, "q179": q179, "q180": q180, "q181": q181, "q182": q182,
     "q183": q183, "q184": q184, "q185": q185, "q186": q186,
     "q187": q187, "q188": q188, "q189": q189, "q190": q190, "q191": q191, "q192": q192, "q193": q193, "q194": q194, "q195": q195, "q196": q196, "q198": q198,
-    "q199": q199, "q200": q200, "q201": q201, "q202": q202, "q203": q203, "q204": q204,
+    "q199": q199, "q200": q200, "q201": q201, "q202": q202, "q203": q203, "q204": q204, "q205": q205,
 }

@@ -499,3 +499,13 @@ def test_q204_auc_cumulative_is_two_phase_and_aggs_partial(spark, sf_dir):
     for m in re.finditer(r"Window .{0,400}", p):
         assert "SinglePartition" not in m.group(0)
     assert "BatchEvalPython" not in p
+
+
+def test_q205_eval_bands_broadcast_no_cartesian(spark, sf_dir):
+    """Fuzzy decontamination must probe the training bands with a
+    BROADCAST of the eval-suite bands (an eval suite is KBs at any
+    corpus scale) and never degenerate to a cartesian/nested loop."""
+    p = plan_str(QUERIES["q205"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "BatchEvalPython" not in p

@@ -33,7 +33,7 @@ from ..operators.joins import asof_join, asof_join_merge, interval_overlap_join
 from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
 from ..operators import graph as G
-from ..operators._cache import managed_persist
+from ..operators._cache import fixture_df, managed_persist
 from ..operators import incremental as INC
 from ..operators import quality as Q
 from ..operators import stats as ST
@@ -1090,8 +1090,9 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     # an empty/fully-filtered table must still profile every column
     # (n_nulls=0, n_distinct=0, null min/max) — the oracle's UNION ALL
     # of GROUP-BY-less aggregates always emits one row per column.
-    spine = spark.createDataFrame(
-        [(c,) for c in PROFILE_COLS], "col_name string"
+    spine = fixture_df(
+        spark, "fixture.profile_spine",
+        [(c,) for c in PROFILE_COLS], "col_name string",
     )
     return (
         spine.join(F.broadcast(prof), "col_name", "left")
@@ -4177,7 +4178,9 @@ def q174(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.c4_fixture import DOCS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    docs = fixture_df(
+        spark, "fixture.c4_docs", DOCS, "doc_id bigint, text string"
+    )
     return (
         T.c4_clean(docs)
         .select(
@@ -4274,7 +4277,9 @@ def q178(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.c4_fixture import DOCS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    docs = fixture_df(
+        spark, "fixture.c4_docs", DOCS, "doc_id bigint, text string"
+    )
     cleaned = T.c4_clean(docs).select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -4366,9 +4371,13 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("rec_type") == "response")
         & F.col("target_uri").endswith("robots.txt")
     )
-    rules = parse_robots(robots)
-    cand = spark.createDataFrame(
-        [(u,) for u in ROBOTS_CANDIDATES], "url string"
+    # KB-scale parsed policy over a stable WARC scan — cache it so
+    # repeated gate evaluations don't re-scan the archive (the
+    # q186.groups pattern)
+    rules = managed_persist(parse_robots(robots), "q180.rules")
+    cand = fixture_df(
+        spark, "fixture.robots_candidates",
+        [(u,) for u in ROBOTS_CANDIDATES], "url string",
     )
     return robots_allowed(cand, rules).orderBy("url")
 
@@ -4449,13 +4458,25 @@ def q182(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.warc_fixture import WARCS_DIR
 
     ensure_confs(spark)
-    disc = (
+    # disc (the q181 XML-discovery aggregate) has THREE consumers
+    # (the robots gate's input, the bloom probe's input, and the
+    # final join spine) and resp (the WARC scan) has two (rules,
+    # seen) — persist each once or every branch re-runs the whole
+    # upstream scan+aggregate (guide §2.4: one exchange, many
+    # readers)
+    disc = managed_persist(
         q181(spark, sf)
         .filter(F.col("kind") == "url")
-        .select("url", "last_seen", "priority")
+        .select("url", "last_seen", "priority"),
+        "q182.disc",
     )
     recs = read_warc(spark, WARCS_DIR)
-    resp = recs.filter(F.col("rec_type") == "response")
+    resp = managed_persist(
+        recs.filter(F.col("rec_type") == "response").select(
+            "target_uri", "text"
+        ),
+        "q182.resp",
+    )
     rules = parse_robots(
         resp.filter(F.col("target_uri").endswith("robots.txt"))
     )
@@ -4502,8 +4523,9 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bpe_fixture import MULTILINGUAL, load_byte_merges
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
-    supp = spark.createDataFrame(
-        MULTILINGUAL, "doc_id bigint, text string"
+    supp = fixture_df(
+        spark, "fixture.bpe_multilingual",
+        MULTILINGUAL, "doc_id bigint, text string",
     )
     out = bpe_token_counts(
         docs.unionByName(supp),
@@ -4548,7 +4570,9 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming_queries import _EPHEMERAL_DIRS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    docs = fixture_df(
+        spark, "fixture.c4_docs", DOCS, "doc_id bigint, text string"
+    )
     cleaned = T.c4_clean(docs).select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -4655,18 +4679,20 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         ROBOTS_UA_CANDIDATES,
     )
 
-    from ..operators._cache import managed_persist
+    from ..operators._cache import fixture_df, managed_persist
 
     ensure_confs(spark)
-    bodies = spark.createDataFrame(
-        ROBOTS_BODIES, "target_uri string, text string"
+    bodies = fixture_df(
+        spark, "fixture.robots_bodies",
+        ROBOTS_BODIES, "target_uri string, text string",
     )
     # KB-scale group table feeds several downstream plan uses
     # (matching/chosen/applicable/delays) — persist once or the
     # window-parse job re-executes per use
     groups = managed_persist(parse_robots_groups(bodies), "q186.groups")
-    cand = spark.createDataFrame(
-        [(u,) for u in ROBOTS_UA_CANDIDATES], "url string"
+    cand = fixture_df(
+        spark, "fixture.robots_ua_candidates",
+        [(u,) for u in ROBOTS_UA_CANDIDATES], "url string",
     )
     return (
         robots_allowed_multi_ua(cand, groups, list(CRAWLER_UAS))
@@ -4700,22 +4726,30 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     )
     from ..sources.robots_fixture import FRONTIER, ROBOTS_BODIES
 
-    from ..operators._cache import managed_persist
+    from ..operators._cache import fixture_df, managed_persist
 
     ensure_confs(spark)
-    bodies = spark.createDataFrame(
-        ROBOTS_BODIES, "target_uri string, text string"
+    bodies = fixture_df(
+        spark, "fixture.robots_bodies",
+        ROBOTS_BODIES, "target_uri string, text string",
     )
     groups = managed_persist(parse_robots_groups(bodies), "q187.groups")
-    frontier = spark.createDataFrame(
-        FRONTIER, "url string, priority double"
+    frontier = fixture_df(
+        spark, "fixture.robots_frontier",
+        FRONTIER, "url string, priority double",
     )
-    gated = frontier.join(
-        robots_allowed_ua(frontier, groups, "examplebot").select(
-            "url", "allowed", "crawl_delay"
-        ),
-        "url",
-    ).filter(F.col("allowed"))
+    # gated feeds BOTH the per-host delay aggregate and the
+    # scheduler's frontier input — persist once or the whole robots
+    # verdict chain re-executes per consumer branch
+    gated = managed_persist(
+        frontier.join(
+            robots_allowed_ua(frontier, groups, "examplebot").select(
+                "url", "allowed", "crawl_delay"
+            ),
+            "url",
+        ).filter(F.col("allowed")),
+        "q187.gated",
+    )
     delays = gated.select("url", "crawl_delay").withColumn(
         "host",
         F.lower(
@@ -4752,7 +4786,9 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     from .streaming_queries import _EPHEMERAL_DIRS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    docs = fixture_df(
+        spark, "fixture.c4_docs", DOCS, "doc_id bigint, text string"
+    )
     cleaned = T.c4_clean(docs).select(
         "doc_id", F.col("clean_text").alias("text")
     )
@@ -4899,7 +4935,9 @@ def q191(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.ccnet_fixture import DOCS as _CC_DOCS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(_CC_DOCS, "doc_id bigint, text string")
+    docs = fixture_df(
+        spark, "fixture.ccnet_docs", _CC_DOCS, "doc_id bigint, text string"
+    )
     return D.paragraph_dedup(docs).orderBy("doc_id")
 
 
@@ -4999,8 +5037,9 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.classifier_fixture import DOCS as _CLS_DOCS
 
     ensure_confs(spark)
-    docs = spark.createDataFrame(
-        _CLS_DOCS, "doc_id bigint, text string, label int"
+    docs = fixture_df(
+        spark, "fixture.cls_docs",
+        _CLS_DOCS, "doc_id bigint, text string, label int",
     )
     return train_quality_classifier(
         docs, label=F.col("label") == 1, n_buckets=16,
@@ -5022,7 +5061,7 @@ def q194(spark: SparkSession, sf: str) -> DataFrame:
 # window into ONE statement.
 def q195(spark: SparkSession, sf: str) -> DataFrame:
     from ..catalog import ensure_confs
-    from ..operators._cache import managed_persist
+    from ..operators._cache import fixture_df, managed_persist
     from ..operators.crawl import (
         extract_links,
         host_edges,
@@ -5058,12 +5097,20 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("target_uri").endswith("/robots.txt")
     ).select("target_uri", "text")
     groups = managed_persist(parse_robots_groups(robots), "q195.groups")
-    gated = disc.join(
-        robots_allowed_ua(disc, groups, "rankbot").select(
-            "url", "allowed", "crawl_delay"
-        ),
-        "url",
-    ).filter(F.col("allowed"))
+    # gated feeds the delay aggregate AND the frontier; the frontier
+    # feeds the scheduler AND joins back for the priority column —
+    # without the persists the whole discovery→robots verdict chain
+    # re-executes once per consumer branch (measured: 64 warm jobs
+    # for a KB fixture before the r10 optimization pass)
+    gated = managed_persist(
+        disc.join(
+            robots_allowed_ua(disc, groups, "rankbot").select(
+                "url", "allowed", "crawl_delay"
+            ),
+            "url",
+        ).filter(F.col("allowed")),
+        "q195.gated",
+    )
     host_of = F.lower(
         F.regexp_extract(F.col("url"), "^[^:/?#]+://([^/?#]*)", 1)
     )
@@ -5072,10 +5119,11 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("host")
         .agg(F.max("crawl_delay").alias("crawl_delay"))
     )
-    frontier = (
+    frontier = managed_persist(
         gated.withColumn("host", host_of)
         .join(F.broadcast(pr6), "host", "left")
-        .select("url", "priority")
+        .select("url", "priority"),
+        "q195.frontier",
     )
     return (
         schedule_fetches(frontier, delays)
@@ -5319,11 +5367,11 @@ def q204(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_confs(spark)
     schema = "doc_id bigint, text string, label int"
-    docs = spark.createDataFrame(_CLS_DOCS, schema)
+    docs = fixture_df(spark, "fixture.cls_docs", _CLS_DOCS, schema)
     w, _, _ = train_quality_weights(
-        docs, F.col("label") == 1, "text", 16, 4.0, 5
+        docs, F.col("label") == 1, "text", 16, 4.0, 5, with_eval=False
     )
-    m = spark.createDataFrame(_CLS_EVAL, schema).select(
+    m = fixture_df(spark, "fixture.cls_eval", _CLS_EVAL, schema).select(
         "label", score_margin(w).alias("m")
     )
     g = m.groupBy("m").agg(

@@ -94,8 +94,11 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.classifier_fixture import DOCS as _CLS_DOCS
 
     def docs() -> DataFrame:
-        base = spark.createDataFrame(
-            _CLS_DOCS, "doc_id bigint, text string, label int"
+        from ..operators._cache import fixture_df
+
+        base = fixture_df(
+            spark, "fixture.cls_docs",
+            _CLS_DOCS, "doc_id bigint, text string, label int",
         )
         # synthetic ingest time: _stage range-partitions the staged
         # files on ts; arrival order is doc order (the gate is
@@ -107,7 +110,8 @@ def q197(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     w, _, _ = train_quality_weights(
-        docs(), F.col("label") == 1, n_buckets=16, lr=4.0, iterations=5
+        docs(), F.col("label") == 1, n_buckets=16, lr=4.0, iterations=5,
+        with_eval=False,
     )
     src = _stage(spark, f"classifier:{sf}", docs)
     stream = (

@@ -226,7 +226,10 @@ def _pagerank_distributed(
 
 
 def triangle_counts(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Per-node triangle participation counts over the undirected
     simple graph induced by ``edges`` (direction, self-loops, and
@@ -247,6 +250,15 @@ def triangle_counts(
 
     Returns every node of the simple graph with its count (nodes in
     no triangle included with 0).
+
+    ``cache_key``: the canonical edge set ``e`` has FOUR consumers in
+    this plan (both wedge sides, the closing existence join, and the
+    node spine) — without a persist the caller's entire upstream
+    edge-build pipeline re-executes once per consumer (guide §5:
+    cache a relation reused by a diamond plan; measured on q127's
+    5-join TPC-H edge build: 4x re-execution, 43 warm jobs). Pass a
+    managed-cache site key to persist ``e`` once per run; the edge
+    set is by construction no larger than the input edge list.
     """
     e = (
         edges.select(
@@ -256,6 +268,10 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    if cache_key is not None:
+        from ._cache import managed_persist
+
+        e = managed_persist(e, cache_key)
     wedge = e.join(
         e.select(F.col("a").alias("b"), F.col("b").alias("c")), "b"
     )

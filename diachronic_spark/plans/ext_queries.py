@@ -34,6 +34,7 @@ from ..operators.merge import merge_upsert
 from ..operators import sketches as SK
 from ..operators import graph as G
 from ..operators._cache import fixture_df, managed_persist
+from ._presentation import sort_small
 from ..operators import incremental as INC
 from ..operators import quality as Q
 from ..operators import stats as ST
@@ -125,7 +126,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pred.groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "predicted_lang")
+        .transform(sort_small, "lang", "predicted_lang")
     )
 
 
@@ -142,7 +143,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
             F.sum(F.when(F.col("n_words") < 5, 1).otherwise(0)).alias("n_short"),
         )
-        .orderBy("source")
+        .transform(sort_small, "source")
     )
 
 
@@ -159,7 +160,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
                 F.avg(F.col("n_re_tokens") / F.col("n_ws_tokens").cast("double"))
             ).alias("avg_re_per_ws"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -222,7 +223,7 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.avg(gap)).alias("avg_gap_days"),
             _r2(F.sum("o_totalprice_r")).alias("sum_matched_price"),
         )
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")
     )
 
 
@@ -268,7 +269,7 @@ def q35(spark: SparkSession, sf: str) -> DataFrame:
         _r2(m4 / (m2 * m2) - 3).alias("kurt_qty"),
         _r2(F.col("p50")).alias("p50_qty"),
         _r2(F.col("p90")).alias("p90_qty"),
-    ).orderBy("l_returnflag")
+    ).transform(sort_small, "l_returnflag")
 
 
 # --- q36: cube with grouping_id (A5) --------------------------------------
@@ -286,7 +287,7 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
             "n_items",
             F.col("gid").cast("int").alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .transform(sort_small, "gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -319,7 +320,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("s_acctbal") < 0)
         .select(F.col("s_nationkey").alias("nationkey"))
     )
-    return c.intersect(s).orderBy("nationkey")
+    return c.intersect(s).transform(sort_small, "nationkey")
 
 
 # --- q39: ranking suite (W2: rank / dense_rank / percent_rank / ntile) ----
@@ -417,7 +418,7 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.col("p90_approx") - F.col("p90_exact"))
             <= 0.01 * F.col("p90_exact")
         ).alias("approx_ok"),
-    ).orderBy("l_returnflag")
+    ).transform(sort_small, "l_returnflag")
 
 
 # --- q43: deterministic hash split (train/val/test reproducibility) -------
@@ -426,7 +427,7 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("split", "lang")
+        .transform(sort_small, "split", "lang")
     )
 
 
@@ -458,7 +459,7 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum("n_toks") / (F.countDistinct("bin_id") * 2048.0)
             ).alias("fill_ratio"),
         )
-        .orderBy("source")
+        .transform(sort_small, "source")
     )
 
 
@@ -520,7 +521,7 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("p_brand")
+        .transform(sort_small, "p_brand")
     )
 
 
@@ -558,7 +559,7 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(_r2(geomean("l_quantity")).alias("geo_qty"))
-        .orderBy("l_returnflag")
+        .transform(sort_small, "l_returnflag")
     )
 
 
@@ -588,7 +589,7 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("k_val").alias("sum_k"),
             F.sum("vals_sum").alias("sum_all_vals"),
         )
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")
     )
 
 
@@ -706,7 +707,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
             "lang", F.col("sample_rank").cast("long").alias("sample_rank"),
             "doc_id",
         )
-        .orderBy("lang", "sample_rank")
+        .transform(sort_small, "lang", "sample_rank")
     )
 
 
@@ -747,7 +748,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     return (
         daily.withColumn("cum_users", F.sum("new_users").over(wd))
         .select("day", "n_events", "dau", "new_users", "cum_users")
-        .orderBy("day")
+        .transform(sort_small, "day")
     )
 
 
@@ -762,7 +763,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     return agg.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"],
         "metric", "value",
-    ).orderBy("l_returnflag", "metric")
+    ).transform(sort_small, "l_returnflag", "metric")
 
 
 # --- q59: ordered string aggregation (LISTAGG) -----------------------------
@@ -780,7 +781,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
                 F.array_sort(F.collect_list("s_name")), ","
             ).alias("supplier_csv"),
         )
-        .orderBy("n_name")
+        .transform(sort_small, "n_name")
     )
 
 
@@ -818,7 +819,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
                 <= 0.05 * F.col("exact_users")
             ).alias("est_within_5pct"),
         )
-        .orderBy("week")
+        .transform(sort_small, "week")
     )
 
 
@@ -845,7 +846,7 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             avg_k.alias("avg_k"),
         )
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")
     )
 
 
@@ -954,7 +955,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
                 <= 0.05 * F.abs(F.col("p90_exact"))
             ).alias("est_within_5pct"),
         )
-        .orderBy("week")
+        .transform(sort_small, "week")
     )
 
 
@@ -974,7 +975,32 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 # the per-level row count. 1e12 spacing keeps the type spaces disjoint
 # up to sf~1.6e5 (o_orderkey <= 6e6*sf is the widest key space); the
 # tags exceed int32 so both engines promote the arithmetic to BIGINT.
-Q65_SQL = """
+# Split since the r10 optimization pass (guide §2.4/§5): the edge list
+# used to be a CTE inside the recursive query, and Spark's recursive
+# UnionLoop re-evaluates the anchor/step subtrees per iteration — the
+# three-way union of joins re-ran at EVERY recursion level (measured:
+# 47 warm jobs, the most of any declared query). Building the edge
+# relation once, persisting it, and referencing it from the recursion
+# via a temp view makes each level one cached-scan join. The relation
+# is identical to the former CTE, so the result (and the DuckDB
+# oracle, which keeps the single-statement form) is unchanged.
+Q65_EDGES_SQL = """
+SELECT 1000000000000 + r_regionkey AS src,
+       2000000000000 + n_nationkey AS dst
+FROM region JOIN nation ON n_regionkey = r_regionkey
+UNION ALL
+SELECT 2000000000000 + n_nationkey, 3000000000000 + c_custkey
+FROM nation JOIN customer ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 3000000000000 + c_custkey, 4000000000000 + o_orderkey
+FROM customer JOIN orders ON o_custkey = c_custkey
+"""
+
+# The oracle keeps the ORIGINAL single-statement recursive form (the
+# declared oracle text is unchanged by the optimization): edges as a
+# CTE inside the statement. DuckDB materializes CTEs, so it never had
+# the per-iteration re-evaluation problem the Spark split fixes.
+Q65_ORACLE_SQL = """
 WITH RECURSIVE edges AS (
   SELECT 1000000000000 + r_regionkey AS src,
          2000000000000 + n_nationkey AS dst
@@ -999,10 +1025,26 @@ GROUP BY r_name, depth
 ORDER BY r_name, depth
 """
 
+Q65_SQL = """
+WITH RECURSIVE reach(root, node, depth) AS (
+  SELECT 1000000000000 + r_regionkey, 1000000000000 + r_regionkey, 0
+  FROM region
+  UNION ALL
+  SELECT r.root, e.dst, r.depth + 1
+  FROM reach r JOIN q65_edges e ON r.node = e.src
+)
+SELECT r_name, depth, count(*) AS n_nodes
+FROM reach JOIN region ON root = 1000000000000 + r_regionkey
+GROUP BY r_name, depth
+ORDER BY r_name, depth
+"""
+
 
 def q65(spark: SparkSession, sf: str) -> DataFrame:
     for t in ["region", "nation", "customer", "orders"]:
         load(spark, sf, t).createOrReplaceTempView(t)
+    edges = managed_persist(spark.sql(Q65_EDGES_SQL), "q65.edges")
+    edges.createOrReplaceTempView("q65_edges")
     return spark.sql(Q65_SQL)
 
 
@@ -1014,7 +1056,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 # min-cascade, so parity also pins fold ≡ cascade.
 def q66(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
-    return LC.funnel(e, ["view", "click", "purchase"]).orderBy("stage")
+    return LC.funnel(e, ["view", "click", "purchase"]).transform(sort_small, "stage")
 
 
 # --- q67: weekly retention cohorts -----------------------------------------
@@ -1027,7 +1069,7 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
             "week_offset",
             "n_users",
         )
-        .orderBy("cohort_week", "week_offset")
+        .transform(sort_small, "cohort_week", "week_offset")
     )
 
 
@@ -1103,7 +1145,7 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
             "min_v",
             "max_v",
         )
-        .orderBy("col_name")
+        .transform(sort_small, "col_name")
     )
 
 
@@ -1124,7 +1166,7 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_phones").alias("total_phones"),
             F.sum(F.length("text") - F.length("redacted")).alias("chars_removed"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -1187,7 +1229,7 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.col("z")).alias("z"),
             (F.abs(F.col("z")) > 2).alias("is_anomaly"),
         )
-        .orderBy("event_type", "day")
+        .transform(sort_small, "event_type", "day")
     )
 
 
@@ -1269,7 +1311,7 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.size(F.array_distinct("toks"))).alias("sum_doc_vocab"),
             _r2(F.avg(F.size("toks"))).alias("avg_tokens_per_doc"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -1341,7 +1383,7 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             _r2(F.sum("c_acctbal")).alias("sum_acctbal"),
         )
-        .orderBy("c_mktsegment")
+        .transform(sort_small, "c_mktsegment")
     )
 
 
@@ -1479,7 +1521,7 @@ def q82(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.min("h")).alias("min_entropy"),
             _r2(F.max("h")).alias("max_entropy"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -1563,7 +1605,7 @@ def q84(spark: SparkSession, sf: str) -> DataFrame:
             F.min("dist").cast("long").alias("min_dist"),
             _r2(F.avg("dist")).alias("avg_dist"),
         )
-        .orderBy("brand")
+        .transform(sort_small, "brand")
     )
 
 
@@ -1599,7 +1641,7 @@ def q85(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_cents").alias("revenue_cents"),
         F.col("min_cents").alias("min_cents"),
         F.col("max_cents").alias("max_cents"),
-    ).orderBy("o_orderpriority")
+    ).transform(sort_small, "o_orderpriority")
 
 
 # --- q86: data-quality constraint audit ------------------------------------
@@ -1630,7 +1672,7 @@ def q86(spark: SparkSession, sf: str) -> DataFrame:
             li, F.col("l_quantity") <= 40
         ),
     }
-    return Q.audit(checks).orderBy("check_name")
+    return Q.audit(checks).transform(sort_small, "check_name")
 
 
 # --- q87: snapshot diff (CDC) round-trips the q77 merge --------------------
@@ -1646,7 +1688,7 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("change_type")
+        .transform(sort_small, "change_type")
     )
 
 
@@ -1661,7 +1703,7 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         _r2(F.col("lo")).alias("lo"),
         _r2(F.col("hi")).alias("hi"),
         "n",
-    ).orderBy("bin")
+    ).transform(sort_small, "bin")
 
 
 # --- q89: interval-overlap join (sessions × maintenance windows) -----------
@@ -1700,7 +1742,7 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.count_distinct("user_id").alias("n_users"),
         )
-        .orderBy("w_start")
+        .transform(sort_small, "w_start")
     )
 
 
@@ -2011,7 +2053,7 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         "n_cand",
         _r2(F.col("max_jaccard")).alias("max_jaccard"),
         "survived",
-    ).orderBy("doc_id")
+    ).transform(sort_small, "doc_id")
 
 
 # --- q113: index append-back + re-probe (L2, the ingest loop closed) -------
@@ -2077,7 +2119,7 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         "n_cand",
         _r2(F.col("max_jaccard")).alias("max_jaccard"),
         "survived",
-    ).orderBy("doc_id")
+    ).transform(sort_small, "doc_id")
 
 
 # --- q114: within-document repetition signals (L4/L6) ----------------------
@@ -2111,7 +2153,7 @@ def q115(spark: SparkSession, sf: str) -> DataFrame:
     )
     return picked.select(
         "doc_id", "lang", "n_tokens", "cum_tokens"
-    ).orderBy("doc_id")
+    ).transform(sort_small, "doc_id")
 
 
 # --- q116: bracketed exact percentile (A7, the 100 TB-safe form) -----------
@@ -2126,7 +2168,7 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
     out = exact_percentile_bracketed(
         li, "l_returnflag", "l_extendedprice", 0.9
     )
-    return out.select("l_returnflag", "n", "p_exact").orderBy(
+    return out.select("l_returnflag", "n", "p_exact").transform(sort_small, 
         "l_returnflag"
     )
 
@@ -2363,7 +2405,7 @@ def q123(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             _r2(F.sum("value")).alias("sum_value"),
         )
-        .orderBy("c_mktsegment")
+        .transform(sort_small, "c_mktsegment")
     )
 
 
@@ -2473,7 +2515,7 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.set_name", "r.n_kept", "r.est")
-    return base.unionByName(derived).orderBy("set_name")
+    return base.unionByName(derived).transform(sort_small, "set_name")
 
 
 # --- q127: per-nation triangle counts on the trade graph (graph family) ----
@@ -2509,10 +2551,10 @@ def q127(spark: SparkSession, sf: str) -> DataFrame:
     hot = edges.withColumn(
         "avg_w", F.avg("w").over(Window.partitionBy())
     ).filter(F.col("w") > F.col("avg_w"))
-    tri = G.triangle_counts(hot, "src", "dst")
+    tri = G.triangle_counts(hot, "src", "dst", cache_key="q127.edges")
     return tri.select(
         F.col("node").alias("nation"), "n_triangles"
-    ).orderBy("nation")
+    ).transform(sort_small, "nation")
 
 
 # --- q128: sequence pattern match over per-user event streams --------------
@@ -2579,7 +2621,7 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
         fn.date_str(F.col("bucket").cast("date")).alias("d"),
         F.col("cents").alias("cents_obs"),
         F.col("cents_est").alias("est"),
-    ).orderBy("event_type", "d")
+    ).transform(sort_small, "event_type", "d")
 
 
 # --- q130: per-group OLS trend lines (grouped closed-form regression) ------
@@ -2604,7 +2646,7 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         F.col("idx")
         - F.min("idx").over(Window.partitionBy("event_type")),
     )
-    return ST.grouped_ols(base, "event_type", "x", "cents").orderBy(
+    return ST.grouped_ols(base, "event_type", "x", "cents").transform(sort_small, 
         "event_type"
     )
 
@@ -2655,7 +2697,7 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
                 "cents"
             ),
         )
-        .orderBy("touch_type")
+        .transform(sort_small, "touch_type")
     )
 
 
@@ -2773,7 +2815,7 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10)
         .select("lang", "rk", "doc_id", "n_toks")
-        .orderBy("lang", "rk")
+        .transform(sort_small, "lang", "rk")
     )
 
 
@@ -3355,7 +3397,7 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("revenue"),
         )
-        .orderBy("o_orderstatus")
+        .transform(sort_small, "o_orderstatus")
     )
 
 
@@ -4379,7 +4421,7 @@ def q180(spark: SparkSession, sf: str) -> DataFrame:
         spark, "fixture.robots_candidates",
         [(u,) for u in ROBOTS_CANDIDATES], "url string",
     )
-    return robots_allowed(cand, rules).orderBy("url")
+    return robots_allowed(cand, rules).transform(sort_small, "url")
 
 
 # --- q181: sitemap.xml discovery — the crawl's URL advertisement stage ------
@@ -4702,7 +4744,7 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
             "allowed",
             F.col("crawl_delay").cast("bigint").alias("crawl_delay"),
         )
-        .orderBy("ua", "url")
+        .transform(sort_small, "ua", "url")
     )
 
 
@@ -5185,7 +5227,7 @@ def q196(spark: SparkSession, sf: str) -> DataFrame:
                 / F.col("n_bpe_tokens").cast("double")
             ).alias("bytes_per_token"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -5247,7 +5289,7 @@ def q198(spark: SparkSession, sf: str) -> DataFrame:
         .unionByName(stage(2, "quality", s2))
         .unionByName(stage(3, "near_dedup", s3))
         .unionByName(stage(4, "token_budget", s4))
-        .orderBy("stage_idx")
+        .transform(sort_small, "stage_idx")
     )
 
 
@@ -5328,7 +5370,7 @@ def q202(spark: SparkSession, sf: str) -> DataFrame:
             "lang",
         )
         .select("lang", "n_docs", "n_docs_used", "n_sampled", "rate")
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 

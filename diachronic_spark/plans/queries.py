@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import ensure_confs, load
+from ._presentation import sort_small
 from ..functions import cosine_similarity, date_str, ts_str, whitespace_tokens
 from ..operators.snapshot import daily_snapshot
 from ..schemas import WIKI_REVISIONS
@@ -51,7 +52,7 @@ def q1(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .transform(sort_small, "l_returnflag", "l_linestatus")  # bounded: flag x status enums
     )
 
 
@@ -69,7 +70,7 @@ def q2(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_orders"),
             _r2(F.sum("o_totalprice")).alias("sum_totalprice"),
         )
-        .orderBy("c_mktsegment")
+        .transform(sort_small, "c_mktsegment")  # bounded: 5 segments
     )
 
 
@@ -97,7 +98,7 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(sort_small, F.desc("revenue"), "n_name")  # bounded: 25 nations
     )
 
 
@@ -192,7 +193,7 @@ def q8(spark: SparkSession, sf: str) -> DataFrame:
             "p_partkey",
             _r2(F.col("p_retailprice")).alias("p_retailprice"),
         )
-        .orderBy("p_brand", "rnk")
+        .transform(sort_small, "p_brand", "rnk")  # bounded: brands x k=5
     )
 
 
@@ -231,7 +232,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.avg("fwd_days")).alias("avg_fwd_days"),
             F.count(F.lit(1)).alias("n_gaps"),
         )
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")  # bounded: event-type enum
     )
 
 
@@ -271,7 +272,7 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
             "sum_qty",
             F.col("gid").cast("int").alias("gid"),
         )
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .transform(sort_small, "gid", "l_returnflag", "l_linestatus")  # bounded: rollup of 2 enums
     )
 
 
@@ -284,7 +285,7 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         top.unionByName(bot)
         .distinct()
         .select("c_custkey", _r2(F.col("c_acctbal")).alias("c_acctbal"))
-        .orderBy("c_custkey")
+        .transform(sort_small, "c_custkey")  # bounded: 10 top-k rows
     )
 
 
@@ -301,7 +302,9 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     with_sup = n.join(
         s, n.n_nationkey == s.s_nationkey, "left_semi"
     ).select("n_nationkey", "n_name")
-    return n.exceptAll(with_sup).orderBy("n_nationkey")
+    return n.exceptAll(with_sup).transform(
+        sort_small, "n_nationkey"  # bounded: 25 nations
+    )
 
 
 # --- Q15: JSON extraction + aggregation -----------------------------------
@@ -314,7 +317,7 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"))
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")  # bounded: event-type enum
     )
 
 
@@ -361,7 +364,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("lang")
+        .transform(sort_small, "lang")  # bounded: lang enum
     )
 
 
@@ -488,7 +491,7 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
         o.join(F.broadcast(q_ev), "o_day")
         .groupBy("o_orderstatus")
         .agg(F.sum(F.col("n_ord") * F.col("n_qual")).cast("long").alias("n_pairs"))
-        .orderBy("o_orderstatus")
+        .transform(sort_small, "o_orderstatus")  # bounded: 3 statuses
     )
 
 

@@ -87,16 +87,21 @@ def main() -> None:
             continue
         # steady-state timing, bench methodology (fresh DataFrame per run)
         runs = []
-        for _ in range(2):
+        jobs_steady = None
+        for i in range(2):
             sc.setJobDescription(f"{name} timed")
+            sgroup = f"steady_{name}_{i}"
+            sc.setJobGroup(sgroup, name)
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
+            jobs_steady = len(tracker.getJobIdsForGroup(sgroup))
         best = min(runs)
         results[name] = {
             "best_s": round(best, 3),
             "runs": [round(r, 3) for r in runs],
             "jobs_warm": n_jobs,
+            "jobs_steady": jobs_steady,
             "plan_build_s": round(t_plan_build, 3),
             "warm_s": round(warm_wall, 3),
         }

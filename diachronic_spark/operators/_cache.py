@@ -101,10 +101,59 @@ def managed_persist(
 _FIXTURE: dict[tuple[str, str], DataFrame] = {}
 
 
+def local_relation(spark, data, schema) -> DataFrame:
+    """Build a small driver-side relation as a JVM-local
+    ``LocalTableScan``.
+
+    ``createDataFrame(list_of_tuples)`` plans ``Scan ExistingRDD`` —
+    a 32-partition pickled-Python RDD whose EVERY evaluation launches
+    Python workers to re-deserialize the rows (measured ~1s/eval for
+    a 50-row fixture, and ~6s when a downstream ``coalesce(1)`` runs
+    the 32 Python partition-iterators sequentially in one task).
+    Routing the same rows through a pyarrow Table instead yields a
+    LocalTableScan: rows ship driver→JVM once at creation, scans are
+    pure JVM (zero tasks — broadcast builds read it driver-side), and
+    types/nulls match the list path exactly (guide §4: eliminate the
+    Python boundary). Falls back to the classic path for any shape
+    pyarrow can't represent losslessly.
+
+    Used for fixture inputs AND for the per-run KB-scale relations
+    iterative operators collect and re-attach (pagerank rank vectors,
+    IVF centroids, union-find mappings, running-sum offsets, packing
+    targets): those are rebuilt with fresh content every run — only
+    the physical representation changes, never the rows.
+    """
+    try:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        st = (
+            schema
+            if isinstance(schema, StructType)
+            else _parse_datatype_string(schema)
+        )
+        pas = to_arrow_schema(st)
+        rows = [tuple(r) for r in data]
+        cols = (
+            list(zip(*rows)) if rows else [[] for _ in st.fields]
+        )
+        tbl = pa.table(
+            {
+                f.name: pa.array(list(c), type=pas.field(f.name).type)
+                for f, c in zip(st.fields, cols)
+            }
+        )
+        return spark.createDataFrame(tbl, schema=st)
+    except Exception:
+        return spark.createDataFrame(data, schema)
+
+
 def fixture_df(spark, key: str, data, schema) -> DataFrame:
-    """Process-memoized ``createDataFrame`` for immutable fixture
-    INPUT relations (committed fixture constants — the in-memory
-    analog of a parquet input table).
+    """Process-memoized fixture INPUT relation (committed fixture
+    constants — the in-memory analog of a parquet input table),
+    planned as a LocalTableScan (see ``_local_fixture``).
 
     Why (OPTIMIZATION r10): two ``createDataFrame`` calls over
     identical data never compare ``sameResult`` (each call builds a
@@ -128,7 +177,7 @@ def fixture_df(spark, key: str, data, schema) -> DataFrame:
         # because nothing here holds JVM-side persisted state
         for stale in [x for x in _FIXTURE if x[0] != app]:
             _FIXTURE.pop(stale, None)
-        df = spark.createDataFrame(data, schema)
+        df = local_relation(spark, data, schema)
         _FIXTURE[k] = df
     return df
 

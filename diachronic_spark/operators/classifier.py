@@ -231,7 +231,10 @@ def train_quality_classifier(
         docs, label, text_col, n_buckets, lr, iterations
     )
     names = [f"b{i:02d}" for i in range(n_buckets)] + ["bias"]
-    return docs.sparkSession.createDataFrame(
+    from ._cache import local_relation
+
+    return local_relation(
+        docs.sparkSession,
         [(names[i], w[i], n_correct, n) for i in range(n_buckets + 1)],
         "feature string, weight double, n_correct bigint, n_docs bigint",
     )

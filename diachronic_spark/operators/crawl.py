@@ -89,7 +89,13 @@ def build_url_bloom(
         .agg(F.bit_or("bit").alias("word"))
     )
     # densify to exactly n_words entries (unset words = 0)
-    idx = seen.sparkSession.range(n_words).select(
+    # partition the word spine by size, not by default parallelism:
+    # fixture-scale m (a handful of words) gets ONE task instead of a
+    # 32-task stage of ~0 rows; a real 1e10-URL frontier (~1.5e9
+    # words) still fans out at 64k words per partition
+    idx = seen.sparkSession.range(
+        n_words, numPartitions=max(1, n_words >> 16)
+    ).select(
         F.col("id").cast("int").alias("w")
     )
     return (
@@ -482,7 +488,13 @@ def build_url_bloom_sharded(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
     )
-    idx = seen.sparkSession.range(n_words).select(
+    # partition the word spine by size, not by default parallelism:
+    # fixture-scale m (a handful of words) gets ONE task instead of a
+    # 32-task stage of ~0 rows; a real 1e10-URL frontier (~1.5e9
+    # words) still fans out at 64k words per partition
+    idx = seen.sparkSession.range(
+        n_words, numPartitions=max(1, n_words >> 16)
+    ).select(
         F.col("id").cast("int").alias("w")
     )
     dense = idx.join(words, "w", "left").select(

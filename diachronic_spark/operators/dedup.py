@@ -651,7 +651,9 @@ def _components_from_pairs(pairs, nodes: DataFrame) -> DataFrame:
     schema = StructType(
         [id_field, StructField("component", id_field.dataType, True)]
     )
-    endpoint_df = spark.createDataFrame(mapping, schema)
+    from ._cache import local_relation
+
+    endpoint_df = local_relation(spark, mapping, schema)
     singles = nodes.join(endpoint_df, "doc_id", "left_anti").select(
         "doc_id", F.col("doc_id").alias("component")
     )

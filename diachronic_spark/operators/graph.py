@@ -148,9 +148,9 @@ def _pagerank_local(
             StructField("pr", DoubleType(), False),
         ]
     )
-    return spark.createDataFrame(
-        [(v, pr[v]) for v in nodes], schema
-    )
+    from ._cache import local_relation
+
+    return local_relation(spark, [(v, pr[v]) for v in nodes], schema)
 
 
 def _round_half_up(x: float, p: int) -> float:

@@ -261,7 +261,10 @@ def global_running_sum(
         else (float if isinstance(sum_type, DoubleType) else int)
     )
     offsets = [(p, conv(r), s) for p, r, s in offsets]
-    off_df = spark.createDataFrame(
+    from ._cache import local_relation
+
+    off_df = local_relation(
+        spark,
         offsets,
         f"__pid int, __off {sum_type.simpleString()}, __nnb boolean",
     )

@@ -303,7 +303,10 @@ def kmeans(
         cent_rows = _mean_cents(
             _assigned_np(v, cent_rows), dim, round_to
         ).collect()
-    cents = spark.createDataFrame(
+    from ._cache import local_relation
+
+    cents = local_relation(
+        spark,
         [
             (int(r["cell"]), [float(x) for x in r["c"]])
             for r in cent_rows

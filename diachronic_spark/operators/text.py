@@ -235,7 +235,10 @@ def mixture_sample_tokens(
     """
     total_w = float(sum(weights.values()))
     spark = df.sparkSession
-    targets = spark.createDataFrame(
+    from ._cache import local_relation
+
+    targets = local_relation(
+        spark,
         [(b, int(budget_tokens * w / total_w)) for b, w in sorted(weights.items())],
         f"{bucket_col} string, target_tokens bigint",
     )

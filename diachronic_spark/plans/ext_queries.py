@@ -4357,7 +4357,10 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.crawl import build_url_bloom, probe_url_bloom
 
     ensure_confs(spark)
-    seen = spark.range(200).select(
+    # numPartitions=1: a 200-row fixture URL set on the default 32
+    # range partitions costs a 32-task stage per consumer for ~6 rows
+    # each (pure dispatch); the bound is the fixture constant
+    seen = spark.range(200, numPartitions=1).select(
         F.format_string("https://seen.example/p%d", F.col("id"))
         .alias("url")
     )
@@ -4367,7 +4370,7 @@ def q179(spark: SparkSession, sf: str) -> DataFrame:
             *[f"https://seen.example/p{i}" for i in (0, 50, 199)]
         )
     )
-    fresh = spark.range(10).select(
+    fresh = spark.range(10, numPartitions=1).select(
         F.format_string("https://new.example/q%d", F.col("id"))
         .alias("url")
     )
@@ -4659,7 +4662,10 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ensure_confs(spark)
-    seen = spark.range(200).select(
+    # numPartitions=1: a 200-row fixture URL set on the default 32
+    # range partitions costs a 32-task stage per consumer for ~6 rows
+    # each (pure dispatch); the bound is the fixture constant
+    seen = spark.range(200, numPartitions=1).select(
         F.format_string("https://seen.example/p%d", F.col("id"))
         .alias("url")
     )
@@ -4671,7 +4677,7 @@ def q185(spark: SparkSession, sf: str) -> DataFrame:
             *[f"https://seen.example/p{i}" for i in (0, 50, 199)]
         )
     )
-    fresh = spark.range(10).select(
+    fresh = spark.range(10, numPartitions=1).select(
         F.format_string("https://new.example/q%d", F.col("id"))
         .alias("url")
     )
@@ -4916,7 +4922,7 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
     revisits = seen.filter(
         F.col("id").isin(0, 50, 199)
     ).select("url")
-    fresh = spark.range(10).select(
+    fresh = spark.range(10, numPartitions=1).select(
         F.format_string("https://new.example/q%d", F.col("id"))
         .alias("url")
     )

@@ -37,7 +37,9 @@ def files_df(spark: SparkSession, wikis_manifests: dict[str, str]) -> DataFrame:
         for wiki, mjson in wikis_manifests.items()
         for fname in manifest_files(mjson)
     ]
-    return spark.createDataFrame(rows, "wiki string, file_name string")
+    from ..operators._cache import local_relation
+
+    return local_relation(spark, rows, "wiki string, file_name string")
 
 
 def files_to_run(

@@ -197,8 +197,10 @@ def parse_dump_files_with_status(
                     out["error"] = None
                     yield out
 
-    files = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
+    from ..operators._cache import local_relation
+
+    files = local_relation(
+        spark, [(p,) for p in paths], "path string"
     ).repartition(max(len(paths), 1), "path")
     return files.mapInPandas(fn, PARSE_STATUS_SCHEMA)
 
@@ -225,7 +227,9 @@ def parse_dump_files(spark: SparkSession, paths: list[str]) -> DataFrame:
                 if rows:
                     yield pd.DataFrame(rows, columns=_REV_COLS)
 
-    files = spark.createDataFrame(
-        [(p,) for p in paths], "path string"
+    from ..operators._cache import local_relation
+
+    files = local_relation(
+        spark, [(p,) for p in paths], "path string"
     ).repartition(max(len(paths), 1), "path")
     return files.mapInPandas(fn, REVISION_SQL_SCHEMA)

@@ -108,6 +108,15 @@ _ADJUDICATED_ROUND: dict[str, int] = {
     **{f"q{i}": 9 for i in range(126, 133)},
     **{"q134": 9, "q135": 9, "q137": 9, "q138": 9, "q140": 9,
        "q142": 9},
+    # round 10 checked q7-q25 and q162-q205 (CORRECTNESS_r10.json):
+    # 48/50 green. q184/q188 could NOT be adjudicated (their tokens
+    # array column broke the driver's canonicalizer — VERDICT r10
+    # item 1); they stay out of this dict so they rank tier 0 and
+    # front the round-11 sample, now returning a scalar tokens_text.
+    **{f"q{i}": 10 for i in range(7, 26)},
+    **{"q162": 10, "q172": 10, "q173": 10, "q175": 10, "q176": 10,
+       "q178": 10, "q180": 10, "q182": 10},
+    **{f"q{i}": 10 for i in range(183, 206) if i not in (184, 188)},
 }
 # New this round (tier 0, never adjudicated): q183 (BYTE-level BPE
 # token counts — GPT-2 byte↔unicode table derived from the published
@@ -213,9 +222,8 @@ _ADJUDICATED_ROUND: dict[str, int] = {
 # touched. q162: pack_sequences_greedy gained the tokens_col hook
 # (q175); the default whitespace path is expression-identical but
 # the function was edited.
-_STALE: tuple[str, ...] = (
-    "q162", "q172", "q173", "q175", "q176", "q178", "q180", "q182",
-)
+# Changed since their last driver row (round-11 optimization edits).
+_STALE: tuple[str, ...] = ()
 
 
 def _priority_order(keys: list[str]) -> list[str]:

@@ -27,6 +27,26 @@ from diachronic_spark.catalog import TABLES, load  # noqa: E402
 from diachronic_spark.plans import QUERIES  # noqa: E402
 from diachronic_spark.session import get_spark  # noqa: E402
 
+# Frozen per-query set for the FINAL stdout line, heaviest-first by
+# the committed round-10 bench (plans/r10/bench_final_r10opt.json).
+# See the final-line comment in main() for why this is a subset and
+# why it must be a stable literal rather than computed from timings.
+STDOUT_QUERY_SET = (
+    "q158", "q136", "q197", "q124", "q137", "q204", "q141", "q194",
+    "q189", "q155", "q117", "q104", "q133", "q195", "q80", "q110",
+    "q188", "q176", "q139", "q42", "q156", "q108", "q52", "q175",
+    "q102", "q182", "q103", "q51", "q193", "q190", "q140", "q199",
+    "q198", "q107", "q106", "q65", "q184", "q144", "q26", "q25",
+    "q205", "q24", "q69", "q118", "q112", "q101", "q68", "q113",
+    "q146", "q116", "q56", "q121", "q31", "q33", "q196", "q3",
+    "q125", "q200", "q83", "q177", "q178", "q119", "q187", "q151",
+    "q142", "q7", "q114", "q172", "q134", "q143", "q35", "q9",
+    "q6", "q162", "q23", "q10", "q165", "q192", "q71", "q201",
+    "q183", "q163", "q150", "q152", "q161", "q154", "q111", "q66",
+    "q145", "q171", "q157", "q159", "q149", "q81", "q11", "q53",
+    "q32", "q169", "q167", "q70", "q164", "q160", "q180", "q168",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -229,6 +249,31 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).toPandas()
         store_cold[name] = round(time.perf_counter() - t0, 3)
 
+    # Cache-cold pass for the fixture-diamond set (VERDICT r10 item
+    # 5): these queries' warm-min timings benefit from cross-run
+    # managed-persist/fixture-plan cache hits (intermediates computed
+    # during the untimed warmup). To separate structural time from
+    # cache-warm time, drop every managed cache entry and the fixture
+    # plan memo, then take ONE timed run per query — that run rebuilds
+    # its diamond intermediates from the parquet/fixture inputs inside
+    # the timed region. `queries`/`value` stay warm-min for round-over-
+    # round continuity; this pass runs LAST so its evictions never
+    # contaminate the main timings.
+    FIXTURE_DIAMOND = (
+        "q23", "q109", "q145", "q177", "q186", "q187", "q195",
+    )
+    from diachronic_spark.operators import _cache as _mc
+
+    managed_cold: dict[str, float] = {}
+    for name in FIXTURE_DIAMOND:
+        if name not in QUERIES:
+            continue
+        _mc.release()
+        _mc._FIXTURE.clear()
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).toPandas()
+        managed_cold[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     # Output contract (VERDICT r5 item 1): the driver captures only a
     # short stdout tail, and the 142-query per-query map outgrew it in
@@ -251,6 +296,7 @@ def main() -> None:
         "k": kmap,
         "retried": retried,
         "store_cold": store_cold,
+        "managed_cold": managed_cold,
         "floor_trivial_agg_sec": floor_agg,
         "floor_ordered_result_sec": floor_sorted,
         "sf": sf,
@@ -262,33 +308,58 @@ def main() -> None:
         json.dump(full, f, indent=1, sort_keys=False)
         f.write("\n")
     print(json.dumps(full))  # full line first (legacy consumers)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries_file": "bench_queries.json",
-                "loadavg_start": load_start,
-                "loadavg_end": load_end,
-                "quiet_gate_waited_sec": waited,
-                "max_k": max(kmap.values()) if kmap else None,
-                "floor_trivial_agg_sec": floor_agg,
-                "floor_ordered_result_sec": floor_sorted,
-                "store_cold_total": (
-                    round(sum(v for v in store_cold.values() if v), 3)
-                    # ADVICE r9: all-None (non-root host, every
-                    # drop_caches failed) must report null, not a
-                    # fake measured 0.0 s cold pass
-                    if any(v is not None for v in store_cold.values())
-                    else None
-                ),
-                "n_retried": len(retried),
-            }
-        )
-    )
+    # FINAL line (VERDICT r10 item 2): the driver parses its bench
+    # signal from a 2000-char stdout TAIL — round 5 proved it the
+    # hard way (one 2090-char line, head cut, parsed:null) and
+    # rounds 1-4 (<=122 queries, line <2000 chars) parsed fine. A
+    # full 205-entry map can never fit: the q-prefixed keys plus
+    # commas alone cost 1531 chars. So the final line carries a
+    # FROZEN subset of the per-query map — the heaviest 104 queries
+    # by the committed round-10 bench (80% of total wall seconds,
+    # every optimization target included), listed literally below so
+    # the key set is byte-stable across rounds and core counts
+    # (stable keys = real round-over-round geomean and populated
+    # scaling.per_query; a timing-dependent subset would manufacture
+    # phantom bench drops). The COMPLETE map stays in
+    # bench_queries.json (and in the full first stdout line). If
+    # values grow, entries drop deterministically from the END of
+    # the frozen list (it is ordered heaviest-first) until the line
+    # fits the 2000-char window.
+    summary = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_file": "bench_queries.json",
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "quiet_gate_waited_sec": waited,
+        "max_k": max(kmap.values()) if kmap else None,
+        "floor_trivial_agg_sec": floor_agg,
+        "floor_ordered_result_sec": floor_sorted,
+        "store_cold_total": (
+            round(sum(v for v in store_cold.values() if v), 3)
+            # ADVICE r9: all-None (non-root host, every
+            # drop_caches failed) must report null, not a
+            # fake measured 0.0 s cold pass
+            if any(v is not None for v in store_cold.values())
+            else None
+        ),
+        "n_retried": len(retried),
+        "store_cold": store_cold,
+    }
+    line_queries = [q for q in STDOUT_QUERY_SET if q in timings]
+    while line_queries:
+        summary["queries"] = {q: timings[q] for q in line_queries}
+        out = json.dumps(summary, separators=(",", ":"))
+        if len(out) <= 1990:
+            break
+        line_queries.pop()
+    else:
+        summary["queries"] = {}
+        out = json.dumps(summary, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":

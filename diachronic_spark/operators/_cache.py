@@ -99,6 +99,7 @@ def managed_persist(
 
 
 _FIXTURE: dict[tuple[str, str], DataFrame] = {}
+_FIXTURE_SIG: dict[tuple[str, str], tuple[str, int]] = {}
 
 
 def local_relation(spark, data, schema) -> DataFrame:
@@ -153,7 +154,7 @@ def local_relation(spark, data, schema) -> DataFrame:
 def fixture_df(spark, key: str, data, schema) -> DataFrame:
     """Process-memoized fixture INPUT relation (committed fixture
     constants — the in-memory analog of a parquet input table),
-    planned as a LocalTableScan (see ``_local_fixture``).
+    planned as a LocalTableScan (see :func:`local_relation`).
 
     Why (OPTIMIZATION r10): two ``createDataFrame`` calls over
     identical data never compare ``sameResult`` (each call builds a
@@ -179,7 +180,29 @@ def fixture_df(spark, key: str, data, schema) -> DataFrame:
             _FIXTURE.pop(stale, None)
         df = local_relation(spark, data, schema)
         _FIXTURE[k] = df
+        _FIXTURE_SIG[k] = _fixture_sig(data, schema)
+    else:
+        # guard the memo against key collisions (ADVICE r10): the
+        # cache is keyed by NAME only, so a future call site reusing
+        # an existing key with different rows would silently get the
+        # wrong relation. Cheap fingerprint — requested schema text
+        # + row count — catches the realistic collision (two
+        # fixtures under one name) without re-hashing content per
+        # call.
+        sig = _fixture_sig(data, schema)
+        if _FIXTURE_SIG.get(k) != sig:
+            raise ValueError(
+                f"fixture_df key {key!r} reused with different "
+                f"data/schema: cached {_FIXTURE_SIG.get(k)}, "
+                f"requested {sig} — give the new relation its own "
+                "key"
+            )
     return df
+
+
+def _fixture_sig(data, schema) -> tuple[str, int]:
+    s = schema if isinstance(schema, str) else schema.simpleString()
+    return (s, len(data))
 
 
 def release(key: str | None = None) -> None:

@@ -284,6 +284,19 @@ def robots_allowed(
     the url's host decides; Allow wins equal lengths; hosts without
     rules (or no matching rule) default to allowed.
 
+    PRECONDITION (ADVICE r10): ``urls`` must be url-distinct. The
+    verdict is one output row per INPUT row (the r10 rework traded
+    the old per-distinct-url groupBy for a map-side fold); a caller
+    feeding duplicate urls gets duplicate verdict rows, and a
+    downstream equi-join on url row-multiplies. Every current call
+    site is distinct by construction (q181 groups by url, q195
+    applies .distinct(), fixtures are unique); dedupe first —
+    ``urls.select(url_col).distinct()`` — if yours is not. Kept a
+    precondition rather than a defensive distinct: the operator's
+    point is that the frontier pays NO exchange for a KB-scale
+    policy check, and an unconditional distinct would reintroduce
+    exactly that url-scaled shuffle.
+
     Scale shape (reworked in the r10 optimization pass, guide
     §2.3/§2.4): rules are KB-per-host by nature, so they aggregate
     to ONE array row per host (a tiny rules-side shuffle), broadcast,
@@ -321,6 +334,7 @@ def robots_allowed_multi_ua(
     groups: DataFrame,
     crawler_uas: list[str],
     url_col: str = "url",
+    cache_key: str = "crawl.robots_meta",
 ) -> DataFrame:
     """(ua, url, allowed, crawl_delay) for N NAMED crawlers in ONE
     plan (VERDICT r9 item 4): per (crawler, host), pick the MOST
@@ -337,6 +351,17 @@ def robots_allowed_multi_ua(
     pass — the per-UA loop shape would re-run the group windows N
     times. ``groups`` is :func:`parse_robots_groups` output —
     KB-scale per host.
+
+    PRECONDITION (ADVICE r10): ``urls`` must be url-distinct — one
+    verdict row per (input row × crawler), same contract and same
+    rationale as :func:`robots_allowed`.
+
+    ``cache_key`` names the managed-cache entry for the folded rules
+    metadata (ADVICE r10): interleaved callers with different groups
+    or UA lists fail managed_persist's sameResult check and would
+    evict/re-persist each other on every alternation under one
+    shared key — each repeated-evaluation site should own its key,
+    as triangle_counts does.
 
     Scale shape (reworked in the r10 optimization pass, guide
     §2.3/§2.4): the chosen group's rules AND its crawl-delay fold
@@ -406,7 +431,7 @@ def robots_allowed_multi_ua(
     # gate) a cache hit instead of five re-run KB-scale stages.
     # managed_persist's sameResult check re-persists whenever groups
     # or the crawler list actually change.
-    meta = managed_persist(meta, "crawl.robots_meta")
+    meta = managed_persist(meta, cache_key)
     u = urls.select(
         F.col(url_col).alias("url"),
         F.lower(
@@ -433,11 +458,14 @@ def robots_allowed_ua(
     groups: DataFrame,
     crawler_ua: str,
     url_col: str = "url",
+    cache_key: str = "crawl.robots_meta",
 ) -> DataFrame:
     """Single-crawler surface of :func:`robots_allowed_multi_ua` —
-    (url, allowed, crawl_delay)."""
+    (url, allowed, crawl_delay). Same url-distinct precondition;
+    ``cache_key`` passes through."""
     return robots_allowed_multi_ua(
-        urls, groups, [crawler_ua], url_col=url_col
+        urls, groups, [crawler_ua], url_col=url_col,
+        cache_key=cache_key,
     ).drop("ua")
 
 

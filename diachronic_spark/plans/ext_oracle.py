@@ -3832,7 +3832,9 @@ s AS (
 SELECT bucket, pack AS pack_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(tok) AS BIGINT) AS pack_tokens,
-       flatten(list(dt.tokens ORDER BY s.doc_id)) AS tokens
+       array_to_string(
+         flatten(list(dt.tokens ORDER BY s.doc_id)),
+         chr(10)) AS tokens_text
 FROM s JOIN doc_toks dt USING (doc_id)
 GROUP BY bucket, pack ORDER BY bucket, pack
 """

@@ -748,6 +748,9 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     return (
         daily.withColumn("cum_users", F.sum("new_users").over(wd))
         .select("day", "n_events", "dau", "new_users", "cum_users")
+        # bounded: one row per DAY — the time domain (≈365/yr; a few
+        # thousand rows over any realistic retention horizon), fixed
+        # by the calendar, not by data volume (ADVICE r10)
         .transform(sort_small, "day")
     )
 
@@ -1229,6 +1232,8 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
             _r2(F.col("z")).alias("z"),
             (F.abs(F.col("z")) > 2).alias("is_anomaly"),
         )
+        # bounded: event_type enum (4) × day — calendar-domain keys
+        # (≈365/yr), independent of row volume (ADVICE r10)
         .transform(sort_small, "event_type", "day")
     )
 
@@ -1742,6 +1747,9 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sessions"),
             F.count_distinct("user_id").alias("n_users"),
         )
+        # bounded: one row per maintenance WINDOW — windows tile the
+        # calendar (time-domain cardinality, ≈hundreds/yr), never the
+        # session count (ADVICE r10)
         .transform(sort_small, "w_start")
     )
 
@@ -4590,7 +4598,8 @@ def q183(spark: SparkSession, sf: str) -> DataFrame:
 # but never materialized the training artifact. Here the same chain
 # (C4 cleanup → byte BPE → exact greedy pack) ends AT REST:
 # write_packed_shards writes one row per pack — (pack_id, n_docs,
-# pack_tokens, tokens array<string>) under bucket=<k>/ partitions,
+# pack_tokens, tokens array<string>, surfaced newline-joined as
+# tokens_text) under bucket=<k>/ partitions,
 # q121's write_snapshots mechanics — and the RE-READ shards are the
 # adjudicated relation (round-trip fidelity is exactly the claim;
 # the reference's own point is the sink, main.py:177-191). Token
@@ -4633,12 +4642,16 @@ def q184(spark: SparkSession, sf: str) -> DataFrame:
         pretoken_re=RE_TOKEN_UNI,
     )
     back = spark.read.parquet(path)
+    # tokens surface newline-joined (the writer's own tar encoding;
+    # byte-BPE symbols are whitespace-free, so the join is lossless):
+    # the adjudication harness canonicalizes by sorting every output
+    # column, which an array column cannot survive (VERDICT r10 item 1)
     return back.select(
         F.col("bucket").cast("int").alias("bucket"),
         F.col("pack_id").cast("bigint").alias("pack_id"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
-        "tokens",
+        F.concat_ws("\n", "tokens").alias("tokens_text"),
     ).orderBy("bucket", "pack_id")
 
 
@@ -4743,7 +4756,12 @@ def q186(spark: SparkSession, sf: str) -> DataFrame:
         [(u,) for u in ROBOTS_UA_CANDIDATES], "url string",
     )
     return (
-        robots_allowed_multi_ua(cand, groups, list(CRAWLER_UAS))
+        robots_allowed_multi_ua(
+            cand, groups, list(CRAWLER_UAS),
+            # per-site cache key (ADVICE r10): q186's UA-candidate
+            # meta must not thrash q187/q195's single-UA entries
+            cache_key="q186.robots_meta",
+        )
         .select(
             "ua",
             "url",
@@ -4791,7 +4809,10 @@ def q187(spark: SparkSession, sf: str) -> DataFrame:
     # verdict chain re-executes per consumer branch
     gated = managed_persist(
         frontier.join(
-            robots_allowed_ua(frontier, groups, "examplebot").select(
+            robots_allowed_ua(
+                frontier, groups, "examplebot",
+                cache_key="q187.robots_meta",
+            ).select(
                 "url", "allowed", "crawl_delay"
             ),
             "url",
@@ -4852,13 +4873,15 @@ def q188(spark: SparkSession, sf: str) -> DataFrame:
     _EPHEMERAL_DIRS.append(path)
     write_wds_token_shards(packs, path)
     back = read_wds_token_shards(spark, path)
+    # same scalar token encoding as q184 (it IS the txt member's own
+    # byte layout) — see the q184 note on harness canonicalization
     return back.select(
         "key",
         F.col("bucket").cast("int").alias("bucket"),
         F.col("pack_id").cast("bigint").alias("pack_id"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("pack_tokens").cast("bigint").alias("pack_tokens"),
-        "tokens",
+        F.concat_ws("\n", "tokens").alias("tokens_text"),
     ).orderBy("bucket", "pack_id")
 
 
@@ -5152,7 +5175,10 @@ def q195(spark: SparkSession, sf: str) -> DataFrame:
     # for a KB fixture before the r10 optimization pass)
     gated = managed_persist(
         disc.join(
-            robots_allowed_ua(disc, groups, "rankbot").select(
+            robots_allowed_ua(
+                disc, groups, "rankbot",
+                cache_key="q195.robots_meta",
+            ).select(
                 "url", "allowed", "crawl_delay"
             ),
             "url",

@@ -285,7 +285,8 @@ def q13(spark: SparkSession, sf: str) -> DataFrame:
         top.unionByName(bot)
         .distinct()
         .select("c_custkey", _r2(F.col("c_acctbal")).alias("c_acctbal"))
-        .transform(sort_small, "c_custkey")  # bounded: 10 top-k rows
+        # bounded: ≤20 rows (top-10 ∪ bottom-10, distinct) — ADVICE r10
+        .transform(sort_small, "c_custkey")
     )
 
 

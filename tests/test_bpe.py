@@ -355,9 +355,10 @@ def test_packed_shards_roundtrip_conserve_and_decode(spark, sf_dir):
     )
     assert sum(p.pack_tokens for p in packs) == total
     for p in packs:
-        assert len(p.tokens) == p.pack_tokens
+        toks = p.tokens_text.split("\n") if p.tokens_text else []
+        assert len(toks) == p.pack_tokens
         assert p.pack_tokens <= 256 or p.n_docs == 1
-        decoded = decode_tokens(p.tokens)  # total: never raises
+        decoded = decode_tokens(toks)  # total: never raises
         assert decoded  # non-empty stream per pack
 
 

@@ -165,7 +165,7 @@ def test_token_shards_roundtrip_matches_parquet_twin(spark, sf_dir):
         assert (a.bucket, a.pack_id, a.n_docs, a.pack_tokens) == (
             b.bucket, b.pack_id, b.n_docs, b.pack_tokens
         )
-        assert list(a.tokens) == list(b.tokens)
+        assert a.tokens_text == b.tokens_text
         assert a.key == f"{b.bucket:04d}-{b.pack_id:08d}"
 
 

@@ -38,12 +38,43 @@ Determinism contract (both engines replay bit-for-bit):
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import md5_prefix32
+
+
+@contextmanager
+def _no_aqe(spark):
+    """Run the trainer's bounded-output aggregates without AQE
+    (OPTIMIZATION r11, guide §1.2 step 3 / §2.4).
+
+    Each GD iteration collects ONE row of 17 BIGINT sums through a
+    single trivial SinglePartition exchange. AQE materializes every
+    exchange as its own query stage — a separate Spark JOB per stage —
+    so each iteration paid 2-3 job dispatches where one suffices.
+    There is nothing for AQE to adapt here at ANY scale: the map side
+    still does partial aggregation over however many partitions the
+    featurized relation has, the reduce side is one row, there is no
+    join and no partition-count decision. Scope is strictly the
+    trainer's own actions (saved/restored around each collect) so
+    session-level AQE behavior elsewhere is untouched."""
+    key = "spark.sql.adaptive.enabled"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 
 def _featurize(
@@ -90,6 +121,19 @@ def _margin(w: list[float]) -> Column:
     )
 
 
+def _margin_sql(w: list[float]) -> str:
+    """:func:`_margin` as SQL text — the same zip_with/aggregate fold
+    the Column form builds, emitted as ONE parser call instead of ~40
+    py4j Column constructions. ``repr``-formatted double literals with
+    the ``D`` suffix round-trip bit-exactly through the SQL parser
+    (shortest-roundtrip decimal → Double.parseDouble)."""
+    warr = ", ".join(f"{v!r}D" for v in w)
+    return (
+        f"aggregate(zip_with(array({warr}), x, (wi, xi) -> wi * xi), "
+        "0.0D, (acc, t) -> acc + t)"
+    )
+
+
 def _hard_sigmoid(m: Column) -> Column:
     return F.greatest(
         F.lit(0.0), F.least(F.lit(1.0), F.lit(0.25) * m + F.lit(0.5))
@@ -117,6 +161,20 @@ def train_quality_weights(
     deploy the weights without reporting training accuracy
     (q197/q204) pass ``with_eval=False`` to skip the n_correct
     scan — one fewer job, identical weights.
+
+    Driver-side economy (OPTIMIZATION r11, measured phase breakdown):
+    a steady-state training call spent MORE wall time constructing
+    Column trees than executing jobs — each iteration built 17 sum
+    columns that EACH embedded the full margin fold, ~300 py4j round
+    trips ≈ 0.25 s/iteration of pure driver Python, plus a duplicated
+    margin subtree per sum through the analyzer. Each iteration is
+    now ONE ``spark.sql`` statement over a temp view of the persisted
+    featurized relation, with ``err`` computed once in a subquery
+    (the arithmetic per value is unchanged and value-identical:
+    same ops, same order, same IEEE doubles — weight literals are
+    ``repr``-round-tripped through the parser, which is exact).
+    Executed plan shape is identical: one partial/final aggregate
+    over the same InMemoryTableScan.
     """
     dim = n_buckets + 1
     # managed_persist (not persist/unpersist-per-call): the iteration
@@ -134,48 +192,51 @@ def train_quality_weights(
     n = None
     m10, grid = 10.0**10, 1e9
     w = [0.0] * dim
-    for it in range(iterations):
-        err = F.col("y") - _hard_sigmoid(_margin(w))
-        cols = [
-            F.sum(
-                F.floor(
-                    F.element_at("x", i)
-                    * err
-                    * F.lit(grid)
-                    + F.lit(0.5)
-                ).cast("bigint")
-            ).alias(f"s{i}")
-            for i in range(1, dim + 1)
-        ]
-        if it == 0:
-            cols.append(F.count(F.lit(1)).alias("__n"))
-        sums = feat.select(*cols).collect()[0]
-        if it == 0:
-            n = int(sums["__n"])
-        w = [
-            math.floor(
-                (
-                    w[i - 1]
-                    + lr * (float(sums[f"s{i}"]) / float(n) / grid)
-                )
-                * m10
-                + 0.5
+    spark = docs.sparkSession
+    view = "diachronic_classifier_feat"
+    feat.createOrReplaceTempView(view)
+    with _no_aqe(spark):
+        for it in range(iterations):
+            # per-slot gradient term: floor(x[i] * err * 1e9 + 0.5)
+            # as BIGINT — byte-identical to the former Column form
+            # (left-assoc products, same literals); err is projected
+            # ONCE per row in the subquery instead of being embedded
+            # (and re-analyzed) in each of the 17 sum expressions
+            terms = ", ".join(
+                f"sum(cast(floor(element_at(x, {i}) * err * 1.0E9D"
+                f" + 0.5D) AS BIGINT)) AS s{i}"
+                for i in range(1, dim + 1)
             )
-            / m10
-            for i in range(1, dim + 1)
-        ]
-    if n is None:  # iterations == 0: count alone
-        n = feat.count()
-    if with_eval:
-        n_correct = feat.select(
-            F.sum(
-                F.when(
-                    (_margin(w) >= 0) == (F.col("y") == 1.0), 1
-                ).otherwise(0)
-            ).alias("c")
-        ).collect()[0]["c"]
-    else:
-        n_correct = None
+            if it == 0:
+                terms += ", count(1) AS __n"
+            sums = spark.sql(
+                f"SELECT {terms} FROM (SELECT x, y - greatest(0.0D, "
+                f"least(1.0D, 0.25D * {_margin_sql(w)} + 0.5D)) AS "
+                f"err FROM {view})"
+            ).collect()[0]
+            if it == 0:
+                n = int(sums["__n"])
+            w = [
+                math.floor(
+                    (
+                        w[i - 1]
+                        + lr * (float(sums[f"s{i}"]) / float(n) / grid)
+                    )
+                    * m10
+                    + 0.5
+                )
+                / m10
+                for i in range(1, dim + 1)
+            ]
+        if n is None:  # iterations == 0: count alone
+            n = feat.count()
+        if with_eval:
+            n_correct = spark.sql(
+                f"SELECT sum(CASE WHEN ({_margin_sql(w)} >= 0) = "
+                f"(y = 1.0D) THEN 1 ELSE 0 END) AS c FROM {view}"
+            ).collect()[0]["c"]
+        else:
+            n_correct = None
     return w, (None if n_correct is None else int(n_correct)), int(n)
 
 

@@ -22,11 +22,41 @@ Two forms:
 from __future__ import annotations
 
 import datetime as dt
+from contextlib import contextmanager
 from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@contextmanager
+def _driver_side_listing(spark, n_paths: int):
+    """Scope-raise the parallel-partition-discovery threshold so a
+    bounded, already-known path list is listed driver-side
+    (OPTIMIZATION r11, guide §6 file listing): when the refresh/read
+    passes more than 32 explicit day directories, Spark otherwise
+    launches a DISTRIBUTED listing job — one task per directory — to
+    discover files the driver could stat in microseconds each on a
+    local filesystem. The path list here is delta-touched metadata
+    (O(touched days)), never the whole store, so driver-side listing
+    stays O(delta) at any store size; the threshold is restored on
+    exit so unrelated scans keep the default behavior (which IS right
+    for huge object-store layouts)."""
+    key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(max(n_paths + 1, 32)))
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
 DEFAULT_EPOCH = dt.datetime(2001, 1, 15)  # reference conf.yml:7
 
@@ -271,23 +301,43 @@ def refresh_snapshot_store(
         ]
         w = Window.partitionBy(*on).orderBy(ts, "rev_seq")
         if dirs:
-            affected = spark.read.option("basePath", path).parquet(*dirs)
-            merged = affected.unionByName(dstate.select(*affected.columns))
+            # explicit read schema (OPTIMIZATION r11, guide §6): the
+            # at-rest schema is dstate's own (data columns + trailing
+            # day partition column), so inferring it would only re-read
+            # parquet footers at plan time, per refresh
+            fields = {f.name: f for f in dstate.schema.fields}
+            read_schema = StructType(
+                [fields[c] for c in dstate.columns if c != "day"]
+                + [fields["day"]]
+            )
+            with _driver_side_listing(spark, len(dirs)):
+                affected = (
+                    spark.read.schema(read_schema)
+                    .option("basePath", path)
+                    .parquet(*dirs)
+                )
+                merged = affected.unionByName(
+                    dstate.select(*affected.columns)
+                )
         else:
             merged = dstate  # every touched day is new to the store
+        # ONE shuffle on day (OPTIMIZATION r11, guide §2.4): hash(day)
+        # partitioning satisfies the window's (key, day) clustering —
+        # all rows of a (key, day) share the day — so repartitioning
+        # FIRST lets the re-argmin window run with an in-partition
+        # sort, no second exchange (plan-verified 2 Exchange -> 1),
+        # and the write still sees each day in exactly one task: each
+        # rewritten partition stays ONE file per refresh (repeated
+        # refreshes otherwise accrete small-file shrapnel that
+        # degrades every later scan).
         merged = (
-            merged.withColumn("__rn", F.row_number().over(w))
+            merged.repartition("day")
+            .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
         (
-            # one shuffle on day (≤ touched-day tasks — delta-sized)
-            # so each rewritten partition is ONE file per refresh, not
-            # one shard per upstream partition: repeated refreshes
-            # otherwise accrete small-file shrapnel that degrades
-            # every later scan
-            merged.repartition("day")
-            .write.mode("overwrite")
+            merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("day")
             .parquet(path)

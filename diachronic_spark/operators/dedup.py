@@ -729,6 +729,14 @@ def connected_components_auto(
 # membership state at rest deciding what new work to admit.
 
 
+# At-rest index schemas (what write_minhash_index/append_to_minhash_
+# index put on disk): data columns in file order, then the band
+# partition column. Probes pass these explicitly so planning never
+# re-reads footers.
+_BANDS_AT_REST = "doc_id bigint, bh string, band int"
+_SHINGLES_AT_REST = "doc_id bigint, hset array<bigint>, sz int"
+
+
 def write_minhash_index(corpus: DataFrame, path: str) -> None:
     """Materialize the LSH index at rest: the band table partitioned by
     ``band`` (a probe's equi-join prunes to the band directories it
@@ -992,23 +1000,21 @@ def delete_from_minhash_index(doc_ids: DataFrame, path: str) -> None:
 
 def _index_tombstones(spark: SparkSession, path: str) -> DataFrame | None:
     """The index's tombstone set, or None if nothing was ever deleted.
-    Existence is probed with a read attempt, not os.path — the index
-    root may be an object-store URI. ONLY path-not-found maps to None:
-    any other read failure (expired credentials, corrupt footer, a
-    transient store error) must propagate — treating it as "nothing
-    deleted" would silently resurrect retracted docs in the probe."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(f"{path}/tombstones")
-    except AnalysisException as e:
-        getter = getattr(e, "getCondition", None) or getattr(
-            e, "getErrorClass", lambda: None
-        )
-        cls = getter() or ""
-        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
-            return None
-        raise
+    Existence is probed through the Hadoop FileSystem API, not
+    os.path — the index root may be an object-store URI, and the FS
+    resolved from the path handles every scheme Spark itself can read
+    (OPTIMIZATION r11: the former probe BUILT a full parquet read and
+    caught its PATH_NOT_FOUND AnalysisException — analysis + exception
+    construction on every probe of a healthy, tombstone-free index;
+    fs.exists is one metadata RPC). Failure semantics are unchanged:
+    only not-found maps to None — expired credentials, transient store
+    errors, or a corrupt footer on the later read still propagate, so
+    a flaky store can never silently resurrect retracted docs."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/tombstones")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
 
 
 def compact_minhash_index(spark: SparkSession, path: str) -> None:
@@ -1092,7 +1098,14 @@ def dedup_against_index(
     """
     arrs_new = shingle_arrays(new_docs) if arrs is None else arrs
     bands_new = band_table(minhash_signature(arrs_new))
-    idx_b = spark.read.parquet(f"{index_path}/bands")
+    # the index layout is this module's own (write_minhash_index /
+    # append_to_minhash_index), so its schema is KNOWN — passing it
+    # skips parquet footer inference at plan time, a per-probe driver
+    # cost that an ingest loop (q136: one probe per micro-batch) pays
+    # on every batch (OPTIMIZATION r11, guide §6)
+    idx_b = spark.read.schema(_BANDS_AT_REST).parquet(
+        f"{index_path}/bands"
+    )
     ts = _index_tombstones(spark, index_path)
     if ts is not None:
         # retracted docs must not produce candidates (verification
@@ -1113,7 +1126,9 @@ def dedup_against_index(
         F.col("hset").alias("ha"),
         F.col("sz").alias("za"),
     )
-    b = spark.read.parquet(f"{index_path}/shingles").select(
+    b = spark.read.schema(_SHINGLES_AT_REST).parquet(
+        f"{index_path}/shingles"
+    ).select(
         F.col("doc_id").alias("idx_id"),
         F.col("hset").alias("hb"),
         F.col("sz").alias("zb"),

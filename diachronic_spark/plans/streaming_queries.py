@@ -993,21 +993,27 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     # contract, but a coarse-mtime filesystem or rebuilt cache could
     # silently swap them and invert the cross-batch fact) — batch 0's
     # verdicts are the +300000/+400000 docs, batch 1's the
-    # +500000/+600000 docs
-    for bid, lo, hi in ((0, 300000, 500000), (1, 500000, 700000)):
-        n_out = (
-            spark.read.parquet(f"{work}/verdict_b{bid}")
-            .filter((F.col("doc_id") < lo) | (F.col("doc_id") >= hi))
-            .count()
-        )
-        if n_out:
-            raise RuntimeError(
-                f"q136: batch {bid} carried {n_out} doc_ids outside "
-                f"[{lo}, {hi}) — staged files arrived out of order"
-            )
+    # +500000/+600000 docs. The verdicts carry their batch id, so ONE
+    # read + count adjudicates both bounds (was two jobs —
+    # OPTIMIZATION r11 job economy).
     verdicts = spark.read.parquet(f"{work}/verdict_b0").unionByName(
         spark.read.parquet(f"{work}/verdict_b1")
     )
+    bounds = {0: (300000, 500000), 1: (500000, 700000)}
+    cond = (
+        (F.col("batch") == 0)
+        & ((F.col("doc_id") < 300000) | (F.col("doc_id") >= 500000))
+    ) | (
+        (F.col("batch") == 1)
+        & ((F.col("doc_id") < 500000) | (F.col("doc_id") >= 700000))
+    )
+    n_out = verdicts.filter(cond).count()
+    if n_out:
+        raise RuntimeError(
+            f"q136: {n_out} verdict rows carried doc_ids outside "
+            f"their batch's id range {bounds} — staged files "
+            "arrived out of order"
+        )
     return verdicts.select(
         "batch",
         "doc_id",

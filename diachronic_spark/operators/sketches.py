@@ -45,6 +45,7 @@ def count_min_build(
     depth: int = 4,
     width: int = 512,
     partial_by: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build CMS cells ``(j, b, n)`` over ``df[key_col]`` occurrences.
 
@@ -54,6 +55,14 @@ def count_min_build(
     map-side partial combine collapses each partition to <= d*w rows
     before the shuffle, so the exchange is O(d*w) per partition
     regardless of input size.
+
+    ``weight_col`` (OPTIMIZATION r11): build from PRE-AGGREGATED
+    ``(key, count)`` rows instead of raw occurrences — each key row
+    contributes ``weight_col`` to its cells via an integer SUM, the
+    exact value counting the expanded occurrences would produce
+    (guide §2.3 "aggregate before you shuffle": a caller that already
+    needs per-key counts can feed the same tiny table here instead of
+    exploding the raw stream a second time).
     """
     probes = F.explode(
         F.array(
@@ -67,10 +76,16 @@ def count_min_build(
         )
     ).alias("__cm")
     keys = list(partial_by or [])
+    n = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(weight_col).cast("bigint")
+    )
+    cols = keys + ([] if weight_col is None else [weight_col])
     return (
-        df.select(*keys, probes)
+        df.select(*cols, probes)
         .groupBy(*keys, "__cm.j", "__cm.b")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(n.alias("n"))
     )
 
 

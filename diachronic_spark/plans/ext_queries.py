@@ -1448,12 +1448,23 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
     toks = d.select(
         "lang", F.explode(fn.whitespace_tokens(F.col("text"))).alias("tok")
     )
+    # ONE tokenize+explode pass over the corpus text (OPTIMIZATION
+    # r11, guide §2.3): both consumers — the per-lang partial grids
+    # and the exact top-20 — derive from the same pre-aggregated
+    # (lang, tok) count table (map-side-combined, vocabulary-sized),
+    # instead of each branch re-running the text pass. Cell values and
+    # exact counts are the identical integers (sum of per-lang counts
+    # ≡ counting raw occurrences).
+    tc = managed_persist(
+        toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n1")),
+        "q80.tc",
+    )
     cells = SK.count_min_merge(
-        SK.count_min_build(toks, "tok", partial_by=["lang"])
+        SK.count_min_build(tc, "tok", partial_by=["lang"], weight_col="n1")
     )
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
+        tc.groupBy("tok")
+        .agg(F.sum("n1").cast("bigint").alias("n_exact"))
         .orderBy(F.desc("n_exact"), "tok")
         .limit(20)
     )

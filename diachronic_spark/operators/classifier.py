@@ -38,7 +38,6 @@ Determinism contract (both engines replay bit-for-bit):
 from __future__ import annotations
 
 import math
-from contextlib import contextmanager
 
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
@@ -47,34 +46,11 @@ from pyspark.sql import functions as F
 from ..functions import md5_prefix32
 
 
-@contextmanager
-def _no_aqe(spark):
-    """Run the trainer's bounded-output aggregates without AQE
-    (OPTIMIZATION r11, guide §1.2 step 3 / §2.4).
-
-    Each GD iteration collects ONE row of 17 BIGINT sums through a
-    single trivial SinglePartition exchange. AQE materializes every
-    exchange as its own query stage — a separate Spark JOB per stage —
-    so each iteration paid 2-3 job dispatches where one suffices.
-    There is nothing for AQE to adapt here at ANY scale: the map side
-    still does partial aggregation over however many partitions the
-    featurized relation has, the reduce side is one row, there is no
-    join and no partition-count decision. Scope is strictly the
-    trainer's own actions (saved/restored around each collect) so
-    session-level AQE behavior elsewhere is untouched."""
-    key = "spark.sql.adaptive.enabled"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, "false")
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+# the trainer's bounded-output iteration collects run under
+# _cache.no_aqe — each GD iteration returns ONE row of BIGINT sums
+# through a single trivial exchange, so AQE's per-stage jobs were
+# pure dispatch overhead (see no_aqe's docstring)
+from ._cache import no_aqe as _no_aqe
 
 
 def _featurize(

@@ -298,11 +298,17 @@ def kmeans(
     v = managed_persist(v, f"{cache_key}.v")
     spark = emb.sparkSession
 
-    cent_rows = _init_cents(v, k, round_to).collect()
-    for _ in range(n_iter):
-        cent_rows = _mean_cents(
-            _assigned_np(v, cent_rows), dim, round_to
-        ).collect()
+    # bounded-output fit collects (k x dim doubles per iteration) run
+    # without AQE: one job per Lloyd pass instead of one per query
+    # stage (see _cache.no_aqe)
+    from ._cache import no_aqe
+
+    with no_aqe(spark):
+        cent_rows = _init_cents(v, k, round_to).collect()
+        for _ in range(n_iter):
+            cent_rows = _mean_cents(
+                _assigned_np(v, cent_rows), dim, round_to
+            ).collect()
     from ._cache import local_relation
 
     cents = local_relation(

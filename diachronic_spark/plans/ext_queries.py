@@ -2459,7 +2459,10 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     path = _Q124_DIRS[sf]
     zordered = zorder_layout(li, ["l_partkey", "l_suppkey"], n_files=8, bits=4)
     zordered.write.mode("overwrite").parquet(path)
-    back = spark.read.parquet(path)
+    # read back with the projected columns' own schema (a parquet
+    # subset read): no footer inference at plan time, and the scan is
+    # pruned to exactly the adjudicated columns (guide §6)
+    back = spark.read.schema(li.schema).parquet(path)
     return (
         back.filter((F.col("l_partkey") <= 200) & (F.col("l_suppkey") <= 10))
         .select(*cols)
@@ -4943,15 +4946,22 @@ def q189(spark: SparkSession, sf: str) -> DataFrame:
             prefix="diachronic_frontier_q189_"
         )
     root = _Q189_DIRS[sf]
+    # the at-rest bloom state layout is build_url_bloom_sharded's own
+    # — explicit schema on every state read-back skips parquet footer
+    # inference at plan time, 4x per run (OPTIMIZATION r11, guide §6)
+    bloom_schema = "segment int, words array<bigint>"
     batch_bloom(0).write.mode("overwrite").parquet(f"{root}/state_0")
     for i in (1, 2, 3):
-        prev = spark.read.parquet(f"{root}/state_{i - 1}")
+        prev = spark.read.schema(bloom_schema).parquet(
+            f"{root}/state_{i - 1}"
+        )
         merge_bloom_segments(prev, batch_bloom(i)).write.mode(
             "overwrite"
         ).parquet(f"{root}/state_{i}")
     # at-least-once replay: batch 1 arrives AGAIN — must be a no-op
     final = merge_bloom_segments(
-        spark.read.parquet(f"{root}/state_3"), batch_bloom(1)
+        spark.read.schema(bloom_schema).parquet(f"{root}/state_3"),
+        batch_bloom(1),
     )
     revisits = seen.filter(
         F.col("id").isin(0, 50, 199)

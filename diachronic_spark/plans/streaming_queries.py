@@ -646,10 +646,16 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
         shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     state = {"last": -1, "n": 0}
 
+    # the version chain's schema is the staged base table's own
+    # (_stage_cdc) and merge_upsert preserves it — explicit schema on
+    # each version read skips footer inference, once per micro-batch
+    # (OPTIMIZATION r11, guide §6)
+    cdc_schema = "user_id bigint, event_type string, value double"
+
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         prev = base_path if batch_id == 0 else f"{work}/b{batch_id - 1}"
         merged = merge_upsert(
-            spark.read.parquet(prev),
+            spark.read.schema(cdc_schema).parquet(prev),
             batch,
             key="user_id",
             update_cols=["event_type", "value"],
@@ -685,7 +691,8 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
             "changed"
         )
     return (
-        spark.read.parquet(f"{work}/b{state['last']}")
+        spark.read.schema(cdc_schema)
+        .parquet(f"{work}/b{state['last']}")
         .select("user_id", "event_type", "value")
         .orderBy("user_id")
     )

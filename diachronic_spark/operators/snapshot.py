@@ -233,6 +233,39 @@ def merge_snapshot_state(
     return untouched.unionByName(merged)
 
 
+#: the store's at-rest schema as written by ``refresh_snapshot_store``
+#: (snapshot_state's columns: data files first, day partition last)
+STORE_READ_SCHEMA = (
+    "page_id bigint, rev_seq int, namespace string, title string,"
+    " timestamp timestamp, text string, day date"
+)
+
+
+def read_snapshot_store(spark, path: str):
+    """Read a day-partitioned snapshot store via its own partition
+    manifest (OPTIMIZATION r11, VERDICT r10 item 4 / guide §6): a bare
+    ``spark.read.parquet(path)`` re-DISCOVERS the layout — with >32
+    day directories that is a distributed listing job per read, plus
+    footer reads for schema inference. One driver ``listStatus``
+    yields the day list (O(partitions) metadata, the same scale as the
+    refresh's own bookkeeping), the schema is the store's write
+    schema, and the explicit ``basePath`` read returns the same files
+    and rows with no discovery job."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    day_dirs = sorted(
+        f.getPath().toString()
+        for f in fs.listStatus(jvm_path)
+        if f.getPath().getName().startswith("day=")
+    )
+    with _driver_side_listing(spark, len(day_dirs)):
+        return (
+            spark.read.schema(STORE_READ_SCHEMA)
+            .option("basePath", path)
+            .parquet(*day_dirs)
+        )
+
+
 def refresh_snapshot_store(
     spark,
     path: str,

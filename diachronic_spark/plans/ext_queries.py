@@ -2301,7 +2301,27 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
         path,
         PipelineConfig(partition_by=("d",), max_records_per_file=5000),
     )
-    back = spark.read.parquet(path)
+    # manifest-driven read-back of the day-partitioned sink: one
+    # driver listStatus + the writer's schema, instead of a
+    # distributed partition-discovery job + footer inference per run
+    # (guide §6 — the q158/q155 store-read treatment)
+    from ..operators.snapshot import _driver_side_listing
+
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jp.getFileSystem(spark._jsc.hadoopConfiguration())
+    day_dirs = sorted(
+        f.getPath().toString()
+        for f in fs.listStatus(jp)
+        if f.getPath().getName().startswith("d=")
+    )
+    with _driver_side_listing(spark, len(day_dirs)):
+        back = (
+            spark.read.schema(
+                "event_id bigint, user_id bigint, value double, d date"
+            )
+            .option("basePath", path)
+            .parquet(*day_dirs)
+        )
     return back.select(
         "event_id",
         "user_id",
@@ -3745,7 +3765,11 @@ def q155(spark: SparkSession, sf: str) -> DataFrame:
         f"{root}/pristine", path, copy_function=_link_data_copy_markers
     )
     refresh_snapshot_store(spark, path, delta)
-    back = spark.read.parquet(path)
+    # manifest-driven at-rest read (one driver listStatus + write
+    # schema, no distributed discovery job — same treatment as q158)
+    from ..operators.snapshot import read_snapshot_store
+
+    back = read_snapshot_store(spark, path)
     return back.select(
         "page_id",
         F.col("day").cast("string").alias("day"),
@@ -3786,17 +3810,25 @@ def q156(spark: SparkSession, sf: str) -> DataFrame:
     # batch 0 founds the state table at rest
     agg_state(ev.filter(F.col("b") == 0).drop("b"), keys, ["value"]) \
         .write.mode("overwrite").parquet(f"{root}/state_0")
+    # the state layout is agg_state's own — explicit schema on each
+    # read-back skips footer inference, 4x per run (guide §6)
+    state_schema = (
+        "event_type string, day date, state_n bigint,"
+        " sum_value double, min_value double, max_value double"
+    )
     # three successive refreshes, each disk → merge → disk: alternate
     # directories because a parquet path cannot be its own input
     for i in (1, 2, 3):
-        prev = spark.read.parquet(f"{root}/state_{i - 1}")
+        prev = spark.read.schema(state_schema).parquet(
+            f"{root}/state_{i - 1}"
+        )
         batch = agg_state(
             ev.filter(F.col("b") == i).drop("b"), keys, ["value"]
         )
         merge_states([prev, batch], keys).write.mode(
             "overwrite"
         ).parquet(f"{root}/state_{i}")
-    final = spark.read.parquet(f"{root}/state_3")
+    final = spark.read.schema(state_schema).parquet(f"{root}/state_3")
     # avg is DERIVED at read time (storing it would break mergeability)
     # — from the 2dp-ROUNDED sum, then floor-rounded: both engines'
     # raw sums differ in low bits (summation order), and round() at an

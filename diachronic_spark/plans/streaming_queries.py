@@ -552,7 +552,9 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
     _EPHEMERAL_DIRS.extend([out, ckpt])
     q = write_parquet_stream(proj, out, ckpt)
     q.awaitTermination()
-    back = spark.read.parquet(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, d date, value double"
+    ).parquet(out)
     return back.select(
         "event_id",
         "user_id",
@@ -1154,35 +1156,14 @@ def q158(spark: SparkSession, sf: str) -> DataFrame:
             "file-per-trigger staging changed"
         )
     # Final at-rest read via the store's own day-partition manifest
-    # (OPTIMIZATION r11, VERDICT r10 item 4 / guide §6): a bare
-    # spark.read.parquet(store) re-DISCOVERS the partition layout —
-    # with >32 day dirs that is a distributed listing job per run plus
-    # footer reads for schema inference. The day list is one driver
-    # listStatus (the same O(partitions) metadata the refresh already
-    # maintains), the schema is the store's own write schema, and the
-    # explicit basePath read prunes nothing away — same files, same
-    # rows, one fewer job.
-    from ..operators.snapshot import _driver_side_listing
+    # (OPTIMIZATION r11, VERDICT r10 item 4 / guide §6): one driver
+    # listStatus instead of a distributed partition-discovery job,
+    # write schema instead of footer inference — same files, same
+    # rows, one fewer job (operators/snapshot.read_snapshot_store).
+    from ..operators.snapshot import read_snapshot_store
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(store)
-    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    day_dirs = sorted(
-        f.getPath().toString()
-        for f in fs.listStatus(jvm_path)
-        if f.getPath().getName().startswith("day=")
-    )
-    store_schema = (
-        "page_id bigint, rev_seq int, namespace string, title string,"
-        " timestamp timestamp, text string, day date"
-    )
-    with _driver_side_listing(spark, len(day_dirs)):
-        at_rest = (
-            spark.read.schema(store_schema)
-            .option("basePath", store)
-            .parquet(*day_dirs)
-        )
     return (
-        at_rest
+        read_snapshot_store(spark, store)
         .select(
             "page_id",
             F.col("day").cast("string").alias("day"),

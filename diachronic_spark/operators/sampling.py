@@ -220,15 +220,20 @@ def global_running_sum(
         ),
         cache_key,
     )
-    totals = {
-        r["__pid"]: (r["__t"], r["__n"])
-        for r in part.groupBy("__pid")
-        .agg(
-            F.sum(val_col).alias("__t"),
-            F.count(val_col).alias("__n"),
-        )
-        .collect()
-    }
+    # bounded-output collect (≤ n_partitions rows) runs without AQE:
+    # one job instead of one per query stage (_cache.no_aqe)
+    from ._cache import no_aqe
+
+    with no_aqe(spark):
+        totals = {
+            r["__pid"]: (r["__t"], r["__n"])
+            for r in part.groupBy("__pid")
+            .agg(
+                F.sum(val_col).alias("__t"),
+                F.count(val_col).alias("__n"),
+            )
+            .collect()
+        }
     # NULL semantics must match the global window exactly: F.sum over
     # a running frame is NULL only while NO non-null value has been
     # seen yet, then sticks to the last sum through later null rows.
